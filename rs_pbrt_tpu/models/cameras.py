@@ -1,0 +1,183 @@
+"""Cameras as batched ray generators.
+
+TPU-native replacement for reference src/core/camera.rs + src/cameras/*.
+A Camera is a small pytree (tag + transforms + scalars); ``generate_rays``
+maps (N,) film samples -> (N,) world rays entirely on the VPU.  Realistic
+lens tracing comes later (cameras/realistic.rs).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ..ops.sampling import concentric_sample_disk
+from ..utils import transform as tr
+from ..utils import vecmath as vm
+
+PERSPECTIVE = 0
+ORTHOGRAPHIC = 1
+ENVIRONMENT = 2
+
+
+@struct.dataclass
+class Camera:
+    cam_to_world: jnp.ndarray  # (4,4)
+    raster_to_camera: jnp.ndarray  # (4,4)
+    lens_radius: jnp.ndarray
+    focal_distance: jnp.ndarray
+    shutter_open: jnp.ndarray
+    shutter_close: jnp.ndarray
+    cam_type: int = struct.field(pytree_node=False, default=PERSPECTIVE)
+    resolution: tuple = struct.field(pytree_node=False, default=(1, 1))
+
+
+def _screen_window(resolution, frame_aspect=None, screen_window=None):
+    sx, sy = resolution
+    frame = frame_aspect if frame_aspect is not None else sx / sy
+    if screen_window is not None:
+        x0, x1, y0, y1 = screen_window
+    elif frame > 1.0:
+        x0, x1, y0, y1 = -frame, frame, -1.0, 1.0
+    else:
+        x0, x1, y0, y1 = -1.0, 1.0, -1.0 / frame, 1.0 / frame
+    return x0, x1, y0, y1
+
+
+def _screen_to_raster(resolution, window):
+    x0, x1, y0, y1 = window
+    sx, sy = resolution
+    s1 = tr.scale(sx, sy, 1.0)
+    s2 = tr.scale(1.0 / (x1 - x0), 1.0 / (y0 - y1), 1.0)
+    t = tr.translate([-x0, -y1, 0.0])
+    return tr.compose(s1, tr.compose(s2, t))
+
+
+def make_perspective(
+    cam_to_world: tr.Transform,
+    resolution,
+    fov=90.0,
+    lens_radius=0.0,
+    focal_distance=1e6,
+    shutter_open=0.0,
+    shutter_close=1.0,
+    frame_aspect=None,
+    screen_window=None,
+) -> Camera:
+    """reference cameras/perspective.rs:46-135."""
+    cam_to_screen = tr.perspective(fov, 1e-2, 1000.0)
+    s2r = _screen_to_raster(resolution, _screen_window(resolution, frame_aspect, screen_window))
+    raster_to_camera = tr.compose(tr.inverse(cam_to_screen), tr.inverse(s2r))
+    return Camera(
+        cam_to_world.m,
+        raster_to_camera.m,
+        jnp.float32(lens_radius),
+        jnp.float32(focal_distance),
+        jnp.float32(shutter_open),
+        jnp.float32(shutter_close),
+        cam_type=PERSPECTIVE,
+        resolution=tuple(resolution),
+    )
+
+
+def make_orthographic(
+    cam_to_world: tr.Transform,
+    resolution,
+    lens_radius=0.0,
+    focal_distance=1e6,
+    shutter_open=0.0,
+    shutter_close=1.0,
+    frame_aspect=None,
+    screen_window=None,
+) -> Camera:
+    cam_to_screen = tr.orthographic(0.0, 1.0)
+    s2r = _screen_to_raster(resolution, _screen_window(resolution, frame_aspect, screen_window))
+    raster_to_camera = tr.compose(tr.inverse(cam_to_screen), tr.inverse(s2r))
+    return Camera(
+        cam_to_world.m,
+        raster_to_camera.m,
+        jnp.float32(lens_radius),
+        jnp.float32(focal_distance),
+        jnp.float32(shutter_open),
+        jnp.float32(shutter_close),
+        cam_type=ORTHOGRAPHIC,
+        resolution=tuple(resolution),
+    )
+
+
+def make_environment(
+    cam_to_world: tr.Transform, resolution, shutter_open=0.0, shutter_close=1.0
+) -> Camera:
+    return Camera(
+        cam_to_world.m,
+        jnp.eye(4, dtype=jnp.float32),
+        jnp.float32(0.0),
+        jnp.float32(1e6),
+        jnp.float32(shutter_open),
+        jnp.float32(shutter_close),
+        cam_type=ENVIRONMENT,
+        resolution=tuple(resolution),
+    )
+
+
+class CameraRays(NamedTuple):
+    o: jnp.ndarray  # (N,3)
+    d: jnp.ndarray  # (N,3)
+    time: jnp.ndarray  # (N,)
+    weight: jnp.ndarray  # (N,) importance weight (1 for these cameras)
+
+
+def generate_rays(cam: Camera, p_film, u_lens, u_time) -> CameraRays:
+    """p_film: (N,2) raster coords; u_lens: (N,2); u_time: (N,).
+
+    reference camera dispatch src/core/camera.rs:28 + per-camera
+    generate_ray_differential.
+    """
+    n = p_film.shape[0]
+    time = vm.lerp(u_time, cam.shutter_open, cam.shutter_close)
+
+    if cam.cam_type == ENVIRONMENT:
+        sx, sy = cam.resolution
+        theta = vm.PI * p_film[..., 1] / sy
+        phi = 2.0 * vm.PI * p_film[..., 0] / sx
+        d_cam = jnp.stack(
+            [jnp.sin(theta) * jnp.cos(phi), jnp.cos(theta), jnp.sin(theta) * jnp.sin(phi)],
+            axis=-1,
+        )
+        o = jnp.broadcast_to(cam.cam_to_world[:3, 3], (n, 3))
+        d = tr.xform_vector(cam.cam_to_world, d_cam)
+        return CameraRays(o, d, time, jnp.ones(n, jnp.float32))
+
+    p_cam = tr.xform_point(
+        cam.raster_to_camera,
+        jnp.concatenate([p_film, jnp.zeros((n, 1), p_film.dtype)], axis=-1),
+    )
+    if cam.cam_type == PERSPECTIVE:
+        o_cam = jnp.zeros((n, 3), jnp.float32)
+        d_cam = vm.normalize(p_cam)
+    else:  # ORTHOGRAPHIC
+        o_cam = p_cam
+        d_cam = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0], jnp.float32), (n, 3))
+
+    # depth of field (reference perspective.rs:230-260)
+    def with_dof(o_cam, d_cam):
+        p_lens = cam.lens_radius * concentric_sample_disk(u_lens)
+        ft = cam.focal_distance / jnp.maximum(d_cam[..., 2], 1e-8)
+        p_focus = o_cam + ft[..., None] * d_cam
+        o2 = jnp.stack(
+            [p_lens[..., 0], p_lens[..., 1], jnp.zeros_like(p_lens[..., 0])], axis=-1
+        )
+        d2 = vm.normalize(p_focus - o2)
+        return o2, d2
+
+    use_dof = cam.lens_radius > 0.0
+    o_dof, d_dof = with_dof(o_cam, d_cam)
+    o_cam = jnp.where(use_dof, o_dof, o_cam)
+    d_cam = jnp.where(use_dof, d_dof, d_cam)
+
+    o = tr.xform_point(cam.cam_to_world, o_cam)
+    d = vm.normalize(tr.xform_vector(cam.cam_to_world, d_cam))
+    return CameraRays(o, d, time, jnp.ones(n, jnp.float32))

@@ -1,0 +1,97 @@
+"""Render driver: samples -> camera rays -> integrator -> film.
+
+TPU-native replacement for the reference's shared tile render loop
+(src/core/integrator.rs:70-220).  The BlockQueue/thread-pool becomes a flat
+wavefront of (pixel, sample) lanes, batched to bound memory; spp batches
+replace tiles as the work/checkpoint unit.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...ops import bvh as bvhmod
+from ...ops import film as filmmod
+from ...scene import arrays as sa
+from .. import cameras as cam
+from .. import samplers as smpl
+from . import path as pathmod
+
+
+class RenderCfg(NamedTuple):
+    integrator: str  # static
+    spp: int  # static
+    max_depth: int  # static
+    rr_threshold: float  # static
+
+
+def _camera_rays(camera: cam.Camera, sampler_cfg, ctx, pixel):
+    u_film = smpl.get_2d(sampler_cfg, ctx, 0)
+    u_time = smpl.get_1d(sampler_cfg, ctx, 2)
+    u_lens = smpl.get_2d(sampler_cfg, ctx, 3)
+    p_film = pixel.astype(jnp.float32) + u_film
+    rays = cam.generate_rays(camera, p_film, u_lens, u_time)
+    return rays, p_film
+
+
+@partial(jax.jit, static_argnames=("cfg", "sampler_cfg", "filter_cfg", "n_pixels_static"))
+def render_batch(
+    scene: sa.Scene,
+    accel,
+    camera: cam.Camera,
+    cfg: RenderCfg,
+    sampler_cfg: smpl.SamplerCfg,
+    film: filmmod.Film,
+    filter_cfg: filmmod.FilterCfg,
+    pixel: jnp.ndarray,  # (N,2) int32
+    sample_num: jnp.ndarray,  # (N,) uint32
+    n_pixels_static: int,
+):
+    ctx = smpl.make_ctx(sampler_cfg, pixel, sample_num)
+    rays, p_film = _camera_rays(camera, sampler_cfg, ctx, pixel)
+    pcfg = pathmod.PathCfg(cfg.max_depth, cfg.rr_threshold)
+    L = pathmod.radiance(scene, pcfg, sampler_cfg, ctx, rays.o, rays.d, accel)
+    L = L * rays.weight[..., None]
+    return filmmod.add_samples(film, filter_cfg, p_film, L)
+
+
+def render(
+    scene: sa.Scene,
+    camera: cam.Camera,
+    cfg: RenderCfg,
+    sampler_cfg: smpl.SamplerCfg,
+    filter_cfg: Optional[filmmod.FilterCfg] = None,
+    accel: Optional[bvhmod.LBVH] = None,
+    max_lanes: int = 1 << 20,
+):
+    """Single-device render: loops spp batches over the full pixel grid.
+
+    Returns the resolved linear RGB image (H, W, 3).
+    """
+    if filter_cfg is None:
+        filter_cfg = filmmod.make_filter(filmmod.FILTER_BOX)
+    w, h = camera.resolution
+    n_pix = w * h
+    xs, ys = np.meshgrid(np.arange(w, dtype=np.int32), np.arange(h, dtype=np.int32))
+    pixels = jnp.asarray(np.stack([xs.ravel(), ys.ravel()], -1))
+    film = filmmod.make_film((w, h))
+
+    spp_per_batch = max(1, min(cfg.spp, max_lanes // n_pix))
+    sample = 0
+    while sample < cfg.spp:
+        nb = min(spp_per_batch, cfg.spp - sample)
+        pix = jnp.tile(pixels, (nb, 1))
+        snums = jnp.repeat(
+            jnp.arange(sample, sample + nb, dtype=jnp.uint32), n_pix
+        )
+        film = render_batch(
+            scene, accel, camera, cfg, sampler_cfg, film, filter_cfg,
+            pix, snums, n_pix,
+        )
+        sample += nb
+    return filmmod.to_rgb(film)

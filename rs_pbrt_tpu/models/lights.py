@@ -1,0 +1,241 @@
+"""Light sampling / evaluation as batched tag-switched kernels.
+
+TPU-native replacement for reference src/core/light.rs + src/lights/*.
+Per-lane light index + the scene's flat light tables; every light family is
+evaluated vectorized and mask-selected (NEE typically touches one light per
+lane so the families are cheap).
+
+sample_li returns the world-space direction, radiance, solid-angle pdf and
+the visibility target point (for the shadow ray), mirroring
+reference light.rs:43-176 + VisibilityTester.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import sampling as smp
+from ..scene import arrays as sa
+from ..utils import transform as tr
+from ..utils import vecmath as vm
+
+
+class LiSample(NamedTuple):
+    wi: jnp.ndarray  # (N,3)
+    li: jnp.ndarray  # (N,3)
+    pdf: jnp.ndarray  # (N,)
+    p_target: jnp.ndarray  # (N,3) point for shadow ray (or far point)
+    n_light: jnp.ndarray  # (N,3) normal at light sample (0 for delta)
+    is_delta: jnp.ndarray  # (N,) bool
+
+
+def _area_sample_tri(scene: sa.Scene, light_idx, ref_p, u2):
+    """Uniform-by-area sample on a triangle-range area light.
+
+    Uses the per-light normalized area CDF (scene.alight_tri_cdf) then
+    uniform barycentrics (reference shapes/triangle.rs sample +
+    lights/diffuse.rs sample_li).
+    """
+    cdf = scene.alight_tri_cdf[light_idx]  # (N, A+1)
+    # remap u2.x through the CDF to both pick the triangle and recycle
+    o = smp.find_interval(cdf, u2[..., 0])
+    c0 = jnp.take_along_axis(cdf, o[..., None], axis=-1)[..., 0]
+    c1 = jnp.take_along_axis(cdf, o[..., None] + 1, axis=-1)[..., 0]
+    u_remap = jnp.clip((u2[..., 0] - c0) / jnp.maximum(c1 - c0, 1e-12), 0.0, 1.0 - 1e-7)
+    tri = scene.light_tri_start[light_idx] + o.astype(jnp.int32)
+    tri = jnp.clip(tri, 0, scene.n_tris - 1)
+    b = smp.uniform_sample_triangle(jnp.stack([u_remap, u2[..., 1]], axis=-1))
+    b0, b1 = b[..., 0], b[..., 1]
+    b2 = 1.0 - b0 - b1
+    p = (
+        b0[..., None] * scene.tri_p0[tri]
+        + b1[..., None] * scene.tri_p1[tri]
+        + b2[..., None] * scene.tri_p2[tri]
+    )
+    ng = vm.cross(scene.tri_p1[tri] - scene.tri_p0[tri], scene.tri_p2[tri] - scene.tri_p0[tri])
+    ng = vm.normalize(ng)
+    # orient by shading normals if present (reference triangle.rs sample)
+    ns = (
+        b0[..., None] * scene.tri_n0[tri]
+        + b1[..., None] * scene.tri_n1[tri]
+        + b2[..., None] * scene.tri_n2[tri]
+    )
+    has_n = scene.tri_has_n[tri]
+    ng = jnp.where(has_n[..., None], vm.face_forward(ng, ns), ng)
+    ng = jnp.where(scene.tri_reverse[tri][..., None], -ng, ng)
+    return p, ng
+
+
+def sample_li(scene: sa.Scene, light_idx, ref_p, u2) -> LiSample:
+    """light_idx: (N,) int32; ref_p: (N,3); u2: (N,2)."""
+    lp = scene.light_params[light_idx]
+    ltype = scene.light_type[light_idx]
+    n = ref_p.shape[0]
+
+    pos = lp[:, sa.LP_P : sa.LP_P + 3]
+    intensity = lp[:, sa.LP_I : sa.LP_I + 3]
+    world_r = lp[:, sa.LP_WORLD_RADIUS]
+
+    # --- point (lights/point.rs sample_li) ---
+    to_l = pos - ref_p
+    d2 = jnp.maximum(vm.length_squared(to_l), 1e-12)
+    wi_point = to_l / jnp.sqrt(d2)[..., None]
+    li_point = intensity / d2[..., None]
+
+    # --- spot (lights/spot.rs): point * falloff ---
+    # spot direction stored in world_center slot 9:12 (repurposed at build)
+    spot_dir = lp[:, sa.LP_WORLD_CENTER : sa.LP_WORLD_CENTER + 3]
+    cos_t = vm.dot(-wi_point, spot_dir)
+    ct_total = lp[:, sa.LP_COS_TOTAL]
+    ct_fall = lp[:, sa.LP_COS_FALLOFF]
+    delta = jnp.clip((cos_t - ct_total) / jnp.maximum(ct_fall - ct_total, 1e-7), 0.0, 1.0)
+    falloff = jnp.where(cos_t < ct_total, 0.0, jnp.where(cos_t > ct_fall, 1.0, (delta * delta) * (delta * delta)))
+    li_spot = li_point * falloff[..., None]
+
+    # --- distant (lights/distant.rs): pos slot holds w_light ---
+    wi_dist = vm.normalize(pos)
+    li_dist = intensity
+    p_far_dist = ref_p + wi_dist * (2.0 * world_r)[..., None]
+
+    # --- area (tri range) ---
+    if scene.n_tris > 0:
+        p_area, n_area = _area_sample_tri(scene, light_idx, ref_p, u2)
+    else:
+        p_area = ref_p
+        n_area = jnp.zeros_like(ref_p)
+    to_a = p_area - ref_p
+    d2a = jnp.maximum(vm.length_squared(to_a), 1e-12)
+    wi_area = to_a / jnp.sqrt(d2a)[..., None]
+    cos_l = vm.dot(n_area, -wi_area)
+    two_sided = lp[:, sa.LP_TWO_SIDED] > 0.5
+    emits = two_sided | (cos_l > 0.0)
+    li_area = jnp.where(emits[..., None], intensity, 0.0)
+    area = jnp.maximum(lp[:, sa.LP_AREA], 1e-12)
+    # solid-angle pdf = dist^2 / (|cos| * A) (reference shape.rs
+    # pdf_with_ref_point)
+    pdf_area = d2a / jnp.maximum(jnp.abs(cos_l) * area, 1e-12)
+    pdf_area = jnp.where(jnp.abs(cos_l) < 1e-7, 0.0, pdf_area)
+
+    # --- infinite (lights/infinite.rs sample_li) ---
+    if scene.has_env:
+        uv, map_pdf = smp.sample_distribution_2d(scene.inf_dist, u2)
+        theta = uv[..., 1] * vm.PI
+        phi = uv[..., 0] * 2.0 * vm.PI
+        st, ct_ = jnp.sin(theta), jnp.cos(theta)
+        d_light = vm.spherical_direction(st, ct_, phi)
+        wi_inf = vm.normalize(tr.xform_vector(scene.inf_l2w, d_light))
+        pdf_inf = jnp.where(
+            st > 1e-9, map_pdf / (2.0 * vm.PI * vm.PI * jnp.maximum(st, 1e-9)), 0.0
+        )
+        li_inf = _env_lookup(scene, uv)
+    else:
+        wi_inf = wi_dist
+        pdf_inf = jnp.zeros(n, jnp.float32)
+        li_inf = jnp.zeros((n, 3), jnp.float32)
+    p_far_inf = ref_p + wi_inf * (2.0 * world_r)[..., None]
+
+    one = jnp.ones(n, jnp.float32)
+    wi = jnp.where((ltype == sa.LIGHT_POINT)[..., None] | (ltype == sa.LIGHT_SPOT)[..., None], wi_point, 0.0)
+    wi = jnp.where((ltype == sa.LIGHT_DISTANT)[..., None], wi_dist, wi)
+    wi = jnp.where((ltype == sa.LIGHT_AREA)[..., None], wi_area, wi)
+    wi = jnp.where((ltype == sa.LIGHT_INFINITE)[..., None], wi_inf, wi)
+
+    li = jnp.where((ltype == sa.LIGHT_POINT)[..., None], li_point, 0.0)
+    li = jnp.where((ltype == sa.LIGHT_SPOT)[..., None], li_spot, li)
+    li = jnp.where((ltype == sa.LIGHT_DISTANT)[..., None], li_dist, li)
+    li = jnp.where((ltype == sa.LIGHT_AREA)[..., None], li_area, li)
+    li = jnp.where((ltype == sa.LIGHT_INFINITE)[..., None], li_inf, li)
+
+    pdf = jnp.where((ltype == sa.LIGHT_POINT) | (ltype == sa.LIGHT_SPOT) | (ltype == sa.LIGHT_DISTANT), one, 0.0)
+    pdf = jnp.where(ltype == sa.LIGHT_AREA, pdf_area, pdf)
+    pdf = jnp.where(ltype == sa.LIGHT_INFINITE, pdf_inf, pdf)
+
+    p_target = jnp.where((ltype == sa.LIGHT_POINT)[..., None] | (ltype == sa.LIGHT_SPOT)[..., None], pos, ref_p)
+    p_target = jnp.where((ltype == sa.LIGHT_DISTANT)[..., None], p_far_dist, p_target)
+    p_target = jnp.where((ltype == sa.LIGHT_AREA)[..., None], p_area, p_target)
+    p_target = jnp.where((ltype == sa.LIGHT_INFINITE)[..., None], p_far_inf, p_target)
+
+    n_light = jnp.where((ltype == sa.LIGHT_AREA)[..., None], n_area, 0.0)
+    is_delta = (ltype == sa.LIGHT_POINT) | (ltype == sa.LIGHT_SPOT) | (ltype == sa.LIGHT_DISTANT)
+    return LiSample(wi, li, pdf, p_target, n_light, is_delta)
+
+
+def _env_lookup(scene: sa.Scene, uv):
+    """Bilinear-free nearest lookup of the equirect radiance map."""
+    h, w = scene.inf_radiance.shape[:2]
+    x = jnp.clip((uv[..., 0] * w).astype(jnp.int32), 0, w - 1)
+    y = jnp.clip((uv[..., 1] * h).astype(jnp.int32), 0, h - 1)
+    return scene.inf_radiance[y, x]
+
+
+def pdf_li_area(scene: sa.Scene, light_idx, ref_p, p_hit, n_hit):
+    """Solid-angle pdf that sample_li on area light light_idx would have
+    produced direction towards p_hit (for BSDF-sampling MIS)."""
+    lp = scene.light_params[light_idx]
+    d = p_hit - ref_p
+    d2 = jnp.maximum(vm.length_squared(d), 1e-12)
+    wi = d / jnp.sqrt(d2)[..., None]
+    cos_l = jnp.abs(vm.dot(n_hit, wi))
+    area = jnp.maximum(lp[:, sa.LP_AREA], 1e-12)
+    pdf = d2 / jnp.maximum(cos_l * area, 1e-12)
+    return jnp.where(cos_l < 1e-7, 0.0, pdf)
+
+
+def pdf_li_env(scene: sa.Scene, wi):
+    """Env-map pdf for direction wi (reference infinite.rs pdf_li)."""
+    if not scene.has_env:
+        return jnp.zeros(wi.shape[:-1], jnp.float32)
+    d = tr.xform_vector(scene.inf_w2l, wi)
+    d = vm.normalize(d)
+    theta = vm.spherical_theta(d)
+    phi = vm.spherical_phi(d)
+    st = jnp.sin(theta)
+    uv = jnp.stack([phi * vm.INV_2_PI, theta * vm.INV_PI], axis=-1)
+    map_pdf = smp.distribution_2d_pdf(scene.inf_dist, uv)
+    return jnp.where(st > 1e-9, map_pdf / (2.0 * vm.PI * vm.PI * jnp.maximum(st, 1e-9)), 0.0)
+
+
+def env_le(scene: sa.Scene, d):
+    """Escaped-ray radiance (reference infinite.rs le)."""
+    if not scene.has_env:
+        return jnp.zeros(d.shape[:-1] + (3,), jnp.float32)
+    dl = vm.normalize(tr.xform_vector(scene.inf_w2l, d))
+    uv = jnp.stack(
+        [vm.spherical_phi(dl) * vm.INV_2_PI, vm.spherical_theta(dl) * vm.INV_PI],
+        axis=-1,
+    )
+    return _env_lookup(scene, uv)
+
+
+def area_light_emitted(scene: sa.Scene, light_idx, n_hit, wo):
+    """L() of an intersected area light (reference lights/diffuse.rs l()):
+    lemit when the outgoing direction is on the emitting side."""
+    lp = scene.light_params[light_idx]
+    lemit = lp[:, sa.LP_I : sa.LP_I + 3]
+    two_sided = lp[:, sa.LP_TWO_SIDED] > 0.5
+    emits = two_sided | (vm.dot(n_hit, wo) > 0.0)
+    valid = light_idx >= 0
+    return jnp.where((emits & valid)[..., None], lemit, 0.0)
+
+
+def compute_light_power(light_type, light_params, has_env_total):
+    """Host-side approximate power for the light-selection distribution
+    (reference core/integrator.rs:574 compute_light_power_distribution)."""
+    lp = light_params
+    intensity = lp[:, sa.LP_I : sa.LP_I + 3]
+    area = lp[:, sa.LP_AREA]
+    wr = lp[:, sa.LP_WORLD_RADIUS]
+    lum = intensity.sum(-1)
+    power = np.zeros(len(light_type), np.float32)
+    power = np.where(light_type == sa.LIGHT_POINT, 4 * np.pi * lum, power)
+    power = np.where(light_type == sa.LIGHT_SPOT, 2 * np.pi * lum, power)
+    power = np.where(light_type == sa.LIGHT_DISTANT, np.pi * wr * wr * lum, power)
+    two = 1.0 + (lp[:, sa.LP_TWO_SIDED] > 0.5)
+    power = np.where(light_type == sa.LIGHT_AREA, two * area * np.pi * lum, power)
+    power = np.where(
+        light_type == sa.LIGHT_INFINITE, np.pi * wr * wr * has_env_total, power
+    )
+    return np.maximum(power, 1e-9).astype(np.float32)

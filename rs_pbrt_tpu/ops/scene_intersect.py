@@ -1,0 +1,211 @@
+"""Unified scene intersection: triangles + quadrics -> Interaction records.
+
+TPU-native replacement for reference src/core/scene.rs:55-106 (intersect /
+intersect_p) + src/core/interaction.rs SurfaceInteraction.  Dispatches to
+the dense brute-force sweep for small triangle counts and the LBVH for
+large ones (a trace-time static decision based on array shapes).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..scene import arrays as sa
+from ..utils import transform as tr
+from ..utils import vecmath as vm
+from . import bvh as bvhmod
+from . import intersect as isect
+
+# below this triangle count the dense sweep beats traversal on TPU
+BRUTE_FORCE_MAX_TRIS = 4096
+
+
+class Interaction(NamedTuple):
+    valid: jnp.ndarray  # (N,) bool
+    t: jnp.ndarray  # (N,)
+    p: jnp.ndarray  # (N,3)
+    p_error: jnp.ndarray  # (N,3)
+    ng: jnp.ndarray  # (N,3) geometric normal
+    ns: jnp.ndarray  # (N,3) shading normal
+    uv: jnp.ndarray  # (N,2)
+    wo: jnp.ndarray  # (N,3)
+    mat: jnp.ndarray  # (N,) int32
+    light: jnp.ndarray  # (N,) int32 area light id or -1
+    prim: jnp.ndarray  # (N,) int32 (triangle id, or n_tris + sphere id)
+
+
+def _tri_interaction(scene: sa.Scene, o, d, hit: isect.TriHit):
+    tri = jnp.clip(hit.tri, 0, scene.n_tris - 1)
+    b0, b1 = hit.b0, hit.b1
+    b2 = 1.0 - b0 - b1
+    p0, p1, p2 = scene.tri_p0[tri], scene.tri_p1[tri], scene.tri_p2[tri]
+    p = b0[..., None] * p0 + b1[..., None] * p1 + b2[..., None] * p2
+    # error bound (reference triangle.rs:376: gamma(7) * sum |bi pi|)
+    p_err = vm.gamma(7.0) * (
+        jnp.abs(b0[..., None] * p0) + jnp.abs(b1[..., None] * p1) + jnp.abs(b2[..., None] * p2)
+    )
+    # geometric normal from the winding (reference triangle.rs dp02 x dp12)
+    ng = vm.normalize(vm.cross(p0 - p2, p1 - p2))
+    ns = (
+        b0[..., None] * scene.tri_n0[tri]
+        + b1[..., None] * scene.tri_n1[tri]
+        + b2[..., None] * scene.tri_n2[tri]
+    )
+    ns_len = vm.length(ns)
+    has_n = scene.tri_has_n[tri] & (ns_len > 1e-8)
+    ns = jnp.where(has_n[..., None], ns / jnp.maximum(ns_len, 1e-8)[..., None], ng)
+    # orient geometric to agree with shading (reference interaction.rs
+    # set_shading_geometry) and honor ReverseOrientation
+    rev = scene.tri_reverse[tri]
+    ns = jnp.where(rev[..., None], -ns, ns)
+    ng = jnp.where(has_n[..., None], vm.face_forward(ng, ns), jnp.where(rev[..., None], -ng, ng))
+    uv = (
+        b0[..., None] * scene.tri_uv0[tri]
+        + b1[..., None] * scene.tri_uv1[tri]
+        + b2[..., None] * scene.tri_uv2[tri]
+    )
+    return p, p_err, ng, ns, uv, scene.tri_mat[tri], scene.tri_light[tri]
+
+
+def _sphere_hits(scene: sa.Scene, o, d, t_max):
+    """Brute-force closest hit over all spheres; returns per-lane best."""
+    S = scene.n_spheres
+    # object-space rays for each sphere: (N, S, 3)
+    w2o = scene.sph_w2o  # (S,4,4)
+    o_obj = tr.xform_point(w2o[None, :], o[:, None, :])
+    d_obj = tr.xform_vector(w2o[None, :], d[:, None, :])
+    prm = scene.sph_params  # (S,4)
+    qh = isect.intersect_sphere(
+        o_obj, d_obj, t_max[:, None], prm[None, :, 0], prm[None, :, 1], prm[None, :, 2], prm[None, :, 3]
+    )
+    t = jnp.where(qh.valid, qh.t, isect.BIG_T)
+    best = jnp.argmin(t, axis=1)
+    take = lambda a: jnp.take_along_axis(a, best[:, None], axis=1)[:, 0]
+    best_t = take(t)
+    valid = best_t < isect.BIG_T
+    p_obj = jnp.take_along_axis(qh.p_obj, best[:, None, None], axis=1)[:, 0]
+    phi = take(qh.phi)
+    return valid, jnp.where(valid, best_t, t_max), best.astype(jnp.int32), p_obj, phi
+
+
+def _sphere_interaction(scene: sa.Scene, sph_idx, p_obj, phi):
+    prm = scene.sph_params[sph_idx]
+    radius, z_min, z_max, phi_max = prm[..., 0], prm[..., 1], prm[..., 2], prm[..., 3]
+    o2w = scene.sph_o2w[sph_idx]
+    theta = jnp.arccos(jnp.clip(p_obj[..., 2] / radius, -1.0, 1.0))
+    theta_min = jnp.arccos(jnp.clip(z_min / radius, -1.0, 1.0))
+    theta_max = jnp.arccos(jnp.clip(z_max / radius, -1.0, 1.0))
+    u = phi / phi_max
+    v = (theta - theta_min) / jnp.where(theta_max == theta_min, 1.0, theta_max - theta_min)
+    n_obj = vm.normalize(p_obj)
+    p, p_err_local = tr.xform_point_with_error(o2w, p_obj)
+    # object-space hit error gamma(5)*|p_obj| transformed conservatively
+    p_err = p_err_local + vm.gamma(5.0) * jnp.abs(p)
+    ng = vm.normalize(tr.xform_normal(scene.sph_w2o[sph_idx], n_obj))
+    rev = scene.sph_reverse[sph_idx]
+    swap = tr.swaps_handedness(o2w)
+    flip = rev ^ swap
+    ng = jnp.where(flip[..., None], -ng, ng)
+    uv = jnp.stack([u, v], axis=-1)
+    return p, p_err, ng, ng, uv, scene.sph_mat[sph_idx], scene.sph_light[sph_idx]
+
+
+def scene_intersect(
+    scene: sa.Scene, o, d, t_max, accel: Optional[bvhmod.LBVH] = None
+) -> Interaction:
+    n = o.shape[0]
+    t_best = jnp.asarray(t_max, jnp.float32)
+
+    if scene.n_tris > 0:
+        if accel is not None and scene.n_tris > BRUTE_FORCE_MAX_TRIS:
+            th = bvhmod.bvh_intersect_tris(
+                o, d, t_best, accel, scene.tri_p0, scene.tri_p1, scene.tri_p2
+            )
+        else:
+            th = isect.intersect_tris_brute(
+                o, d, t_best, scene.tri_p0, scene.tri_p1, scene.tri_p2
+            )
+    else:
+        th = isect.TriHit(
+            jnp.zeros(n, bool), t_best, jnp.full(n, -1, jnp.int32),
+            jnp.zeros(n, jnp.float32), jnp.zeros(n, jnp.float32),
+        )
+
+    if scene.n_spheres > 0:
+        sv, st, sidx, p_obj, phi = _sphere_hits(scene, o, d, jnp.where(th.valid, th.t, t_best))
+    else:
+        sv = jnp.zeros(n, bool)
+        st = t_best
+        sidx = jnp.zeros(n, jnp.int32)
+        p_obj = jnp.zeros((n, 3), jnp.float32)
+        phi = jnp.zeros(n, jnp.float32)
+
+    use_sph = sv & (~th.valid | (st < th.t))
+    valid = th.valid | sv
+    t = jnp.where(use_sph, st, th.t)
+
+    zero3 = jnp.zeros((n, 3), jnp.float32)
+    if scene.n_tris > 0:
+        tp, tperr, tng, tns, tuv, tmat, tlight = _tri_interaction(scene, o, d, th)
+    else:
+        tp = tperr = tng = tns = zero3
+        tuv = jnp.zeros((n, 2), jnp.float32)
+        tmat = jnp.zeros(n, jnp.int32)
+        tlight = jnp.full(n, -1, jnp.int32)
+    if scene.n_spheres > 0:
+        sp, sperr, sng, sns, suv, smat, slight = _sphere_interaction(scene, sidx, p_obj, phi)
+    else:
+        sp = sperr = sng = sns = zero3
+        suv = jnp.zeros((n, 2), jnp.float32)
+        smat = jnp.zeros(n, jnp.int32)
+        slight = jnp.full(n, -1, jnp.int32)
+
+    sel3 = use_sph[..., None]
+    p = jnp.where(sel3, sp, tp)
+    p_err = jnp.where(sel3, sperr, tperr)
+    ng = jnp.where(sel3, sng, tng)
+    ns = jnp.where(sel3, sns, tns)
+    uv = jnp.where(use_sph[..., None], suv, tuv)
+    mat = jnp.where(use_sph, smat, tmat)
+    light = jnp.where(use_sph, slight, tlight)
+    prim = jnp.where(use_sph, scene.n_tris + sidx, th.tri)
+
+    return Interaction(
+        valid, t, p, p_err, ng, ns, uv, -vm.normalize(d),
+        jnp.where(valid, mat, 0), jnp.where(valid, light, -1),
+        jnp.where(valid, prim, -1),
+    )
+
+
+def scene_intersect_p(scene: sa.Scene, o, d, t_max, accel: Optional[bvhmod.LBVH] = None):
+    """Any-hit (shadow) query (reference scene.rs:67)."""
+    n = o.shape[0]
+    occ = jnp.zeros(n, bool)
+    if scene.n_tris > 0:
+        if accel is not None and scene.n_tris > BRUTE_FORCE_MAX_TRIS:
+            occ = occ | bvhmod.bvh_intersect_tris(
+                o, d, t_max, accel, scene.tri_p0, scene.tri_p1, scene.tri_p2, any_hit=True
+            ).valid
+        else:
+            occ = occ | isect.intersect_tris_brute_p(
+                o, d, t_max, scene.tri_p0, scene.tri_p1, scene.tri_p2
+            )
+    if scene.n_spheres > 0:
+        sv, _, _, _, _ = _sphere_hits(scene, o, d, t_max)
+        occ = occ | sv
+    return occ
+
+
+def build_accel(scene: sa.Scene) -> Optional[bvhmod.LBVH]:
+    """Host-side accelerator build (numpy); None for brute-force scenes."""
+    if scene.n_tris <= BRUTE_FORCE_MAX_TRIS:
+        return None
+    p0 = np.asarray(scene.tri_p0)
+    p1 = np.asarray(scene.tri_p1)
+    p2 = np.asarray(scene.tri_p2)
+    bmin = np.minimum(np.minimum(p0, p1), p2)
+    bmax = np.maximum(np.maximum(p0, p1), p2)
+    return bvhmod.build_lbvh(bmin, bmax)

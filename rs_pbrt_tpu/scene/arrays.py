@@ -1,0 +1,254 @@
+"""Flat SoA scene representation — the TPU-native Scene.
+
+Replaces the reference's pointer graph (Arc<Primitive> aggregates,
+src/core/scene.rs:19, src/core/primitive.rs:21) with flat index tables:
+geometry, materials and lights are parallel arrays; "virtual dispatch"
+becomes integer tags consumed by ``lax.switch`` inside kernels.  A Scene is
+a pytree of device arrays whose SHAPES are static under jit, so structural
+branching (has triangles? has env light?) happens at trace time for free.
+
+All world-space. Instancing (TransformedPrimitive) is resolved at build
+time for now; two-level BVH instancing comes with the accelerator rework.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.sampling import Distribution1D, Distribution2D
+
+# material type tags (reference src/core/material.rs:39 enum of 13)
+MATTE = 0
+PLASTIC = 1
+MIRROR = 2
+GLASS = 3
+METAL = 4
+SUBSTRATE = 5
+UBER = 6
+TRANSLUCENT = 7
+FOURIER = 8
+DISNEY = 9
+HAIR = 10
+MIXMAT = 11
+SUBSURFACE = 12
+N_MATERIAL_TYPES = 13
+
+# material parameter vector layout (mat_params[:, k]); unused slots = 0.
+# Textured slots are overridden at shade time when mat_tex[:, slot] >= 0.
+MP_KD = 0  # 0:3 diffuse/reflectance rgb
+MP_KS = 3  # 3:6 glossy rgb
+MP_KR = 6  # 6:9 specular reflection rgb
+MP_KT = 9  # 9:12 specular transmission rgb
+MP_ROUGH_U = 12
+MP_ROUGH_V = 13
+MP_ETA = 14
+MP_SIGMA = 15  # oren-nayar sigma (degrees)
+MP_REMAP_ROUGH = 16  # bool: remap roughness to alpha
+MP_ETA3 = 17  # 17:20 conductor eta rgb (metal)
+MP_K3 = 20  # 20:23 conductor absorption k rgb (metal)
+MP_OPACITY = 23  # 23:26 uber opacity rgb
+N_MAT_PARAMS = 26
+
+# texturable slots (mat_tex[:, slot] is a texture id or -1)
+TEX_SLOT_KD = 0
+TEX_SLOT_KS = 1
+TEX_SLOT_KR = 2
+TEX_SLOT_KT = 3
+TEX_SLOT_SIGMA = 4
+TEX_SLOT_ROUGH_U = 5
+TEX_SLOT_ROUGH_V = 6
+TEX_SLOT_BUMP = 7
+TEX_SLOT_OPACITY = 8
+N_TEX_SLOTS = 9
+
+# light type tags (reference src/core/light.rs:29 enum of 7)
+LIGHT_POINT = 0
+LIGHT_SPOT = 1
+LIGHT_DISTANT = 2
+LIGHT_PROJECTION = 3
+LIGHT_GONIO = 4
+LIGHT_AREA = 5  # diffuse area light over a triangle range or quadric
+LIGHT_INFINITE = 6
+
+# LightFlags (reference src/core/light.rs:22)
+LF_DELTA_POSITION = 1
+LF_DELTA_DIRECTION = 2
+LF_AREA = 4
+LF_INFINITE = 8
+
+# light parameter layout
+LP_P = 0  # 0:3 position (point/spot) or direction-to (distant w_light)
+LP_I = 3  # 3:6 intensity/radiance rgb (premultiplied by scale)
+LP_COS_TOTAL = 6  # spot cos(total width)
+LP_COS_FALLOFF = 7  # spot cos(falloff start)
+LP_WORLD_RADIUS = 8
+LP_WORLD_CENTER = 9  # 9:12
+LP_TWO_SIDED = 12  # area light two-sided flag
+LP_AREA = 13  # total emitting area of this light's shape
+N_LIGHT_PARAMS = 14
+
+# area-light geometry kinds
+ALG_NONE = 0
+ALG_TRI_RANGE = 1  # triangles [light_tri_start, light_tri_end)
+ALG_SPHERE = 2
+ALG_DISK = 3
+
+
+class Scene(NamedTuple):
+    # --- triangle soup (world space) ---
+    tri_p0: jnp.ndarray  # (T,3)
+    tri_p1: jnp.ndarray
+    tri_p2: jnp.ndarray
+    tri_n0: jnp.ndarray  # (T,3) shading normals (= geometric if none given)
+    tri_n1: jnp.ndarray
+    tri_n2: jnp.ndarray
+    tri_uv0: jnp.ndarray  # (T,2)
+    tri_uv1: jnp.ndarray
+    tri_uv2: jnp.ndarray
+    tri_has_n: jnp.ndarray  # (T,) bool: mesh provided shading normals
+    tri_mat: jnp.ndarray  # (T,) i32
+    tri_light: jnp.ndarray  # (T,) i32 area-light id or -1
+    tri_reverse: jnp.ndarray  # (T,) bool ReverseOrientation^transform-swap
+
+    # --- spheres (object space + transform) ---
+    sph_o2w: jnp.ndarray  # (S,4,4)
+    sph_w2o: jnp.ndarray  # (S,4,4)
+    sph_params: jnp.ndarray  # (S,4): radius, zmin, zmax, phimax
+    sph_mat: jnp.ndarray  # (S,)
+    sph_light: jnp.ndarray  # (S,)
+    sph_reverse: jnp.ndarray  # (S,) bool
+
+    # --- materials ---
+    mat_type: jnp.ndarray  # (M,) i32
+    mat_params: jnp.ndarray  # (M, N_MAT_PARAMS)
+    mat_tex: jnp.ndarray  # (M, N_TEX_SLOTS) i32 texture ids, -1 = constant
+
+    # --- textures (procedural table; image maps carry an atlas later) ---
+    tex_type: jnp.ndarray  # (X,) i32
+    tex_params: jnp.ndarray  # (X, 16)
+
+    # --- lights ---
+    light_type: jnp.ndarray  # (L,) i32
+    light_flags: jnp.ndarray  # (L,) i32
+    light_params: jnp.ndarray  # (L, N_LIGHT_PARAMS)
+    light_geom_kind: jnp.ndarray  # (L,) i32 ALG_*
+    light_tri_start: jnp.ndarray  # (L,) i32
+    light_tri_end: jnp.ndarray  # (L,) i32
+    light_shape_idx: jnp.ndarray  # (L,) i32 (sphere/disk index)
+    # per-light triangle-area CDF, padded to max range length:
+    alight_tri_cdf: jnp.ndarray  # (L, A+1) cumulative area, normalized
+    # power distribution over lights for light selection
+    light_power: jnp.ndarray  # (L,)
+
+    # --- env map (present iff inf_radiance.shape[0] > 1) ---
+    inf_radiance: jnp.ndarray  # (H,W,3) equirect radiance map * scale
+    inf_dist: Distribution2D  # luminance*sin(theta) importance
+    inf_w2l: jnp.ndarray  # (4,4) world->light transform
+    inf_l2w: jnp.ndarray  # (4,4)
+
+    # --- world bound ---
+    world_center: jnp.ndarray  # (3,)
+    world_radius: jnp.ndarray  # ()
+
+    @property
+    def n_tris(self):
+        return self.tri_p0.shape[0]
+
+    @property
+    def n_spheres(self):
+        return self.sph_o2w.shape[0]
+
+    @property
+    def n_lights(self):
+        return self.light_type.shape[0]
+
+    @property
+    def has_env(self):
+        return self.inf_radiance.shape[0] > 1
+
+
+def empty_scene_arrays(n_tris=0, n_sph=0, n_mat=1, n_lights=0, alight_pad=1):
+    """Host-side numpy template dict with all keys zero-sized/defaulted."""
+    T, S, M, L = max(n_tris, 0), max(n_sph, 0), max(n_mat, 1), max(n_lights, 0)
+    z3 = lambda n: np.zeros((n, 3), np.float32)
+    z2 = lambda n: np.zeros((n, 2), np.float32)
+    return dict(
+        tri_p0=z3(T), tri_p1=z3(T), tri_p2=z3(T),
+        tri_n0=z3(T), tri_n1=z3(T), tri_n2=z3(T),
+        tri_uv0=z2(T), tri_uv1=z2(T), tri_uv2=z2(T),
+        tri_has_n=np.zeros(T, bool),
+        tri_mat=np.zeros(T, np.int32),
+        tri_light=np.full(T, -1, np.int32),
+        tri_reverse=np.zeros(T, bool),
+        sph_o2w=np.tile(np.eye(4, dtype=np.float32), (S, 1, 1)),
+        sph_w2o=np.tile(np.eye(4, dtype=np.float32), (S, 1, 1)),
+        sph_params=np.zeros((S, 4), np.float32),
+        sph_mat=np.zeros(S, np.int32),
+        sph_light=np.full(S, -1, np.int32),
+        sph_reverse=np.zeros(S, bool),
+        mat_type=np.zeros(M, np.int32),
+        mat_params=np.zeros((M, N_MAT_PARAMS), np.float32),
+        mat_tex=np.full((M, N_TEX_SLOTS), -1, np.int32),
+        tex_type=np.zeros(1, np.int32),
+        tex_params=np.zeros((1, 16), np.float32),
+        light_type=np.zeros(L, np.int32),
+        light_flags=np.zeros(L, np.int32),
+        light_params=np.zeros((L, N_LIGHT_PARAMS), np.float32),
+        light_geom_kind=np.zeros(L, np.int32),
+        light_tri_start=np.zeros(L, np.int32),
+        light_tri_end=np.zeros(L, np.int32),
+        light_shape_idx=np.zeros(L, np.int32),
+        alight_tri_cdf=np.zeros((L, alight_pad + 1), np.float32),
+        light_power=np.ones(L, np.float32),
+        inf_radiance=np.zeros((1, 1, 3), np.float32),
+        inf_w2l=np.eye(4, dtype=np.float32),
+        inf_l2w=np.eye(4, dtype=np.float32),
+        world_center=np.zeros(3, np.float32),
+        world_radius=np.float32(1.0),
+    )
+
+
+def finalize_scene(arrs: dict) -> Scene:
+    """dict of numpy arrays -> device Scene pytree (computes world bound and
+    the env-map importance distribution if not already given)."""
+    from ..ops.sampling import make_distribution_2d
+    import jax
+
+    pts = []
+    if len(arrs["tri_p0"]):
+        pts += [arrs["tri_p0"], arrs["tri_p1"], arrs["tri_p2"]]
+    if len(arrs["sph_o2w"]):
+        # conservative: transformed sphere centers +- scaled radius
+        c = arrs["sph_o2w"][:, :3, 3]
+        scale = np.linalg.norm(arrs["sph_o2w"][:, :3, :3], axis=(1, 2))
+        r = arrs["sph_params"][:, 0] * scale
+        pts += [c - r[:, None], c + r[:, None]]
+    if pts:
+        allp = np.concatenate(pts, 0)
+        lo, hi = allp.min(0), allp.max(0)
+        center = 0.5 * (lo + hi)
+        radius = float(np.linalg.norm(hi - center)) + 1e-6
+    else:
+        center, radius = np.zeros(3, np.float32), 1.0
+    arrs["world_center"] = center.astype(np.float32)
+    arrs["world_radius"] = np.float32(radius)
+
+    # distant/infinite lights need world radius in their params
+    for li in range(len(arrs["light_type"])):
+        arrs["light_params"][li, LP_WORLD_RADIUS] = radius
+        arrs["light_params"][li, LP_WORLD_CENTER : LP_WORLD_CENTER + 3] = center
+
+    rad = arrs["inf_radiance"]
+    if rad.shape[0] > 1:
+        h, w = rad.shape[:2]
+        lum = rad @ np.array([0.212671, 0.715160, 0.072169], np.float32)
+        sin_theta = np.sin(np.pi * (np.arange(h) + 0.5) / h).astype(np.float32)
+        inf_dist = make_distribution_2d(jnp.asarray(lum * sin_theta[:, None]))
+    else:
+        inf_dist = make_distribution_2d(jnp.ones((1, 1), jnp.float32))
+
+    dev = {k: jnp.asarray(v) for k, v in arrs.items()}
+    return Scene(inf_dist=inf_dist, **dev)

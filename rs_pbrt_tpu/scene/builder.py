@@ -1,0 +1,323 @@
+"""Programmatic scene construction -> flat SceneArrays.
+
+TPU-native replacement for the reference's pbrtAPI state machine factories
+(src/core/api.rs make_* functions, :1608-1754): a SceneBuilder accumulates
+numpy tables and finalizes into the device Scene pytree.  The .pbrt parser
+(scene/parser.py) drives this same API, mirroring how the reference's
+Blender importer reuses the api.rs factories (SURVEY §3.5).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from ..models import lights as lt
+from ..utils import transform as tr
+from . import arrays as sa
+
+
+class SceneBuilder:
+    def __init__(self):
+        self.tris = {k: [] for k in (
+            "p0", "p1", "p2", "n0", "n1", "n2", "uv0", "uv1", "uv2",
+            "has_n", "mat", "light", "reverse")}
+        self.sphs = {k: [] for k in ("o2w", "w2o", "params", "mat", "light", "reverse")}
+        self.mats = []  # list of (type, params, tex)
+        self.lights = []  # list of dicts
+        self.env = None  # (radiance HxWx3, l2w, w2o)
+        # default material: grey matte (reference api.rs default)
+        self.add_matte(kd=(0.5, 0.5, 0.5))
+
+    # ---- materials (reference src/materials/*, factory api.rs:634-732) ----
+
+    def _add_material(self, mtype, **kw):
+        p = np.zeros(sa.N_MAT_PARAMS, np.float32)
+        t = np.full(sa.N_TEX_SLOTS, -1, np.int32)
+        p[sa.MP_KD : sa.MP_KD + 3] = kw.get("kd", (0, 0, 0))
+        p[sa.MP_KS : sa.MP_KS + 3] = kw.get("ks", (0, 0, 0))
+        p[sa.MP_KR : sa.MP_KR + 3] = kw.get("kr", (0, 0, 0))
+        p[sa.MP_KT : sa.MP_KT + 3] = kw.get("kt", (0, 0, 0))
+        p[sa.MP_ROUGH_U] = kw.get("rough_u", kw.get("roughness", 0.0))
+        p[sa.MP_ROUGH_V] = kw.get("rough_v", kw.get("roughness", 0.0))
+        p[sa.MP_ETA] = kw.get("eta", 1.5)
+        p[sa.MP_SIGMA] = kw.get("sigma", 0.0)
+        p[sa.MP_REMAP_ROUGH] = float(kw.get("remap_roughness", True))
+        p[sa.MP_ETA3 : sa.MP_ETA3 + 3] = kw.get("eta3", (0.2, 0.92, 1.1))
+        p[sa.MP_K3 : sa.MP_K3 + 3] = kw.get("k3", (3.9, 2.45, 2.14))
+        p[sa.MP_OPACITY : sa.MP_OPACITY + 3] = kw.get("opacity", (1, 1, 1))
+        self.mats.append((mtype, p, t))
+        return len(self.mats) - 1
+
+    def add_matte(self, kd=(0.5, 0.5, 0.5), sigma=0.0):
+        return self._add_material(sa.MATTE, kd=kd, sigma=sigma)
+
+    def add_plastic(self, kd=(0.25,) * 3, ks=(0.25,) * 3, roughness=0.1, remap=True):
+        return self._add_material(sa.PLASTIC, kd=kd, ks=ks, roughness=roughness, remap_roughness=remap)
+
+    def add_mirror(self, kr=(0.9, 0.9, 0.9)):
+        return self._add_material(sa.MIRROR, kr=kr)
+
+    def add_glass(self, kr=(1, 1, 1), kt=(1, 1, 1), eta=1.5, roughness=0.0, remap=True):
+        return self._add_material(
+            sa.GLASS, kr=kr, kt=kt, eta=eta, roughness=roughness, remap_roughness=remap
+        )
+
+    def add_metal(self, eta3=(0.2, 0.92, 1.1), k3=(3.9, 2.45, 2.14), roughness=0.01, remap=True):
+        return self._add_material(sa.METAL, eta3=eta3, k3=k3, roughness=roughness, remap_roughness=remap)
+
+    def add_substrate(self, kd=(0.5,) * 3, ks=(0.5,) * 3, roughness=0.1, remap=True):
+        return self._add_material(sa.SUBSTRATE, kd=kd, ks=ks, roughness=roughness, remap_roughness=remap)
+
+    def add_uber(self, kd=(0.25,) * 3, ks=(0.25,) * 3, kr=(0, 0, 0), kt=(0, 0, 0), roughness=0.1, eta=1.5, opacity=(1, 1, 1), remap=True):
+        return self._add_material(
+            sa.UBER, kd=kd, ks=ks, kr=kr, kt=kt, roughness=roughness, eta=eta,
+            opacity=opacity, remap_roughness=remap,
+        )
+
+    def add_translucent(self, kd=(0.25,) * 3):
+        return self._add_material(sa.TRANSLUCENT, kd=kd)
+
+    # ---- geometry (reference api.rs get_shapes_and_materials :1789-2050) --
+
+    def add_triangle_mesh(
+        self,
+        indices,
+        positions,
+        normals=None,
+        uvs=None,
+        material: int = 0,
+        object_to_world: Optional[tr.Transform] = None,
+        area_light=None,  # dict(L=(r,g,b), two_sided=bool, scale=(r,g,b))
+        reverse_orientation: bool = False,
+    ):
+        idx = np.asarray(indices, np.int32).reshape(-1, 3)
+        P = np.asarray(positions, np.float32).reshape(-1, 3)
+        if object_to_world is not None:
+            m = np.asarray(object_to_world.m)
+            P = P @ m[:3, :3].T + m[:3, 3]
+            if normals is not None:
+                mi = np.asarray(object_to_world.m_inv)
+                normals = np.asarray(normals, np.float32) @ mi[:3, :3]
+            if np.linalg.det(m[:3, :3]) < 0:
+                reverse_orientation = not reverse_orientation
+        n_tri = len(idx)
+        light_id = -1
+        if area_light is not None:
+            light_id = self._add_area_light_tri(
+                tri_start=len(self.tris["p0"]), n_tri=n_tri, P=P, idx=idx, **area_light
+            )
+        t = self.tris
+        for k in range(n_tri):
+            i0, i1, i2 = idx[k]
+            t["p0"].append(P[i0]); t["p1"].append(P[i1]); t["p2"].append(P[i2])
+            if normals is not None:
+                N = np.asarray(normals, np.float32)
+                t["n0"].append(N[i0]); t["n1"].append(N[i1]); t["n2"].append(N[i2])
+                t["has_n"].append(True)
+            else:
+                z = np.zeros(3, np.float32)
+                t["n0"].append(z); t["n1"].append(z); t["n2"].append(z)
+                t["has_n"].append(False)
+            if uvs is not None:
+                U = np.asarray(uvs, np.float32).reshape(-1, 2)
+                t["uv0"].append(U[i0]); t["uv1"].append(U[i1]); t["uv2"].append(U[i2])
+            else:
+                t["uv0"].append(np.array([0, 0], np.float32))
+                t["uv1"].append(np.array([1, 0], np.float32))
+                t["uv2"].append(np.array([1, 1], np.float32))
+            t["mat"].append(material)
+            t["light"].append(light_id)
+            t["reverse"].append(reverse_orientation)
+        return light_id
+
+    def add_sphere(
+        self,
+        object_to_world: Optional[tr.Transform] = None,
+        radius=1.0,
+        z_min=None,
+        z_max=None,
+        phi_max=360.0,
+        material: int = 0,
+        area_light=None,
+        reverse_orientation: bool = False,
+    ):
+        o2w = object_to_world or tr.identity()
+        z_min = -radius if z_min is None else z_min
+        z_max = radius if z_max is None else z_max
+        light_id = -1
+        if area_light is not None:
+            area = 4.0 * np.pi * radius * radius  # full sphere area approx
+            light_id = self._add_light(
+                sa.LIGHT_AREA, flags=sa.LF_AREA,
+                I=np.asarray(area_light.get("L", (1, 1, 1)), np.float32)
+                * np.asarray(area_light.get("scale", (1, 1, 1)), np.float32),
+                geom_kind=sa.ALG_SPHERE, shape_idx=len(self.sphs["o2w"]),
+                area=area, two_sided=float(area_light.get("two_sided", False)),
+            )
+        self.sphs["o2w"].append(np.asarray(o2w.m, np.float32))
+        self.sphs["w2o"].append(np.asarray(o2w.m_inv, np.float32))
+        self.sphs["params"].append(
+            np.array([radius, z_min, z_max, np.deg2rad(phi_max)], np.float32)
+        )
+        self.sphs["mat"].append(material)
+        self.sphs["light"].append(light_id)
+        self.sphs["reverse"].append(reverse_orientation)
+        return light_id
+
+    # ---- lights (reference api.rs make_light :769-952) ----
+
+    def _add_light(self, ltype, flags, I, geom_kind=sa.ALG_NONE, shape_idx=0,
+                   area=0.0, two_sided=0.0, P=(0, 0, 0), extra=None,
+                   tri_start=0, tri_end=0, tri_areas=None):
+        lp = np.zeros(sa.N_LIGHT_PARAMS, np.float32)
+        lp[sa.LP_P : sa.LP_P + 3] = P
+        lp[sa.LP_I : sa.LP_I + 3] = I
+        lp[sa.LP_TWO_SIDED] = two_sided
+        lp[sa.LP_AREA] = area
+        if extra:
+            for k, v in extra.items():
+                lp[k] = v
+        self.lights.append(
+            dict(type=ltype, flags=flags, params=lp, geom_kind=geom_kind,
+                 shape_idx=shape_idx, tri_start=tri_start, tri_end=tri_end,
+                 tri_areas=tri_areas)
+        )
+        return len(self.lights) - 1
+
+    def _add_area_light_tri(self, tri_start, n_tri, P, idx, L=(1, 1, 1),
+                            two_sided=False, scale=(1, 1, 1)):
+        areas = np.zeros(n_tri, np.float32)
+        for k in range(n_tri):
+            i0, i1, i2 = idx[k]
+            areas[k] = 0.5 * np.linalg.norm(np.cross(P[i1] - P[i0], P[i2] - P[i0]))
+        return self._add_light(
+            sa.LIGHT_AREA, flags=sa.LF_AREA,
+            I=np.asarray(L, np.float32) * np.asarray(scale, np.float32),
+            geom_kind=sa.ALG_TRI_RANGE, area=float(areas.sum()),
+            two_sided=float(two_sided), tri_start=tri_start,
+            tri_end=tri_start + n_tri, tri_areas=areas,
+        )
+
+    def add_point_light(self, p=(0, 0, 0), I=(1, 1, 1), scale=(1, 1, 1)):
+        return self._add_light(
+            sa.LIGHT_POINT, flags=sa.LF_DELTA_POSITION,
+            I=np.asarray(I, np.float32) * np.asarray(scale, np.float32), P=p,
+        )
+
+    def add_spot_light(self, p=(0, 0, 0), to=(0, 0, 1), I=(1, 1, 1),
+                       cone_angle=30.0, cone_delta=5.0, scale=(1, 1, 1)):
+        d = np.asarray(to, np.float64) - np.asarray(p, np.float64)
+        d = (d / np.linalg.norm(d)).astype(np.float32)
+        li = self._add_light(
+            sa.LIGHT_SPOT, flags=sa.LF_DELTA_POSITION,
+            I=np.asarray(I, np.float32) * np.asarray(scale, np.float32), P=p,
+            extra={
+                sa.LP_COS_TOTAL: np.cos(np.deg2rad(cone_angle)),
+                sa.LP_COS_FALLOFF: np.cos(np.deg2rad(cone_angle - cone_delta)),
+            },
+        )
+        # spot direction is stored in the world-center slot (overwritten by
+        # finalize for other light types only)
+        self.lights[li]["spot_dir"] = d
+        return li
+
+    def add_distant_light(self, from_p=(0, 0, 0), to=(0, 0, 1), L=(1, 1, 1), scale=(1, 1, 1)):
+        w = np.asarray(from_p, np.float64) - np.asarray(to, np.float64)
+        w = (w / np.linalg.norm(w)).astype(np.float32)
+        return self._add_light(
+            sa.LIGHT_DISTANT, flags=sa.LF_DELTA_DIRECTION,
+            I=np.asarray(L, np.float32) * np.asarray(scale, np.float32), P=w,
+        )
+
+    def add_infinite_light(self, radiance_map=None, L=(1, 1, 1), scale=(1, 1, 1),
+                           light_to_world: Optional[tr.Transform] = None):
+        if radiance_map is None:
+            radiance_map = np.ones((2, 2, 3), np.float32)
+        radiance_map = np.asarray(radiance_map, np.float32) * (
+            np.asarray(L, np.float32) * np.asarray(scale, np.float32)
+        )
+        l2w = light_to_world or tr.identity()
+        self.env = (radiance_map, np.asarray(l2w.m, np.float32), np.asarray(l2w.m_inv, np.float32))
+        return self._add_light(
+            sa.LIGHT_INFINITE, flags=sa.LF_INFINITE, I=(0, 0, 0),
+            extra=None,
+        )
+
+    # ---- finalize ----
+
+    def finalize(self) -> sa.Scene:
+        n_tri = len(self.tris["p0"])
+        n_sph = len(self.sphs["o2w"])
+        n_mat = len(self.mats)
+        n_l = len(self.lights)
+        max_range = max(
+            [l["tri_end"] - l["tri_start"] for l in self.lights] + [1]
+        )
+        arrs = sa.empty_scene_arrays(n_tri, n_sph, n_mat, n_l, alight_pad=max_range)
+
+        for key, src in (
+            ("tri_p0", "p0"), ("tri_p1", "p1"), ("tri_p2", "p2"),
+            ("tri_n0", "n0"), ("tri_n1", "n1"), ("tri_n2", "n2"),
+            ("tri_uv0", "uv0"), ("tri_uv1", "uv1"), ("tri_uv2", "uv2"),
+        ):
+            if n_tri:
+                arrs[key] = np.stack(self.tris[src]).astype(np.float32)
+        if n_tri:
+            arrs["tri_has_n"] = np.asarray(self.tris["has_n"], bool)
+            arrs["tri_mat"] = np.asarray(self.tris["mat"], np.int32)
+            arrs["tri_light"] = np.asarray(self.tris["light"], np.int32)
+            arrs["tri_reverse"] = np.asarray(self.tris["reverse"], bool)
+        if n_sph:
+            arrs["sph_o2w"] = np.stack(self.sphs["o2w"])
+            arrs["sph_w2o"] = np.stack(self.sphs["w2o"])
+            arrs["sph_params"] = np.stack(self.sphs["params"])
+            arrs["sph_mat"] = np.asarray(self.sphs["mat"], np.int32)
+            arrs["sph_light"] = np.asarray(self.sphs["light"], np.int32)
+            arrs["sph_reverse"] = np.asarray(self.sphs["reverse"], bool)
+
+        arrs["mat_type"] = np.asarray([m[0] for m in self.mats], np.int32)
+        arrs["mat_params"] = np.stack([m[1] for m in self.mats])
+        arrs["mat_tex"] = np.stack([m[2] for m in self.mats])
+
+        for li, l in enumerate(self.lights):
+            arrs["light_type"][li] = l["type"]
+            arrs["light_flags"][li] = l["flags"]
+            arrs["light_params"][li] = l["params"]
+            arrs["light_geom_kind"][li] = l["geom_kind"]
+            arrs["light_tri_start"][li] = l["tri_start"]
+            arrs["light_tri_end"][li] = l["tri_end"]
+            arrs["light_shape_idx"][li] = l["shape_idx"]
+            if l["tri_areas"] is not None and len(l["tri_areas"]):
+                a = np.asarray(l["tri_areas"], np.float64)
+                cdf = np.concatenate([[0.0], np.cumsum(a)]) / max(a.sum(), 1e-12)
+                arrs["alight_tri_cdf"][li, : len(cdf)] = cdf
+                arrs["alight_tri_cdf"][li, len(cdf) :] = 1.0
+            else:
+                arrs["alight_tri_cdf"][li, :] = np.linspace(
+                    0, 1, arrs["alight_tri_cdf"].shape[1]
+                )
+
+        if self.env is not None:
+            arrs["inf_radiance"] = self.env[0]
+            arrs["inf_l2w"] = self.env[1]
+            arrs["inf_w2l"] = self.env[2]
+
+        scene = sa.finalize_scene(arrs)
+
+        # spot direction fixups (stored in world-center slot) + power dist
+        lp = np.asarray(scene.light_params)
+        for li, l in enumerate(self.lights):
+            if "spot_dir" in l:
+                lp[li, sa.LP_WORLD_CENTER : sa.LP_WORLD_CENTER + 3] = l["spot_dir"]
+        env_total = float(np.mean(self.env[0])) * 3 if self.env is not None else 0.0
+        power = lt.compute_light_power(
+            np.asarray(scene.light_type), lp, env_total
+        ) if n_l else np.ones(0, np.float32)
+        import jax.numpy as jnp
+
+        return scene._replace(
+            light_params=jnp.asarray(lp),
+            light_power=jnp.asarray(power) if n_l else scene.light_power,
+        )
