@@ -1,0 +1,63 @@
+#!/usr/bin/env python
+"""Headline benchmark: Cornell box path tracing throughput on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference renderer's only published throughput signal is the
+Cornell progress bar — 1024 16x16 tiles at 1828.38 tiles/s for 500x500 @
+8spp on a 28-core CPU (reference docs/source/getting_started.rst:163-174),
+i.e. ~3.57M camera paths/s.  vs_baseline is our paths/s over that.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    # warm the device (first op through the tunnel is slow)
+    x = jnp.ones((256, 256))
+    (x @ x).block_until_ready()
+
+    from rs_pbrt_tpu.models import samplers as smpl
+    from rs_pbrt_tpu.models.integrators import render as rdr
+    from rs_pbrt_tpu.scene import presets
+
+    res = (256, 256)
+    spp = 64
+    scene, camera = presets.cornell_box(resolution=res)
+    cfg = rdr.RenderCfg("path", spp=spp, max_depth=5, rr_threshold=1.0)
+    scfg = smpl.make_sampler(smpl.SOBOL, spp, camera.resolution)
+
+    # compile + warm run at 4spp (same lane shapes as the spp batches below)
+    warm_cfg = rdr.RenderCfg("path", spp=4, max_depth=5, rr_threshold=1.0)
+    jax.block_until_ready(rdr.render(scene, camera, warm_cfg, scfg, max_lanes=1 << 18))
+
+    t0 = time.time()
+    img = rdr.render(scene, camera, cfg, scfg, max_lanes=1 << 18)
+    jax.block_until_ready(img)
+    dt = time.time() - t0
+
+    paths = res[0] * res[1] * spp
+    paths_per_s = paths / dt
+    baseline = 3.57e6  # reference 28-core CPU camera paths/s
+    print(
+        json.dumps(
+            {
+                "metric": "camera_paths/s/chip (Cornell 256x256 path 64spp sobol)",
+                "value": round(paths_per_s, 1),
+                "unit": "paths/s",
+                "vs_baseline": round(paths_per_s / baseline, 3),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -190,15 +190,20 @@ def radiance(
 
         return o, d, L, beta, alive, specular_bounce, prev_bsdf_pdf, eta_scale
 
+    # derive the initial carry from ray_o so every leaf inherits ray_o's
+    # device-varying axes (required for fori_loop under shard_map)
+    zero3 = ray_o * 0.0
+    zero1 = zero3[..., 0]
+    true1 = zero1 == 0.0
     state = (
         ray_o,
         ray_d,
-        jnp.zeros((n, 3), jnp.float32),
-        jnp.ones((n, 3), jnp.float32),
-        jnp.ones(n, bool),
-        jnp.ones(n, bool),
-        jnp.ones(n, jnp.float32),
-        jnp.ones(n, jnp.float32),
+        zero3,
+        zero3 + 1.0,
+        true1,
+        true1,
+        zero1 + 1.0,
+        zero1 + 1.0,
     )
     state = jax.lax.fori_loop(0, cfg.max_depth + 1, body, state)
     return state[2]

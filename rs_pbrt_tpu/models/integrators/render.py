@@ -39,22 +39,22 @@ def _camera_rays(camera: cam.Camera, sampler_cfg, ctx, pixel):
     return rays, p_film
 
 
-@partial(jax.jit, static_argnames=("cfg", "sampler_cfg", "filter_cfg", "n_pixels_static"))
+@partial(jax.jit, static_argnames=("pcfg", "sampler_cfg", "filter_cfg"))
 def render_batch(
     scene: sa.Scene,
     accel,
     camera: cam.Camera,
-    cfg: RenderCfg,
+    pcfg: pathmod.PathCfg,
     sampler_cfg: smpl.SamplerCfg,
     film: filmmod.Film,
     filter_cfg: filmmod.FilterCfg,
     pixel: jnp.ndarray,  # (N,2) int32
     sample_num: jnp.ndarray,  # (N,) uint32
-    n_pixels_static: int,
 ):
+    """One wavefront batch.  Static args exclude spp so different sample
+    counts share one compilation (only shapes + depth matter)."""
     ctx = smpl.make_ctx(sampler_cfg, pixel, sample_num)
     rays, p_film = _camera_rays(camera, sampler_cfg, ctx, pixel)
-    pcfg = pathmod.PathCfg(cfg.max_depth, cfg.rr_threshold)
     L = pathmod.radiance(scene, pcfg, sampler_cfg, ctx, rays.o, rays.d, accel)
     L = L * rays.weight[..., None]
     return filmmod.add_samples(film, filter_cfg, p_film, L)
@@ -81,6 +81,7 @@ def render(
     pixels = jnp.asarray(np.stack([xs.ravel(), ys.ravel()], -1))
     film = filmmod.make_film((w, h))
 
+    pcfg = pathmod.PathCfg(cfg.max_depth, cfg.rr_threshold)
     spp_per_batch = max(1, min(cfg.spp, max_lanes // n_pix))
     sample = 0
     while sample < cfg.spp:
@@ -90,8 +91,7 @@ def render(
             jnp.arange(sample, sample + nb, dtype=jnp.uint32), n_pix
         )
         film = render_batch(
-            scene, accel, camera, cfg, sampler_cfg, film, filter_cfg,
-            pix, snums, n_pix,
+            scene, accel, camera, pcfg, sampler_cfg, film, filter_cfg, pix, snums
         )
         sample += nb
     return filmmod.to_rgb(film)

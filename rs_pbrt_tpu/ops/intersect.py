@@ -37,6 +37,13 @@ def _max_dim(v):
     return jnp.argmax(jnp.abs(v), axis=-1)
 
 
+def _comp(v, k):
+    """Select component k (0/1/2) of (...,3) arrays WITHOUT gathers — 3-way
+    select keeps the whole intersection test fusible by XLA (gathers break
+    fusion and make the dense sweep HBM-bound)."""
+    return jnp.where(k == 0, v[..., 0], jnp.where(k == 1, v[..., 1], v[..., 2]))
+
+
 def ray_shear(o, d):
     """Per-ray permutation + shear constants (reference triangle.rs:154-192).
 
@@ -44,9 +51,9 @@ def ray_shear(o, d):
     kz = _max_dim(d)
     kx = jnp.where(kz + 1 == 3, 0, kz + 1)
     ky = jnp.where(kx + 1 == 3, 0, kx + 1)
-    dz = jnp.take_along_axis(d, kz[..., None], axis=-1)[..., 0]
-    dx = jnp.take_along_axis(d, kx[..., None], axis=-1)[..., 0]
-    dy = jnp.take_along_axis(d, ky[..., None], axis=-1)[..., 0]
+    dz = _comp(d, kz)
+    dx = _comp(d, kx)
+    dy = _comp(d, ky)
     inv_dz = 1.0 / dz
     return kx, ky, kz, -dx * inv_dz, -dy * inv_dz, inv_dz
 
@@ -62,11 +69,7 @@ def intersect_tri(o, d, t_max, p0, p1, p2):
 
     def _permuted(p):
         pt = p - o
-        return (
-            jnp.take_along_axis(pt, kx[..., None], axis=-1)[..., 0],
-            jnp.take_along_axis(pt, ky[..., None], axis=-1)[..., 0],
-            jnp.take_along_axis(pt, kz[..., None], axis=-1)[..., 0],
-        )
+        return _comp(pt, kx), _comp(pt, ky), _comp(pt, kz)
 
     x0, y0, z0 = _permuted(p0)
     x1, y1, z1 = _permuted(p1)

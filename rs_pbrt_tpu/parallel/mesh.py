@@ -1,0 +1,123 @@
+"""Multi-device rendering: shard_map over a device mesh + film psum.
+
+TPU-native replacement for the reference's thread-level parallelism
+(src/blockqueue/mod.rs work-stealing tile queue + crossbeam channels +
+RwLock film merge, src/core/integrator.rs:101-215).  The mapping (SURVEY
+§2.2):
+
+  BlockQueue tile stealing  -> static even shard of the (pixel, sample)
+                               lane space over mesh axis 'd'
+  worker->collector channel -> per-device partial films
+  RwLock film merge         -> lax.psum over 'd' (rides ICI)
+  per-tile sampler reseed   -> samplers are stateless in (pixel, sample),
+                               so any shard assignment is deterministic
+
+Scene tables are replicated (Cornell..Ganesha fit HBM); sharding scene
+arrays by primitive range is the >HBM escape hatch (future work).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..models import cameras as cam
+from ..models import samplers as smpl
+from ..models.integrators import path as pathmod
+from ..models.integrators import render as rdr
+from ..ops import film as filmmod
+from ..scene import arrays as sa
+
+
+def make_mesh(devices=None, axis: str = "d") -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def render_sharded(
+    scene: sa.Scene,
+    camera: cam.Camera,
+    cfg: rdr.RenderCfg,
+    sampler_cfg: smpl.SamplerCfg,
+    filter_cfg: Optional[filmmod.FilterCfg] = None,
+    mesh: Optional[Mesh] = None,
+    accel=None,
+    spp_per_batch: Optional[int] = None,
+):
+    """Data-parallel render over the mesh's 'd' axis.
+
+    Lanes (pixel x sample) are sharded evenly; every device accumulates a
+    full-resolution partial film over its lanes; films are psum-reduced.
+    Deterministic: the image is bit-identical for any device count because
+    samplers are stateless and the film sum is reassociated per-pixel over
+    a fixed sample order.
+    """
+    if filter_cfg is None:
+        filter_cfg = filmmod.make_filter(filmmod.FILTER_BOX)
+    if mesh is None:
+        mesh = make_mesh()
+    n_dev = mesh.devices.size
+    w, h = camera.resolution
+    n_pix = w * h
+    xs, ys = np.meshgrid(np.arange(w, dtype=np.int32), np.arange(h, dtype=np.int32))
+    pixels = np.stack([xs.ravel(), ys.ravel()], -1)
+
+    # pad pixel count to device multiple with out-of-frame sentinel pixels
+    pad = (-n_pix) % n_dev
+    if pad:
+        pixels = np.concatenate([pixels, np.full((pad, 2), -1, np.int32)])
+    n_lane_pix = pixels.shape[0]
+
+    if spp_per_batch is None:
+        spp_per_batch = max(1, min(cfg.spp, (1 << 20) // n_lane_pix))
+
+    from jax.experimental.shard_map import shard_map
+
+    @jax.jit
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P("d"), P("d"), P()),
+        out_specs=P(),
+    )
+    def worker(pix_shard, snum_shard, scene):
+        ctx = smpl.make_ctx(sampler_cfg, pix_shard, snum_shard)
+        u_film = smpl.get_2d(sampler_cfg, ctx, 0)
+        u_time = smpl.get_1d(sampler_cfg, ctx, 2)
+        u_lens = smpl.get_2d(sampler_cfg, ctx, 3)
+        p_film = pix_shard.astype(jnp.float32) + u_film
+        rays = cam.generate_rays(camera, p_film, u_lens, u_time)
+        pcfg = pathmod.PathCfg(cfg.max_depth, cfg.rr_threshold)
+        L = pathmod.radiance(scene, pcfg, sampler_cfg, ctx, rays.o, rays.d, accel)
+        L = L * rays.weight[..., None]
+        # out-of-frame sentinel lanes contribute nothing
+        valid = jnp.all(pix_shard >= 0, axis=-1)
+        L = jnp.where(valid[..., None], L, 0.0)
+        p_film = jnp.where(valid[..., None], p_film, -10.0)
+        partial_film = filmmod.add_samples(
+            filmmod.make_film((w, h)), filter_cfg, p_film, L
+        )
+        # tile DP result reduction: per-device partial films -> psum on ICI
+        return filmmod.Film(
+            jax.lax.psum(partial_film.rgb, "d"),
+            jax.lax.psum(partial_film.weight, "d"),
+            jax.lax.psum(partial_film.splat, "d"),
+        )
+
+    film = filmmod.make_film((w, h))
+    sample = 0
+    while sample < cfg.spp:
+        nb = min(spp_per_batch, cfg.spp - sample)
+        pix = jnp.asarray(np.tile(pixels, (nb, 1)))
+        snums = jnp.repeat(jnp.arange(sample, sample + nb, dtype=jnp.uint32), n_lane_pix)
+        batch = worker(pix, snums, scene)
+        film = filmmod.Film(
+            film.rgb + batch.rgb, film.weight + batch.weight, film.splat + batch.splat
+        )
+        sample += nb
+    return filmmod.to_rgb(film)
