@@ -1,0 +1,587 @@
+"""pbrt API state machine: statements -> SceneBuilder -> render config.
+
+TPU-native replacement for reference src/core/api.rs (3109 LoC): graphics
+state stack, CTM management, named materials/textures, object instancing,
+and the make_* factories.  Consumes parser.Statement streams and produces
+(Scene, Camera, RenderCfg, SamplerCfg, FilterCfg, output name).
+
+Instancing note: ObjectInstance flattens the instance's shapes through the
+instance CTM at build time (the reference keeps TransformedPrimitive
+wrappers, primitive.rs:198; two-level BVH instancing is planned with the
+accelerator rework).
+"""
+
+from __future__ import annotations
+
+import copy
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+from ..models import cameras as cam
+from ..models import samplers as smpl
+from ..models.integrators import render as rdr
+from ..ops import film as filmmod
+from ..utils import transform as tr
+from . import parser as ps
+from .builder import SceneBuilder
+
+
+@dataclass
+class GraphicsState:
+    """reference api.rs:568 GraphicsState."""
+
+    material: int = 0
+    named_materials: dict = field(default_factory=dict)
+    area_light: Optional[dict] = None
+    reverse_orientation: bool = False
+    material_params: Optional[dict] = None
+    material_type: str = "matte"
+
+
+def _mat4(vals):
+    # pbrt matrices are column-major in the file
+    return np.asarray(vals, np.float32).reshape(4, 4).T
+
+
+class PbrtAPI:
+    """reference pbrt_init/pbrt_* statement functions api.rs:2327-3050."""
+
+    def __init__(self, search_dir: Optional[Path] = None):
+        self.builder = SceneBuilder()
+        self.ctm = np.eye(4, dtype=np.float32)
+        self.transform_stack = []
+        self.gs = GraphicsState()
+        self.gs_stack = []
+        self.named_coord_systems = {}
+        self.world_to_camera = None
+        self.in_world = False
+        self.search_dir = search_dir
+        # render options (reference RenderOptions api.rs:179)
+        self.integrator_name = "path"
+        self.integrator_params = {}
+        self.camera_name = "perspective"
+        self.camera_params = {}
+        self.camera_to_world = np.eye(4, dtype=np.float32)
+        self.sampler_name = "halton"
+        self.sampler_params = {}
+        self.filter_name = "box"
+        self.filter_params = {}
+        self.film_params = {}
+        self.textures = {}  # name -> ("constant"/"imagemap"..., value)
+        self.objects = {}  # ObjectBegin name -> list of deferred shape stmts
+        self.current_object = None
+        self.output_name = "pbrt.png"
+
+    # ---- transforms ----
+
+    def _apply(self, m):
+        self.ctm = self.ctm @ m
+
+    def do_statement(self, st: ps.Statement):
+        name = st.name
+        h = getattr(self, f"_st_{name.lower()}", None)
+        if h is None:
+            print(f"WARNING: unhandled statement {name}")
+            return
+        h(st)
+
+    def _st_lookat(self, st):
+        e, l, u = st.args[0:3], st.args[3:6], st.args[6:9]
+        t = tr.look_at(e, l, u)
+        # pbrt: CTM = CTM * world_to_camera
+        self._apply(np.asarray(t.m_inv))
+
+    def _st_translate(self, st):
+        self._apply(np.asarray(tr.translate(st.args).m))
+
+    def _st_scale(self, st):
+        self._apply(np.asarray(tr.scale(*st.args).m))
+
+    def _st_rotate(self, st):
+        self._apply(np.asarray(tr.rotate(st.args[0], st.args[1:4]).m))
+
+    def _st_transform(self, st):
+        self.ctm = _mat4(st.args)
+
+    def _st_concattransform(self, st):
+        self._apply(_mat4(st.args))
+
+    def _st_identity(self, st):
+        self.ctm = np.eye(4, dtype=np.float32)
+
+    def _st_coordinatesystem(self, st):
+        self.named_coord_systems[st.args[0]] = self.ctm.copy()
+
+    def _st_coordsystransform(self, st):
+        if st.args[0] in self.named_coord_systems:
+            self.ctm = self.named_coord_systems[st.args[0]].copy()
+
+    def _st_transformbegin(self, st):
+        self.transform_stack.append(self.ctm.copy())
+
+    def _st_transformend(self, st):
+        self.ctm = self.transform_stack.pop()
+
+    def _st_activetransform(self, st):
+        pass  # animated CTM pairs: motion blur support pending
+
+    def _st_transformtimes(self, st):
+        pass
+
+    # ---- pre-world config ----
+
+    def _st_camera(self, st):
+        self.camera_name = st.args[0]
+        self.camera_params = st.params
+        # world-to-camera = CTM; camera-to-world = inverse
+        self.camera_to_world = np.linalg.inv(self.ctm.astype(np.float64)).astype(
+            np.float32
+        )
+        self.named_coord_systems["camera"] = self.ctm.copy()
+
+    def _st_sampler(self, st):
+        self.sampler_name = st.args[0]
+        self.sampler_params = st.params
+
+    def _st_film(self, st):
+        self.film_params = st.params
+        self.output_name = ps.find_string(st.params, "filename", "pbrt.png")
+
+    def _st_pixelfilter(self, st):
+        self.filter_name = st.args[0]
+        self.filter_params = st.params
+
+    def _st_integrator(self, st):
+        self.integrator_name = st.args[0]
+        self.integrator_params = st.params
+
+    def _st_accelerator(self, st):
+        pass  # accelerator choice is automatic (brute/LBVH by size)
+
+    # ---- world ----
+
+    def _st_worldbegin(self, st):
+        self.in_world = True
+        self.ctm = np.eye(4, dtype=np.float32)
+        self.named_coord_systems["world"] = self.ctm.copy()
+
+    def _st_worldend(self, st):
+        pass
+
+    def _st_attributebegin(self, st):
+        self.gs_stack.append(copy.deepcopy(self.gs))
+        self.transform_stack.append(self.ctm.copy())
+
+    def _st_attributeend(self, st):
+        self.gs = self.gs_stack.pop()
+        self.ctm = self.transform_stack.pop()
+
+    def _st_reverseorientation(self, st):
+        self.gs.reverse_orientation = not self.gs.reverse_orientation
+
+    # ---- materials & textures ----
+
+    def _texture_or_const(self, params, name, default):
+        """Resolve an rgb slot that may reference a named texture."""
+        if name in params and params[name][0] == "texture":
+            tex = self.textures.get(str(params[name][1][0]))
+            if tex is not None and tex[0] == "constant":
+                return tex[1]
+            # non-constant textures resolve to their mean for now
+            if tex is not None and tex[0] == "imagemap_mean":
+                return tex[1]
+            return default
+        return ps.find_spectrum(params, name, default)
+
+    def _make_material(self, mtype, params):
+        b = self.builder
+        if mtype in ("", "none"):
+            return b.add_matte(kd=(0, 0, 0))
+        if mtype == "matte":
+            return b.add_matte(
+                kd=self._texture_or_const(params, "Kd", (0.5, 0.5, 0.5)),
+                sigma=ps.find_one(params, "sigma", 0.0),
+            )
+        if mtype == "plastic":
+            return b.add_plastic(
+                kd=self._texture_or_const(params, "Kd", (0.25,) * 3),
+                ks=self._texture_or_const(params, "Ks", (0.25,) * 3),
+                roughness=ps.find_one(params, "roughness", 0.1),
+                remap=ps.find_one(params, "remaproughness", True),
+            )
+        if mtype == "mirror":
+            return b.add_mirror(kr=self._texture_or_const(params, "Kr", (0.9,) * 3))
+        if mtype == "glass":
+            return b.add_glass(
+                kr=self._texture_or_const(params, "Kr", (1,) * 3),
+                kt=self._texture_or_const(params, "Kt", (1,) * 3),
+                eta=ps.find_one(params, "eta", ps.find_one(params, "index", 1.5)),
+                roughness=ps.find_one(params, "uroughness", ps.find_one(params, "roughness", 0.0)),
+            )
+        if mtype == "metal":
+            return b.add_metal(
+                eta3=ps.find_spectrum(params, "eta", (0.2, 0.92, 1.1)),
+                k3=ps.find_spectrum(params, "k", (3.9, 2.45, 2.14)),
+                roughness=ps.find_one(params, "roughness", 0.01),
+                remap=ps.find_one(params, "remaproughness", True),
+            )
+        if mtype == "substrate":
+            return b.add_substrate(
+                kd=self._texture_or_const(params, "Kd", (0.5,) * 3),
+                ks=self._texture_or_const(params, "Ks", (0.5,) * 3),
+                roughness=ps.find_one(params, "uroughness", ps.find_one(params, "roughness", 0.1)),
+            )
+        if mtype == "uber":
+            return b.add_uber(
+                kd=self._texture_or_const(params, "Kd", (0.25,) * 3),
+                ks=self._texture_or_const(params, "Ks", (0.25,) * 3),
+                kr=self._texture_or_const(params, "Kr", (0, 0, 0)),
+                kt=self._texture_or_const(params, "Kt", (0, 0, 0)),
+                roughness=ps.find_one(params, "roughness", 0.1),
+                eta=ps.find_one(params, "eta", 1.5),
+                opacity=self._texture_or_const(params, "opacity", (1, 1, 1)),
+            )
+        if mtype == "translucent":
+            return b.add_translucent(kd=self._texture_or_const(params, "Kd", (0.25,) * 3))
+        print(f"WARNING: material {mtype!r} approximated as matte")
+        return b.add_matte(kd=self._texture_or_const(params, "Kd", (0.5, 0.5, 0.5)))
+
+    def _st_material(self, st):
+        self.gs.material_type = st.args[0]
+        self.gs.material_params = st.params
+        self.gs.material = self._make_material(st.args[0], st.params)
+
+    def _st_makenamedmaterial(self, st):
+        mtype = ps.find_string(st.params, "type", "matte")
+        self.gs.named_materials[st.args[0]] = self._make_material(mtype, st.params)
+
+    def _st_namedmaterial(self, st):
+        if st.args[0] in self.gs.named_materials:
+            self.gs.material = self.gs.named_materials[st.args[0]]
+        else:
+            print(f"WARNING: unknown named material {st.args[0]!r}")
+
+    def _st_texture(self, st):
+        tex_name, tex_kind, tex_class = st.args[0], st.args[1], st.args[2]
+        if tex_class == "constant":
+            self.textures[tex_name] = (
+                "constant", ps.find_spectrum(st.params, "value", (1, 1, 1))
+            )
+        elif tex_class == "scale":
+            t1 = self._texture_or_const(st.params, "tex1", (1, 1, 1))
+            t2 = self._texture_or_const(st.params, "tex2", (1, 1, 1))
+            self.textures[tex_name] = (
+                "constant", tuple(np.asarray(t1) * np.asarray(t2))
+            )
+        elif tex_class == "imagemap":
+            fname = ps.find_string(st.params, "filename")
+            try:
+                from ..io.image import read_image
+
+                p = Path(fname)
+                if self.search_dir and not p.is_absolute():
+                    p = self.search_dir / p
+                img = read_image(p)
+                self.textures[tex_name] = ("imagemap_mean", tuple(img.mean((0, 1))))
+            except Exception as e:
+                print(f"WARNING: imagemap {fname!r} load failed ({e}); using grey")
+                self.textures[tex_name] = ("constant", (0.5, 0.5, 0.5))
+        else:
+            print(f"WARNING: texture class {tex_class!r} -> constant grey")
+            self.textures[tex_name] = ("constant", (0.5, 0.5, 0.5))
+
+    # ---- lights ----
+
+    def _st_lightsource(self, st):
+        kind = st.args[0]
+        b = self.builder
+        scale = ps.find_spectrum(st.params, "scale", (1, 1, 1))
+        ctm_t = tr.Transform(
+            __import__("jax.numpy", fromlist=["asarray"]).asarray(self.ctm),
+            __import__("jax.numpy", fromlist=["asarray"]).asarray(
+                np.linalg.inv(self.ctm.astype(np.float64)).astype(np.float32)
+            ),
+        )
+        if kind == "point":
+            p = ps.find_floats(st.params, "from", [0, 0, 0])
+            p_w = (self.ctm @ np.asarray([*p, 1.0], np.float32))[:3]
+            b.add_point_light(p=p_w, I=ps.find_spectrum(st.params, "I", (1, 1, 1)), scale=scale)
+        elif kind == "spot":
+            p = ps.find_floats(st.params, "from", [0, 0, 0])
+            to = ps.find_floats(st.params, "to", [0, 0, 1])
+            p_w = (self.ctm @ np.asarray([*p, 1.0], np.float32))[:3]
+            to_w = (self.ctm @ np.asarray([*to, 1.0], np.float32))[:3]
+            b.add_spot_light(
+                p=p_w, to=to_w, I=ps.find_spectrum(st.params, "I", (1, 1, 1)),
+                cone_angle=ps.find_one(st.params, "coneangle", 30.0),
+                cone_delta=ps.find_one(st.params, "conedeltaangle", 5.0),
+                scale=scale,
+            )
+        elif kind == "distant":
+            fr = ps.find_floats(st.params, "from", [0, 0, 0])
+            to = ps.find_floats(st.params, "to", [0, 0, 1])
+            fr_w = (self.ctm @ np.asarray([*fr, 1.0], np.float32))[:3]
+            to_w = (self.ctm @ np.asarray([*to, 1.0], np.float32))[:3]
+            b.add_distant_light(
+                from_p=fr_w, to=to_w, L=ps.find_spectrum(st.params, "L", (1, 1, 1)), scale=scale
+            )
+        elif kind == "infinite":
+            fname = ps.find_string(st.params, "mapname")
+            rad = None
+            if fname:
+                try:
+                    from ..io.image import read_image
+
+                    p = Path(fname)
+                    if self.search_dir and not p.is_absolute():
+                        p = self.search_dir / p
+                    rad = read_image(p)
+                except Exception as e:
+                    print(f"WARNING: env map {fname!r} load failed ({e})")
+            b.add_infinite_light(
+                radiance_map=rad, L=ps.find_spectrum(st.params, "L", (1, 1, 1)),
+                scale=scale,
+                light_to_world=tr.from_matrix(self.ctm),
+            )
+        else:
+            print(f"WARNING: light {kind!r} unsupported, skipped")
+
+    def _st_arealightsource(self, st):
+        self.gs.area_light = dict(
+            L=ps.find_spectrum(st.params, "L", (1, 1, 1)),
+            two_sided=ps.find_one(st.params, "twosided", False),
+            scale=ps.find_spectrum(st.params, "scale", (1, 1, 1)),
+        )
+
+    # ---- shapes ----
+
+    def _st_shape(self, st):
+        if self.current_object is not None:
+            self.objects[self.current_object].append((st, self.ctm.copy(), copy.deepcopy(self.gs)))
+            return
+        self._create_shape(st, self.ctm, self.gs)
+
+    def _create_shape(self, st, ctm, gs):
+        kind = st.args[0]
+        b = self.builder
+        o2w = tr.from_matrix(ctm)
+        al = gs.area_light
+        if kind == "trianglemesh":
+            idx = ps.find_ints(st.params, "indices")
+            P = ps.find_floats(st.params, "P")
+            N = ps.find_floats(st.params, "N")
+            uv = ps.find_floats(st.params, "uv") or ps.find_floats(st.params, "st")
+            b.add_triangle_mesh(
+                np.asarray(idx).reshape(-1, 3),
+                np.asarray(P).reshape(-1, 3),
+                normals=np.asarray(N).reshape(-1, 3) if N else None,
+                uvs=np.asarray(uv).reshape(-1, 2) if uv else None,
+                material=gs.material,
+                object_to_world=o2w,
+                area_light=al,
+                reverse_orientation=gs.reverse_orientation,
+            )
+        elif kind == "plymesh":
+            from ..io.plyloader import load_ply
+
+            fname = ps.find_string(st.params, "filename")
+            p = Path(fname)
+            if self.search_dir and not p.is_absolute():
+                p = self.search_dir / p
+            V, F, N, UV = load_ply(p)
+            b.add_triangle_mesh(
+                F, V, normals=N, uvs=UV, material=gs.material,
+                object_to_world=o2w, area_light=al,
+                reverse_orientation=gs.reverse_orientation,
+            )
+        elif kind == "sphere":
+            b.add_sphere(
+                o2w,
+                radius=ps.find_one(st.params, "radius", 1.0),
+                z_min=ps.find_one(st.params, "zmin", None),
+                z_max=ps.find_one(st.params, "zmax", None),
+                phi_max=ps.find_one(st.params, "phimax", 360.0),
+                material=gs.material,
+                area_light=al,
+                reverse_orientation=gs.reverse_orientation,
+            )
+        elif kind in ("disk", "cylinder", "paraboloid", "cone", "hyperboloid"):
+            tris = _tessellate_quadric(kind, st.params)
+            if tris is not None:
+                V, F = tris
+                b.add_triangle_mesh(
+                    F, V, material=gs.material, object_to_world=o2w,
+                    area_light=al, reverse_orientation=gs.reverse_orientation,
+                )
+        elif kind == "loopsubdiv":
+            from ..io.subdiv import loop_subdivide
+
+            idx = np.asarray(ps.find_ints(st.params, "indices")).reshape(-1, 3)
+            P = np.asarray(ps.find_floats(st.params, "P")).reshape(-1, 3)
+            levels = ps.find_one(st.params, "levels", ps.find_one(st.params, "nlevels", 3))
+            V, F, N = loop_subdivide(P, idx, int(levels))
+            b.add_triangle_mesh(
+                F, V, normals=N, material=gs.material, object_to_world=o2w,
+                area_light=al, reverse_orientation=gs.reverse_orientation,
+            )
+        else:
+            print(f"WARNING: shape {kind!r} unsupported, skipped")
+
+    # ---- instancing (reference api.rs:3001-3050) ----
+
+    def _st_objectbegin(self, st):
+        self.objects[st.args[0]] = []
+        self.current_object = st.args[0]
+        self._st_attributebegin(st)
+
+    def _st_objectend(self, st):
+        self._st_attributeend(st)
+        self.current_object = None
+
+    def _st_objectinstance(self, st):
+        shapes = self.objects.get(st.args[0], [])
+        for shape_st, shape_ctm, shape_gs in shapes:
+            # flatten: instance CTM * shape CTM
+            self._create_shape(shape_st, self.ctm @ shape_ctm, shape_gs)
+
+    def _st_medium_interface(self, st):
+        pass  # media attachment pending volpath front-end
+
+    def _st_mediuminterface(self, st):
+        pass
+
+    def _st_makenamedmedium(self, st):
+        pass
+
+    def _st_include(self, st):
+        pass  # handled by the parser
+
+    # ---- final assembly (reference make_integrator/make_scene) ----
+
+    def finish(self, overrides=None):
+        overrides = overrides or {}
+        xres = int(ps.find_one(self.film_params, "xresolution", 1280))
+        yres = int(ps.find_one(self.film_params, "yresolution", 720))
+        resolution = (xres, yres)
+
+        spp = int(overrides.get("samples") or ps.find_one(self.sampler_params, "pixelsamples", 16))
+        sampler_kinds = {
+            "sobol": smpl.SOBOL, "random": smpl.RANDOM,
+            "lowdiscrepancy": smpl.ZEROTWO, "02sequence": smpl.ZEROTWO,
+            "stratified": smpl.STRATIFIED, "halton": smpl.SOBOL,
+            "maxmindist": smpl.ZEROTWO,
+        }
+        sampler_cfg = smpl.make_sampler(
+            sampler_kinds.get(self.sampler_name, smpl.SOBOL), spp, resolution
+        )
+
+        integrator = overrides.get("integrator") or self.integrator_name
+        max_depth = int(ps.find_one(self.integrator_params, "maxdepth", 5))
+        cfg = rdr.RenderCfg(integrator, sampler_cfg.spp, max_depth, 1.0)
+
+        filter_kinds = {
+            "box": filmmod.FILTER_BOX, "triangle": filmmod.FILTER_TRIANGLE,
+            "gaussian": filmmod.FILTER_GAUSSIAN, "mitchell": filmmod.FILTER_MITCHELL,
+            "sinc": filmmod.FILTER_SINC,
+        }
+        fk = filter_kinds.get(self.filter_name, filmmod.FILTER_BOX)
+        filter_cfg = filmmod.make_filter(
+            fk,
+            xwidth=ps.find_one(self.filter_params, "xwidth", None),
+            ywidth=ps.find_one(self.filter_params, "ywidth", None),
+        )
+
+        fov = float(ps.find_one(self.camera_params, "fov", 90.0))
+        c2w = tr.from_matrix(self.camera_to_world)
+        if self.camera_name == "orthographic":
+            camera = cam.make_orthographic(c2w, resolution)
+        elif self.camera_name == "environment":
+            camera = cam.make_environment(c2w, resolution)
+        else:
+            camera = cam.make_perspective(
+                c2w, resolution, fov=fov,
+                lens_radius=ps.find_one(self.camera_params, "lensradius", 0.0),
+                focal_distance=ps.find_one(self.camera_params, "focaldistance", 1e6),
+            )
+
+        scene = self.builder.finalize()
+        return scene, camera, cfg, sampler_cfg, filter_cfg, self.output_name
+
+
+def load_pbrt(path, overrides=None):
+    """Parse + execute a .pbrt file (reference main() rs_pbrt.rs:890)."""
+    path = Path(path)
+    api = PbrtAPI(search_dir=path.parent)
+    for st in ps.parse_file(path):
+        api.do_statement(st)
+    return api.finish(overrides)
+
+
+def _tessellate_quadric(kind, params):
+    """Tessellate disk/cylinder/cone/paraboloid into triangles (object
+    space) — quadrics other than spheres ride the triangle path for now
+    (native batched quadric kernels exist in ops/intersect.py; wiring them
+    into the scene tables is planned)."""
+    n_u = 64
+    if kind == "disk":
+        h = ps.find_one(params, "height", 0.0)
+        r = ps.find_one(params, "radius", 1.0)
+        ir = ps.find_one(params, "innerradius", 0.0)
+        phi_max = np.deg2rad(ps.find_one(params, "phimax", 360.0))
+        phis = np.linspace(0, phi_max, n_u + 1)
+        outer = np.stack([r * np.cos(phis), r * np.sin(phis), np.full_like(phis, h)], -1)
+        if ir > 0:
+            inner = np.stack(
+                [ir * np.cos(phis), ir * np.sin(phis), np.full_like(phis, h)], -1
+            )
+            V = np.concatenate([outer, inner]).astype(np.float32)
+            F = []
+            for i in range(n_u):
+                a, b_, c, d = i, i + 1, n_u + 1 + i, n_u + 1 + i + 1
+                F += [[a, c, b_], [b_, c, d]]
+            return V, np.asarray(F, np.int32)
+        center = np.asarray([[0.0, 0.0, h]], np.float32)
+        V = np.concatenate([center, outer]).astype(np.float32)
+        F = [[0, 1 + i, 1 + i + 1] for i in range(n_u)]
+        return V, np.asarray(F, np.int32)
+    if kind == "cylinder":
+        r = ps.find_one(params, "radius", 1.0)
+        z0 = ps.find_one(params, "zmin", -1.0)
+        z1 = ps.find_one(params, "zmax", 1.0)
+        phi_max = np.deg2rad(ps.find_one(params, "phimax", 360.0))
+        phis = np.linspace(0, phi_max, n_u + 1)
+        lo = np.stack([r * np.cos(phis), r * np.sin(phis), np.full_like(phis, z0)], -1)
+        hi = np.stack([r * np.cos(phis), r * np.sin(phis), np.full_like(phis, z1)], -1)
+        V = np.concatenate([lo, hi]).astype(np.float32)
+        F = []
+        for i in range(n_u):
+            a, b_, c, d = i, i + 1, n_u + 1 + i, n_u + 1 + i + 1
+            F += [[a, b_, c], [b_, d, c]]
+        return V, np.asarray(F, np.int32)
+    if kind in ("cone", "paraboloid", "hyperboloid"):
+        r = ps.find_one(params, "radius", 1.0)
+        h = ps.find_one(params, "height", 1.0)
+        n_v = 16
+        phis = np.linspace(0, 2 * np.pi, n_u + 1)
+        vs = np.linspace(0, 1, n_v + 1)
+        Vs = []
+        for v in vs:
+            if kind == "cone":
+                rr, zz = r * (1 - v), h * v
+            elif kind == "paraboloid":
+                rr, zz = r * np.sqrt(v), h * v
+            else:
+                rr, zz = r * (1 + v), h * v
+            Vs.append(np.stack([rr * np.cos(phis), rr * np.sin(phis), np.full_like(phis, zz)], -1))
+        V = np.concatenate(Vs).astype(np.float32)
+        F = []
+        W = n_u + 1
+        for j in range(n_v):
+            for i in range(n_u):
+                a, b_, c, d = j * W + i, j * W + i + 1, (j + 1) * W + i, (j + 1) * W + i + 1
+                F += [[a, b_, c], [b_, d, c]]
+        return V, np.asarray(F, np.int32)
+    return None

@@ -30,29 +30,31 @@ def cornell_box(resolution=(256, 256), light_scale=1.0, boxes=True):
     green = b.add_matte(kd=(0.12, 0.45, 0.15))
     light_mat = b.add_matte(kd=(0.0, 0.0, 0.0))
 
-    # floor / ceiling / back wall / left (red) / right (green)
+    # floor / ceiling / back wall / right x=556 (green) / left x=0 (red)
+    # (layout matches the reference docs render: red left, green right,
+    # tall block left)
     _quad(b, [552.8, 0, 0], [0, 0, 0], [0, 0, 559.2], [549.6, 0, 559.2], white)
     _quad(b, [556, 548.8, 0], [556, 548.8, 559.2], [0, 548.8, 559.2], [0, 548.8, 0], white)
     _quad(b, [549.6, 0, 559.2], [0, 0, 559.2], [0, 548.8, 559.2], [556, 548.8, 559.2], white)
-    _quad(b, [556, 0, 0], [556, 0, 559.2], [556, 548.8, 559.2], [556, 548.8, 0], red)
-    _quad(b, [0, 0, 559.2], [0, 0, 0], [0, 548.8, 0], [0, 548.8, 559.2], green)
+    _quad(b, [556, 0, 0], [556, 0, 559.2], [556, 548.8, 559.2], [556, 548.8, 0], green)
+    _quad(b, [0, 0, 559.2], [0, 0, 0], [0, 548.8, 0], [0, 548.8, 559.2], red)
 
     if boxes:
-        # short block
+        # short block (image right-front)
         for q in _box_quads(
-            [[130, 165, 65], [82, 165, 225], [240, 165, 272], [290, 165, 114]],
+            [[426, 165, 65], [474, 165, 225], [316, 165, 272], [266, 165, 114]],
             0.0, 165.0,
         ):
             _quad(b, *q, white)
-        # tall block
+        # tall block (image left-behind)
         for q in _box_quads(
-            [[423, 330, 247], [265, 330, 296], [314, 330, 456], [472, 330, 406]],
+            [[133, 330, 247], [291, 330, 296], [242, 330, 456], [84, 330, 406]],
             0.0, 330.0,
         ):
             _quad(b, *q, white)
 
     # ceiling light (classic: 343..213 x, 227..332 z at y=548.8)
-    L = np.asarray([17.0, 12.0, 4.0], np.float32) * light_scale
+    L = np.asarray([50.0, 50.0, 50.0], np.float32) * light_scale
     _quad(
         b,
         [343, 548.75, 227], [343, 548.75, 332], [213, 548.75, 332], [213, 548.75, 227],
