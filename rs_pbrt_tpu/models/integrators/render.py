@@ -39,12 +39,51 @@ def _camera_rays(camera: cam.Camera, sampler_cfg, ctx, pixel):
     return rays, p_film
 
 
-@partial(jax.jit, static_argnames=("pcfg", "sampler_cfg", "filter_cfg"))
+def radiance_fn(integrator: str, max_depth: int, rr_threshold: float):
+    """Integrator dispatch (reference Integrator enum integrator.rs:31)."""
+    from . import direct as directmod
+
+    if integrator == "path":
+        pcfg = pathmod.PathCfg(max_depth, rr_threshold)
+        return lambda scene, cfg_s, ctx, o, d, accel: pathmod.radiance(
+            scene, pcfg, cfg_s, ctx, o, d, accel
+        )
+    if integrator == "volpath":
+        from . import volpath as volmod
+
+        pcfg = pathmod.PathCfg(max_depth, rr_threshold)
+        return lambda scene, cfg_s, ctx, o, d, accel: volmod.radiance(
+            scene, pcfg, cfg_s, ctx, o, d, accel
+        )
+    if integrator == "ao":
+        acfg = directmod.AOCfg(n_samples=8, cos_sample=True)
+        return lambda scene, cfg_s, ctx, o, d, accel: directmod.ao_radiance(
+            scene, acfg, cfg_s, ctx, o, d, accel
+        )
+    if integrator == "whitted":
+        wcfg = directmod.WhittedCfg(max_depth)
+        return lambda scene, cfg_s, ctx, o, d, accel: directmod.whitted_radiance(
+            scene, wcfg, cfg_s, ctx, o, d, accel
+        )
+    if integrator == "directlighting":
+        dcfg = directmod.DirectLightingCfg(max_depth, sample_all=False)
+        return lambda scene, cfg_s, ctx, o, d, accel: directmod.directlighting_radiance(
+            scene, dcfg, cfg_s, ctx, o, d, accel
+        )
+    raise ValueError(f"unknown integrator {integrator!r}")
+
+
+@partial(
+    jax.jit,
+    static_argnames=("integrator", "max_depth", "rr_threshold", "sampler_cfg", "filter_cfg"),
+)
 def render_batch(
     scene: sa.Scene,
     accel,
     camera: cam.Camera,
-    pcfg: pathmod.PathCfg,
+    integrator: str,
+    max_depth: int,
+    rr_threshold: float,
     sampler_cfg: smpl.SamplerCfg,
     film: filmmod.Film,
     filter_cfg: filmmod.FilterCfg,
@@ -55,7 +94,9 @@ def render_batch(
     counts share one compilation (only shapes + depth matter)."""
     ctx = smpl.make_ctx(sampler_cfg, pixel, sample_num)
     rays, p_film = _camera_rays(camera, sampler_cfg, ctx, pixel)
-    L = pathmod.radiance(scene, pcfg, sampler_cfg, ctx, rays.o, rays.d, accel)
+    L = radiance_fn(integrator, max_depth, rr_threshold)(
+        scene, sampler_cfg, ctx, rays.o, rays.d, accel
+    )
     L = L * rays.weight[..., None]
     return filmmod.add_samples(film, filter_cfg, p_film, L)
 
@@ -81,7 +122,6 @@ def render(
     pixels = jnp.asarray(np.stack([xs.ravel(), ys.ravel()], -1))
     film = filmmod.make_film((w, h))
 
-    pcfg = pathmod.PathCfg(cfg.max_depth, cfg.rr_threshold)
     spp_per_batch = max(1, min(cfg.spp, max_lanes // n_pix))
     sample = 0
     while sample < cfg.spp:
@@ -91,7 +131,8 @@ def render(
             jnp.arange(sample, sample + nb, dtype=jnp.uint32), n_pix
         )
         film = render_batch(
-            scene, accel, camera, pcfg, sampler_cfg, film, filter_cfg, pix, snums
+            scene, accel, camera, cfg.integrator, cfg.max_depth, cfg.rr_threshold,
+            sampler_cfg, film, filter_cfg, pix, snums,
         )
         sample += nb
     return filmmod.to_rgb(film)

@@ -1,0 +1,237 @@
+"""Volumetric path integrator: path tracing + medium sampling per segment.
+
+TPU-native replacement for reference src/integrators/volpath.rs:60-357.
+Each bounce: closest surface hit -> homogeneous medium distance sample on
+the segment -> either a medium interaction (HG phase scattering + NEE with
+transmittance) or the surface path (same as path.py).  Per-lane current-
+medium tracking replaces the reference's MediumInterface pointer chain
+(interaction.rs spawn_ray medium selection).
+
+Grid media (delta/ratio tracking, media/grid.rs) hook in here when the
+density-grid tables land.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ...ops import bsdf as bx
+from ...ops import medium as med
+from ...ops import sampling as smp
+from ...ops import scene_intersect as si
+from ...scene import arrays as sa
+from .. import lights as lt
+from .. import samplers as smpl
+from ...utils import vecmath as vm
+from .path import (
+    DIM_CAMERA,
+    PathCfg,
+    _light_select_dist,
+    _shading_frame,
+    _to_local,
+    _to_world,
+)
+
+# dims per bounce: base path dims (7) + medium channel/dist/phase u (4)
+DIMS_PER_BOUNCE = 11
+
+
+def _prim_media(scene: sa.Scene, it: si.Interaction):
+    """(inside, outside) medium ids of the hit primitive."""
+    n = it.p.shape[0]
+    inside = jnp.full(n, -1, jnp.int32)
+    outside = jnp.full(n, -1, jnp.int32)
+    if scene.n_tris > 0:
+        is_tri = it.valid & (it.prim >= 0) & (it.prim < scene.n_tris)
+        tid = jnp.clip(it.prim, 0, scene.n_tris - 1)
+        inside = jnp.where(is_tri, scene.tri_med[tid, 0], inside)
+        outside = jnp.where(is_tri, scene.tri_med[tid, 1], outside)
+    if scene.n_spheres > 0:
+        is_sph = it.valid & (it.prim >= scene.n_tris)
+        sid = jnp.clip(it.prim - scene.n_tris, 0, scene.n_spheres - 1)
+        inside = jnp.where(is_sph, scene.sph_med[sid, 0], inside)
+        outside = jnp.where(is_sph, scene.sph_med[sid, 1], outside)
+    return inside, outside
+
+
+def _shadow_tr(scene, cur_med, p0, d, dist, accel):
+    """Occlusion + transmittance for NEE (reference scene.rs:79
+    intersect_tr simplified: opaque occluders block; the current homogeneous
+    medium attenuates along the full segment)."""
+    occluded = si.scene_intersect_p(scene, p0, d, dist * (1.0 - 1e-3), accel)
+    in_med = cur_med >= 0
+    mid = jnp.maximum(cur_med, 0)
+    sigma_t = scene.med_sigma_a[mid] + scene.med_sigma_s[mid]
+    tr = jnp.where(
+        in_med[..., None], med.homogeneous_tr(sigma_t, dist), 1.0
+    )
+    return occluded, tr
+
+
+def radiance(
+    scene: sa.Scene,
+    cfg: PathCfg,
+    sampler_cfg: smpl.SamplerCfg,
+    ctx: smpl.SampleCtx,
+    ray_o,
+    ray_d,
+    accel=None,
+):
+    n = ray_o.shape[0]
+    light_dist = _light_select_dist(scene) if scene.n_lights > 0 else None
+
+    def body(bounce, state):
+        (o, d, L, beta, alive, specular_bounce, prev_pdf, cur_med) = state
+        it = si.scene_intersect(scene, o, d, jnp.full(n, vm.INFINITY), accel)
+        dim0 = DIM_CAMERA + bounce * DIMS_PER_BOUNCE
+
+        # --- medium distance sampling on the segment (volpath.rs:96-105) ---
+        in_med = alive & (cur_med >= 0)
+        mid = jnp.maximum(cur_med, 0)
+        seg_t = jnp.where(it.valid, it.t, 2.0 * scene.world_radius * 4.0)
+        u_chan = smpl.get_1d_dyn(sampler_cfg, ctx, dim0 + 7)
+        u_dist = smpl.get_1d_dyn(sampler_cfg, ctx, dim0 + 8)
+        ms = med.homogeneous_sample(
+            scene.med_sigma_a[mid], scene.med_sigma_s[mid], u_chan, u_dist, seg_t
+        )
+        med_scatter = in_med & ms.sampled
+        beta = jnp.where(in_med[..., None], beta * ms.weight, beta)
+
+        # --- emitted radiance (only when the segment reaches the surface) --
+        hit = it.valid & alive & ~med_scatter
+        if scene.n_lights > 0:
+            hit_light = jnp.where(hit, it.light, -1)
+            le = lt.area_light_emitted(scene, jnp.maximum(hit_light, 0), it.ns, it.wo)
+            le = jnp.where((hit_light >= 0)[..., None], le, 0.0)
+            sel_pdf = smp.distribution_1d_discrete_pdf(light_dist, jnp.maximum(hit_light, 0))
+            area_pdf = lt.pdf_li_area(scene, jnp.maximum(hit_light, 0), o, it.p, it.ns)
+            w_b = jnp.where(
+                specular_bounce, 1.0, smp.power_heuristic(1.0, prev_pdf, 1.0, sel_pdf * area_pdf)
+            )
+            L = L + beta * le * w_b[..., None]
+        if scene.has_env:
+            esc = alive & ~it.valid & ~med_scatter
+            le_env = lt.env_le(scene, d)
+            env_sel = smp.distribution_1d_discrete_pdf(
+                light_dist, jnp.argmax(scene.light_type == sa.LIGHT_INFINITE)
+            )
+            w_env = jnp.where(
+                specular_bounce,
+                1.0,
+                smp.power_heuristic(1.0, prev_pdf, 1.0, env_sel * lt.pdf_li_env(scene, d)),
+            )
+            L = L + jnp.where(esc[..., None], beta * le_env * w_env[..., None], 0.0)
+
+        alive = alive & (it.valid | med_scatter) & (bounce < cfg.max_depth)
+
+        # medium interaction point
+        p_med = o + ms.t[..., None] * d
+        g = scene.med_g[mid]
+
+        # --- NEE from medium or surface (volpath handle_media=true) ---
+        if scene.n_lights > 0:
+            u_sel = smpl.get_1d_dyn(sampler_cfg, ctx, dim0 + 0)
+            u_light = smpl.get_2d_dyn(sampler_cfg, ctx, dim0 + 1)
+            li_idx, sel_pdf_n, _ = smp.sample_distribution_1d_discrete(light_dist, u_sel)
+            ref_p = jnp.where(med_scatter[..., None], p_med, it.p)
+            ls = lt.sample_li(scene, li_idx, ref_p, u_light)
+
+            # scattering term: phase (medium) or BSDF*cos (surface)
+            b = bx.make_bsdf(scene.mat_type[it.mat], scene.mat_params[it.mat])
+            ss, ts = _shading_frame(it.ns)
+            wo_l = _to_local(it.wo, ss, ts, it.ns)
+            wi_l = _to_local(ls.wi, ss, ts, it.ns)
+            reflect = vm.dot(ls.wi, it.ng) * vm.dot(it.wo, it.ng) > 0.0
+            f_surf = bx.bsdf_f(b, wo_l, wi_l, reflect) * bx.abs_cos_theta(wi_l)[..., None]
+            pdf_surf = bx.bsdf_pdf(b, wo_l, wi_l)
+            ph = med.phase_hg(vm.dot(-d, ls.wi), g)
+            f_scat = jnp.where(med_scatter[..., None], ph[..., None], f_surf)
+            pdf_scat = jnp.where(med_scatter, ph, pdf_surf)
+
+            p_shadow = jnp.where(
+                med_scatter[..., None],
+                p_med,
+                vm.offset_ray_origin(it.p, it.p_error, it.ng, ls.wi),
+            )
+            delta_sh = ls.p_target - p_shadow
+            dist = vm.length(delta_sh)
+            sh_d = delta_sh / jnp.maximum(dist, 1e-12)[..., None]
+            occ, tr = _shadow_tr(scene, cur_med, p_shadow, sh_d, dist, accel)
+            ok = (
+                alive
+                & (ls.pdf > 0.0)
+                & jnp.any(ls.li > 0.0, axis=-1)
+                & jnp.any(f_scat > 0.0, axis=-1)
+            )
+            w_l = jnp.where(ls.is_delta, 1.0, smp.power_heuristic(1.0, ls.pdf, 1.0, pdf_scat))
+            ld = beta * f_scat * tr * ls.li * (
+                w_l / jnp.maximum(ls.pdf * sel_pdf_n, 1e-12)
+            )[..., None]
+            L = L + jnp.where((ok & ~occ)[..., None], ld, 0.0)
+
+        # --- continuation: phase sample or BSDF sample ---
+        u_phase = smpl.get_2d_dyn(sampler_cfg, ctx, dim0 + 9)
+        wi_med, ph_pdf = med.hg_sample_phase(-d, u_phase, g)
+
+        b = bx.make_bsdf(scene.mat_type[it.mat], scene.mat_params[it.mat])
+        ss, ts = _shading_frame(it.ns)
+        wo_l = _to_local(it.wo, ss, ts, it.ns)
+        u_bsdf = smpl.get_2d_dyn(sampler_cfg, ctx, dim0 + 3)
+        u_lobe = smpl.get_1d_dyn(sampler_cfg, ctx, dim0 + 5)
+        bs = bx.bsdf_sample(b, wo_l, u_bsdf, u_lobe)
+        wi_surf = _to_world(bs.wi, ss, ts, it.ns)
+        cos_wi = vm.absdot(wi_surf, it.ns)
+        ok_surf = (bs.pdf > 0.0) & jnp.any(bs.f > 0.0, axis=-1)
+        beta_surf = beta * bs.f * (cos_wi / jnp.maximum(bs.pdf, 1e-12))[..., None]
+
+        # medium scatter: beta unchanged (phase == its own pdf)
+        new_d = jnp.where(med_scatter[..., None], wi_med, wi_surf)
+        new_beta = jnp.where(med_scatter[..., None], beta, beta_surf)
+        ok = jnp.where(med_scatter, True, ok_surf)
+        new_o = jnp.where(
+            med_scatter[..., None],
+            p_med,
+            vm.offset_ray_origin(it.p, it.p_error, it.ng, wi_surf),
+        )
+        beta = jnp.where((alive & ok)[..., None], new_beta, beta)
+        o = jnp.where(alive[..., None], new_o, o)
+        d = jnp.where(alive[..., None], new_d, d)
+        alive = alive & ok
+        specular_bounce = jnp.where(alive, jnp.where(med_scatter, False, bs.is_specular), specular_bounce)
+        prev_pdf = jnp.where(
+            alive, jnp.where(med_scatter, ph_pdf, jnp.where(bs.is_specular, 1.0, bs.pdf)), prev_pdf
+        )
+
+        # --- medium transitions at surface crossings ---
+        m_in, m_out = _prim_media(scene, it)
+        crossed = alive & ~med_scatter & it.valid
+        entering = vm.dot(new_d, it.ng) < 0.0
+        new_med = jnp.where(entering, m_in, m_out)
+        cur_med = jnp.where(crossed, new_med, cur_med)
+
+        # --- RR after bounce 3 ---
+        rr_active = bounce > 2
+        rr_beta_max = jnp.max(beta, axis=-1)
+        q = jnp.maximum(0.05, 1.0 - rr_beta_max)
+        u_rr = smpl.get_1d_dyn(sampler_cfg, ctx, dim0 + 6)
+        consider = rr_active & (rr_beta_max < cfg.rr_threshold) & alive
+        kill = consider & (u_rr < q)
+        beta = jnp.where(
+            (consider & ~kill)[..., None], beta / jnp.maximum(1.0 - q, 1e-6)[..., None], beta
+        )
+        alive = alive & ~kill
+
+        return o, d, L, beta, alive, specular_bounce, prev_pdf, cur_med
+
+    zero3 = ray_o * 0.0
+    zero1 = zero3[..., 0]
+    true1 = zero1 == 0.0
+    cam_med = (zero1.astype(jnp.int32)) + scene.camera_medium
+    state = (
+        ray_o, ray_d, zero3, zero3 + 1.0, true1, true1, zero1 + 1.0, cam_med
+    )
+    state = jax.lax.fori_loop(0, cfg.max_depth + 1, body, state)
+    return state[2]

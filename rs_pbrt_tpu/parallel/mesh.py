@@ -92,8 +92,9 @@ def render_sharded(
         u_lens = smpl.get_2d(sampler_cfg, ctx, 3)
         p_film = pix_shard.astype(jnp.float32) + u_film
         rays = cam.generate_rays(camera, p_film, u_lens, u_time)
-        pcfg = pathmod.PathCfg(cfg.max_depth, cfg.rr_threshold)
-        L = pathmod.radiance(scene, pcfg, sampler_cfg, ctx, rays.o, rays.d, accel)
+        L = rdr.radiance_fn(cfg.integrator, cfg.max_depth, cfg.rr_threshold)(
+            scene, sampler_cfg, ctx, rays.o, rays.d, accel
+        )
         L = L * rays.weight[..., None]
         # out-of-frame sentinel lanes contribute nothing
         valid = jnp.all(pix_shard >= 0, axis=-1)

@@ -143,6 +143,14 @@ class Scene(NamedTuple):
     # power distribution over lights for light selection
     light_power: jnp.ndarray  # (L,)
 
+    # --- participating media (homogeneous table; grids carried separately) ---
+    med_sigma_a: jnp.ndarray  # (K,3)
+    med_sigma_s: jnp.ndarray  # (K,3)
+    med_g: jnp.ndarray  # (K,)
+    tri_med: jnp.ndarray  # (T,2) i32 (inside, outside) medium ids, -1 = vacuum
+    sph_med: jnp.ndarray  # (S,2) i32
+    camera_medium: jnp.ndarray  # () i32
+
     # --- env map (present iff inf_radiance.shape[0] > 1) ---
     inf_radiance: jnp.ndarray  # (H,W,3) equirect radiance map * scale
     inf_dist: Distribution2D  # luminance*sin(theta) importance
@@ -203,6 +211,12 @@ def empty_scene_arrays(n_tris=0, n_sph=0, n_mat=1, n_lights=0, alight_pad=1):
         light_shape_idx=np.zeros(L, np.int32),
         alight_tri_cdf=np.zeros((L, alight_pad + 1), np.float32),
         light_power=np.ones(L, np.float32),
+        med_sigma_a=np.zeros((1, 3), np.float32),
+        med_sigma_s=np.zeros((1, 3), np.float32),
+        med_g=np.zeros(1, np.float32),
+        tri_med=np.full((T, 2), -1, np.int32),
+        sph_med=np.full((S, 2), -1, np.int32),
+        camera_medium=np.int32(-1),
         inf_radiance=np.zeros((1, 1, 3), np.float32),
         inf_w2l=np.eye(4, dtype=np.float32),
         inf_l2w=np.eye(4, dtype=np.float32),

@@ -27,6 +27,8 @@ class SceneBuilder:
         self.mats = []  # list of (type, params, tex)
         self.lights = []  # list of dicts
         self.env = None  # (radiance HxWx3, l2w, w2o)
+        self.media = []  # list of (sigma_a, sigma_s, g)
+        self.camera_medium = -1
         # default material: grey matte (reference api.rs default)
         self.add_matte(kd=(0.5, 0.5, 0.5))
 
@@ -79,6 +81,15 @@ class SceneBuilder:
     def add_translucent(self, kd=(0.25,) * 3):
         return self._add_material(sa.TRANSLUCENT, kd=kd)
 
+    def add_medium(self, sigma_a=(1.0,) * 3, sigma_s=(1.0,) * 3, g=0.0, scale=1.0):
+        """Homogeneous medium (reference media/homogeneous.rs + api.rs
+        make_medium :953)."""
+        self.media.append(
+            (np.asarray(sigma_a, np.float32) * scale,
+             np.asarray(sigma_s, np.float32) * scale, float(g))
+        )
+        return len(self.media) - 1
+
     # ---- geometry (reference api.rs get_shapes_and_materials :1789-2050) --
 
     def add_triangle_mesh(
@@ -91,6 +102,7 @@ class SceneBuilder:
         object_to_world: Optional[tr.Transform] = None,
         area_light=None,  # dict(L=(r,g,b), two_sided=bool, scale=(r,g,b))
         reverse_orientation: bool = False,
+        medium_interface=(-1, -1),
     ):
         idx = np.asarray(indices, np.int32).reshape(-1, 3)
         P = np.asarray(positions, np.float32).reshape(-1, 3)
@@ -130,6 +142,7 @@ class SceneBuilder:
             t["mat"].append(material)
             t["light"].append(light_id)
             t["reverse"].append(reverse_orientation)
+            t.setdefault("med", []).append(medium_interface)
         return light_id
 
     def add_sphere(
@@ -142,6 +155,7 @@ class SceneBuilder:
         material: int = 0,
         area_light=None,
         reverse_orientation: bool = False,
+        medium_interface=(-1, -1),
     ):
         o2w = object_to_world or tr.identity()
         z_min = -radius if z_min is None else z_min
@@ -164,6 +178,7 @@ class SceneBuilder:
         self.sphs["mat"].append(material)
         self.sphs["light"].append(light_id)
         self.sphs["reverse"].append(reverse_orientation)
+        self.sphs.setdefault("med", []).append(medium_interface)
         return light_id
 
     # ---- lights (reference api.rs make_light :769-952) ----
@@ -298,6 +313,16 @@ class SceneBuilder:
                 arrs["alight_tri_cdf"][li, :] = np.linspace(
                     0, 1, arrs["alight_tri_cdf"].shape[1]
                 )
+
+        if self.media:
+            arrs["med_sigma_a"] = np.stack([m[0] for m in self.media])
+            arrs["med_sigma_s"] = np.stack([m[1] for m in self.media])
+            arrs["med_g"] = np.asarray([m[2] for m in self.media], np.float32)
+        if n_tri and self.tris.get("med"):
+            arrs["tri_med"] = np.asarray(self.tris["med"], np.int32)
+        if n_sph and self.sphs.get("med"):
+            arrs["sph_med"] = np.asarray(self.sphs["med"], np.int32)
+        arrs["camera_medium"] = np.int32(self.camera_medium)
 
         if self.env is not None:
             arrs["inf_radiance"] = self.env[0]

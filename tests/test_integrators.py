@@ -1,0 +1,150 @@
+"""Integrator family tests: ao / whitted / directlighting / volpath."""
+
+import numpy as np
+import pytest
+
+from rs_pbrt_tpu.models import cameras as cam
+from rs_pbrt_tpu.models import samplers as smpl
+from rs_pbrt_tpu.models.integrators import render as rdr
+from rs_pbrt_tpu.scene import presets
+from rs_pbrt_tpu.scene.builder import SceneBuilder
+from rs_pbrt_tpu.utils import transform as tr
+
+
+def _render(scene, camera, integrator, spp=8, max_depth=5):
+    cfg = rdr.RenderCfg(integrator, spp=spp, max_depth=max_depth, rr_threshold=1.0)
+    scfg = smpl.make_sampler(smpl.SOBOL, spp, camera.resolution)
+    return np.asarray(rdr.render(scene, camera, cfg, scfg))
+
+
+def _floor_point_light(kd=0.6, I=100.0):
+    b = SceneBuilder()
+    m = b.add_matte(kd=(kd,) * 3)
+    pos = [[-100, 0, -100], [100, 0, -100], [100, 0, 100], [-100, 0, 100]]
+    b.add_triangle_mesh([[0, 1, 2], [0, 2, 3]], pos, material=m)
+    b.add_point_light(p=(0.0, 10.0, 0.0), I=(I,) * 3)
+    scene = b.finalize()
+    camera = cam.make_perspective(
+        tr.look_at([0, 5, -10], [0, 0, 0], [0, 1, 0]), (17, 17), fov=40.0
+    )
+    return scene, camera
+
+
+class TestDirectLighting:
+    def test_matches_analytic(self):
+        scene, camera = _floor_point_light()
+        img = _render(scene, camera, "directlighting", spp=8, max_depth=2)
+        want = 0.6 / np.pi * 100.0 / 100.0
+        np.testing.assert_allclose(img[8, 8], want, rtol=0.05)
+
+    def test_matches_path_on_direct_only_scene(self):
+        # single bounce: path and directlighting agree on direct lighting
+        scene, camera = _floor_point_light()
+        img_d = _render(scene, camera, "directlighting", spp=16, max_depth=1)
+        img_p = _render(scene, camera, "path", spp=16, max_depth=1)
+        np.testing.assert_allclose(img_d[8, 8], img_p[8, 8], rtol=0.05)
+
+
+class TestWhitted:
+    def test_direct_plus_mirror(self):
+        b = SceneBuilder()
+        m = b.add_matte(kd=(0.6,) * 3)
+        pos = [[-100, 0, -100], [100, 0, -100], [100, 0, 100], [-100, 0, 100]]
+        b.add_triangle_mesh([[0, 1, 2], [0, 2, 3]], pos, material=m)
+        b.add_point_light(p=(0.0, 10.0, 0.0), I=(100.0,) * 3)
+        scene = b.finalize()
+        camera = cam.make_perspective(
+            tr.look_at([0, 5, -10], [0, 0, 0], [0, 1, 0]), (17, 17), fov=40.0
+        )
+        img = _render(scene, camera, "whitted", spp=4, max_depth=3)
+        want = 0.6 / np.pi * 100.0 / 100.0
+        np.testing.assert_allclose(img[8, 8], want, rtol=0.05)
+
+    def test_mirror_reflection(self):
+        # mirror floor reflects the env map
+        b = SceneBuilder()
+        m = b.add_mirror(kr=(1.0, 1.0, 1.0))
+        pos = [[-100, 0, -100], [100, 0, -100], [100, 0, 100], [-100, 0, 100]]
+        b.add_triangle_mesh([[0, 1, 2], [0, 2, 3]], pos, material=m)
+        b.add_infinite_light(radiance_map=np.full((4, 8, 3), 0.7, np.float32))
+        scene = b.finalize()
+        camera = cam.make_perspective(
+            tr.look_at([0, 5, -10], [0, 0, 0], [0, 1, 0]), (17, 17), fov=40.0
+        )
+        img = _render(scene, camera, "whitted", spp=4, max_depth=3)
+        # perfect mirror: reflected env = 0.7
+        np.testing.assert_allclose(img[8, 8], 0.7, rtol=0.05)
+
+
+class TestAO:
+    def test_open_plane_is_unoccluded(self):
+        b = SceneBuilder()
+        pos = [[-100, 0, -100], [100, 0, -100], [100, 0, 100], [-100, 0, 100]]
+        b.add_triangle_mesh([[0, 1, 2], [0, 2, 3]], pos)
+        scene = b.finalize()
+        # look-at offset from the quad's diagonal: a ray through the EXACT
+        # shared edge is the watertight test's f64-fallback case
+        # (triangle.rs:222-266) which f32-only TPUs resolve arbitrarily
+        camera = cam.make_perspective(
+            tr.look_at([0, 5, -10], [1.0, 0, 0], [0, 1, 0]), (9, 9), fov=40.0
+        )
+        img = _render(scene, camera, "ao", spp=8, max_depth=1)
+        # reference AO convention: dot/pdf with cosine sampling -> pi when
+        # fully unoccluded (ao.rs:94)
+        np.testing.assert_allclose(img[4, 4], np.pi, rtol=0.05)
+
+
+class TestVolPath:
+    def test_vacuum_matches_path(self):
+        # same estimator expectation; dims differ so compare image means
+        scene, camera = presets.cornell_box(resolution=(16, 16))
+        img_v = _render(scene, camera, "volpath", spp=64)
+        img_p = _render(scene, camera, "path", spp=64)
+        np.testing.assert_allclose(
+            img_v.mean(axis=(0, 1)), img_p.mean(axis=(0, 1)), rtol=0.05
+        )
+
+    def test_absorbing_medium_darkens(self):
+        def make(sig_a):
+            b = SceneBuilder()
+            m = b.add_matte(kd=(0.6,) * 3)
+            pos = [[-100, 0, -100], [100, 0, -100], [100, 0, 100], [-100, 0, 100]]
+            b.add_triangle_mesh([[0, 1, 2], [0, 2, 3]], pos, material=m)
+            b.add_point_light(p=(0.0, 10.0, 0.0), I=(100.0,) * 3)
+            if sig_a > 0:
+                mid = b.add_medium(sigma_a=(sig_a,) * 3, sigma_s=(0.0,) * 3)
+                b.camera_medium = mid
+            scene = b.finalize()
+            camera = cam.make_perspective(
+                tr.look_at([0, 5, -10], [0, 0, 0], [0, 1, 0]), (9, 9), fov=40.0
+            )
+            return _render(scene, camera, "volpath", spp=16, max_depth=3)
+
+        img_clear = make(0.0)
+        img_fog = make(0.05)
+        # absorbing fog must darken the image substantially
+        assert img_fog[4, 4, 0] < 0.7 * img_clear[4, 4, 0]
+        assert img_fog[4, 4, 0] > 0.0
+
+    def test_beer_lambert_attenuation(self):
+        # camera inside pure absorber, looking at emissive wall:
+        # L = Le * exp(-sigma_a * dist)
+        b = SceneBuilder()
+        black = b.add_matte(kd=(0, 0, 0))
+        d = 5.0
+        sig = 0.2
+        b.add_triangle_mesh(
+            [[0, 1, 2], [0, 2, 3]],
+            [[-50, -50, d], [50, -50, d], [50, 50, d], [-50, 50, d]],
+            material=black,
+            area_light=dict(L=(2.0,) * 3, two_sided=True),
+        )
+        mid = b.add_medium(sigma_a=(sig,) * 3, sigma_s=(0.0,) * 3)
+        b.camera_medium = mid
+        scene = b.finalize()
+        camera = cam.make_perspective(
+            tr.look_at([0, 0, 0], [0, 0, d], [0, 1, 0]), (9, 9), fov=30.0
+        )
+        img = _render(scene, camera, "volpath", spp=32, max_depth=2)
+        want = 2.0 * np.exp(-sig * d)
+        np.testing.assert_allclose(img[4, 4], want, rtol=0.1)

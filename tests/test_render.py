@@ -90,8 +90,8 @@ class TestCornell:
     def test_wall_tints(self, cornell_img):
         left = cornell_img[10:25, 1:5].reshape(-1, 3).mean(0)
         right = cornell_img[10:25, 27:31].reshape(-1, 3).mean(0)
-        # one wall green-dominant, the other red-dominant
-        assert left[1] > left[0] and right[0] > right[1]
+        # reference layout: red left, green right
+        assert left[0] > left[1] and right[1] > right[0]
 
     def test_gi_nonzero_in_shadow(self, cornell_img):
         # floor under the boxes still receives bounce light
