@@ -34,12 +34,13 @@ def main():
     cfg = rdr.RenderCfg("path", spp=spp, max_depth=5, rr_threshold=1.0)
     scfg = smpl.make_sampler(smpl.SOBOL, spp, camera.resolution)
 
-    # compile + warm run at 4spp (same lane shapes as the spp batches below)
-    warm_cfg = rdr.RenderCfg("path", spp=4, max_depth=5, rr_threshold=1.0)
-    jax.block_until_ready(rdr.render(scene, camera, warm_cfg, scfg, max_lanes=1 << 18))
+    # compile + warm run with the SAME batch lane shape as the timed run
+    # (spp_per_batch = max_lanes // n_pix = 16 -> one 1M-lane batch)
+    warm_cfg = rdr.RenderCfg("path", spp=16, max_depth=5, rr_threshold=1.0)
+    jax.block_until_ready(rdr.render(scene, camera, warm_cfg, scfg, max_lanes=1 << 20))
 
     t0 = time.time()
-    img = rdr.render(scene, camera, cfg, scfg, max_lanes=1 << 18)
+    img = rdr.render(scene, camera, cfg, scfg, max_lanes=1 << 20)
     jax.block_until_ready(img)
     dt = time.time() - t0
 

@@ -146,7 +146,7 @@ def whitted_radiance(scene, wcfg: WhittedCfg, cfg_s, ctx, ray_o, ray_d, accel=No
             L = L + jnp.where(esc[..., None], beta * lt.env_le(scene, d), 0.0)
         alive = alive & it.valid
 
-        b = bx.make_bsdf(scene.mat_type[it.mat], scene.mat_params[it.mat])
+        b = bx.make_bsdf_at(scene, it)
         ss, ts = _shading_frame(it.ns)
         dim0 = DIM_CAMERA + depth * (2 * max(scene.n_lights, 1) + 3)
         if scene.n_lights > 0:
@@ -199,7 +199,7 @@ def directlighting_radiance(scene, dcfg, cfg_s, ctx, ray_o, ray_d, accel=None):
             L = L + jnp.where(esc[..., None], beta * lt.env_le(scene, d), 0.0)
         alive = alive & it.valid
 
-        b = bx.make_bsdf(scene.mat_type[it.mat], scene.mat_params[it.mat])
+        b = bx.make_bsdf_at(scene, it)
         ss, ts = _shading_frame(it.ns)
         dim0 = DIM_CAMERA + depth * (2 * max(scene.n_lights, 1) + 3)
         if scene.n_lights > 0:

@@ -109,9 +109,15 @@ def radiance(
 
         alive = alive & it.valid & (bounce < cfg.max_depth)
         dim0 = DIM_CAMERA + bounce * DIMS_PER_BOUNCE
+        dims = smpl.get_dims(sampler_cfg, ctx, dim0, DIMS_PER_BOUNCE)
+        def u1(k):
+            return dims[:, k] if dims is not None else smpl.get_1d_dyn(sampler_cfg, ctx, dim0 + k)
+        def u2d(k):
+            return (dims[:, k : k + 2] if dims is not None
+                    else smpl.get_2d_dyn(sampler_cfg, ctx, dim0 + k))
 
         # --- build BSDF at hit ---
-        b = bx.make_bsdf(scene.mat_type[it.mat], scene.mat_params[it.mat])
+        b = bx.make_bsdf_at(scene, it)
         ss, ts = _shading_frame(it.ns)
         wo_l = _to_local(it.wo, ss, ts, it.ns)
         non_spec = lambda k: (k != bx.LOBE_NONE) & (k != bx.LOBE_SPEC_REFL) & (
@@ -121,8 +127,8 @@ def radiance(
 
         # --- NEE: sample one light (reference integrator.rs:359-570) ---
         if scene.n_lights > 0:
-            u_select = smpl.get_1d_dyn(sampler_cfg, ctx, dim0 + 0)
-            u_light = smpl.get_2d_dyn(sampler_cfg, ctx, dim0 + 1)
+            u_select = u1(0)
+            u_light = u2d(1)
             li_idx, sel_pdf_n, _ = smp.sample_distribution_1d_discrete(light_dist, u_select)
             ls = lt.sample_li(scene, li_idx, it.p, u_light)
             wi_l = _to_local(ls.wi, ss, ts, it.ns)
@@ -152,8 +158,8 @@ def radiance(
             L = L + jnp.where((contrib_ok & ~occluded)[..., None], ld, 0.0)
 
         # --- BSDF sample for extension + MIS (reference path.rs:147-190) ---
-        u_bsdf = smpl.get_2d_dyn(sampler_cfg, ctx, dim0 + 3)
-        u_lobe = smpl.get_1d_dyn(sampler_cfg, ctx, dim0 + 5)
+        u_bsdf = u2d(3)
+        u_lobe = u1(5)
         bs = bx.bsdf_sample(b, wo_l, u_bsdf, u_lobe)
         wi_w = _to_world(bs.wi, ss, ts, it.ns)
         cos_wi = vm.absdot(wi_w, it.ns)
@@ -180,7 +186,7 @@ def radiance(
         rr_active = bounce > 2
         rr_beta_max = jnp.max(beta * eta_scale[..., None], axis=-1)
         q = jnp.maximum(0.05, 1.0 - rr_beta_max)
-        u_rr = smpl.get_1d_dyn(sampler_cfg, ctx, dim0 + 6)
+        u_rr = u1(6)
         consider = rr_active & (rr_beta_max < cfg.rr_threshold) & alive
         kill = consider & (u_rr < q)
         beta = jnp.where(

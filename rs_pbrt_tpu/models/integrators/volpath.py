@@ -44,16 +44,20 @@ def _prim_media(scene: sa.Scene, it: si.Interaction):
     n = it.p.shape[0]
     inside = jnp.full(n, -1, jnp.int32)
     outside = jnp.full(n, -1, jnp.int32)
+    from ...ops import gathers as gx
+
     if scene.n_tris > 0:
         is_tri = it.valid & (it.prim >= 0) & (it.prim < scene.n_tris)
         tid = jnp.clip(it.prim, 0, scene.n_tris - 1)
-        inside = jnp.where(is_tri, scene.tri_med[tid, 0], inside)
-        outside = jnp.where(is_tri, scene.tri_med[tid, 1], outside)
+        at = gx.take_rows(scene.tri_attr, tid)
+        inside = jnp.where(is_tri, gx.coli(at, sa.TA_MED_IN), inside)
+        outside = jnp.where(is_tri, gx.coli(at, sa.TA_MED_OUT), outside)
     if scene.n_spheres > 0:
         is_sph = it.valid & (it.prim >= scene.n_tris)
         sid = jnp.clip(it.prim - scene.n_tris, 0, scene.n_spheres - 1)
-        inside = jnp.where(is_sph, scene.sph_med[sid, 0], inside)
-        outside = jnp.where(is_sph, scene.sph_med[sid, 1], outside)
+        sat = gx.take_rows(scene.sph_attr, sid)
+        inside = jnp.where(is_sph, gx.coli(sat, sa.SP_MED_IN), inside)
+        outside = jnp.where(is_sph, gx.coli(sat, sa.SP_MED_OUT), outside)
     return inside, outside
 
 
@@ -87,13 +91,19 @@ def radiance(
         (o, d, L, beta, alive, specular_bounce, prev_pdf, cur_med) = state
         it = si.scene_intersect(scene, o, d, jnp.full(n, vm.INFINITY), accel)
         dim0 = DIM_CAMERA + bounce * DIMS_PER_BOUNCE
+        dims = smpl.get_dims(sampler_cfg, ctx, dim0, DIMS_PER_BOUNCE)
+        def u1(k):
+            return dims[:, k] if dims is not None else smpl.get_1d_dyn(sampler_cfg, ctx, dim0 + k)
+        def u2d(k):
+            return (dims[:, k : k + 2] if dims is not None
+                    else smpl.get_2d_dyn(sampler_cfg, ctx, dim0 + k))
 
         # --- medium distance sampling on the segment (volpath.rs:96-105) ---
         in_med = alive & (cur_med >= 0)
         mid = jnp.maximum(cur_med, 0)
         seg_t = jnp.where(it.valid, it.t, 2.0 * scene.world_radius * 4.0)
-        u_chan = smpl.get_1d_dyn(sampler_cfg, ctx, dim0 + 7)
-        u_dist = smpl.get_1d_dyn(sampler_cfg, ctx, dim0 + 8)
+        u_chan = u1(7)
+        u_dist = u1(8)
         ms = med.homogeneous_sample(
             scene.med_sigma_a[mid], scene.med_sigma_s[mid], u_chan, u_dist, seg_t
         )
@@ -133,14 +143,14 @@ def radiance(
 
         # --- NEE from medium or surface (volpath handle_media=true) ---
         if scene.n_lights > 0:
-            u_sel = smpl.get_1d_dyn(sampler_cfg, ctx, dim0 + 0)
-            u_light = smpl.get_2d_dyn(sampler_cfg, ctx, dim0 + 1)
+            u_sel = u1(0)
+            u_light = u2d(1)
             li_idx, sel_pdf_n, _ = smp.sample_distribution_1d_discrete(light_dist, u_sel)
             ref_p = jnp.where(med_scatter[..., None], p_med, it.p)
             ls = lt.sample_li(scene, li_idx, ref_p, u_light)
 
             # scattering term: phase (medium) or BSDF*cos (surface)
-            b = bx.make_bsdf(scene.mat_type[it.mat], scene.mat_params[it.mat])
+            b = bx.make_bsdf_at(scene, it)
             ss, ts = _shading_frame(it.ns)
             wo_l = _to_local(it.wo, ss, ts, it.ns)
             wi_l = _to_local(ls.wi, ss, ts, it.ns)
@@ -173,14 +183,14 @@ def radiance(
             L = L + jnp.where((ok & ~occ)[..., None], ld, 0.0)
 
         # --- continuation: phase sample or BSDF sample ---
-        u_phase = smpl.get_2d_dyn(sampler_cfg, ctx, dim0 + 9)
+        u_phase = u2d(9)
         wi_med, ph_pdf = med.hg_sample_phase(-d, u_phase, g)
 
-        b = bx.make_bsdf(scene.mat_type[it.mat], scene.mat_params[it.mat])
+        b = bx.make_bsdf_at(scene, it)
         ss, ts = _shading_frame(it.ns)
         wo_l = _to_local(it.wo, ss, ts, it.ns)
-        u_bsdf = smpl.get_2d_dyn(sampler_cfg, ctx, dim0 + 3)
-        u_lobe = smpl.get_1d_dyn(sampler_cfg, ctx, dim0 + 5)
+        u_bsdf = u2d(3)
+        u_lobe = u1(5)
         bs = bx.bsdf_sample(b, wo_l, u_bsdf, u_lobe)
         wi_surf = _to_world(bs.wi, ss, ts, it.ns)
         cos_wi = vm.absdot(wi_surf, it.ns)
@@ -216,7 +226,7 @@ def radiance(
         rr_active = bounce > 2
         rr_beta_max = jnp.max(beta, axis=-1)
         q = jnp.maximum(0.05, 1.0 - rr_beta_max)
-        u_rr = smpl.get_1d_dyn(sampler_cfg, ctx, dim0 + 6)
+        u_rr = u1(6)
         consider = rr_active & (rr_beta_max < cfg.rr_threshold) & alive
         kill = consider & (u_rr < q)
         beta = jnp.where(

@@ -37,42 +37,45 @@ def _area_sample_tri(scene: sa.Scene, light_idx, ref_p, u2):
 
     Uses the per-light normalized area CDF (scene.alight_tri_cdf) then
     uniform barycentrics (reference shapes/triangle.rs sample +
-    lights/diffuse.rs sample_li).
+    lights/diffuse.rs sample_li).  Table reads ride one-hot matmuls.
     """
-    cdf = scene.alight_tri_cdf[light_idx]  # (N, A+1)
+    from ..ops import gathers as gx
+
+    cdf = gx.take_rows(scene.alight_tri_cdf, light_idx)  # (N, A+1)
     # remap u2.x through the CDF to both pick the triangle and recycle
-    o = smp.find_interval(cdf, u2[..., 0])
-    c0 = jnp.take_along_axis(cdf, o[..., None], axis=-1)[..., 0]
-    c1 = jnp.take_along_axis(cdf, o[..., None] + 1, axis=-1)[..., 0]
+    o, c0, c1 = smp.bracket_cdf(cdf, u2[..., 0])
     u_remap = jnp.clip((u2[..., 0] - c0) / jnp.maximum(c1 - c0, 1e-12), 0.0, 1.0 - 1e-7)
-    tri = scene.light_tri_start[light_idx] + o.astype(jnp.int32)
+    la = gx.take_rows(scene.light_attr, light_idx)
+    tri = gx.coli(la, sa.LA_TRI_START) + o.astype(jnp.int32)
     tri = jnp.clip(tri, 0, scene.n_tris - 1)
+    at = gx.take_rows(scene.tri_attr, tri)
     b = smp.uniform_sample_triangle(jnp.stack([u_remap, u2[..., 1]], axis=-1))
     b0, b1 = b[..., 0], b[..., 1]
     b2 = 1.0 - b0 - b1
-    p = (
-        b0[..., None] * scene.tri_p0[tri]
-        + b1[..., None] * scene.tri_p1[tri]
-        + b2[..., None] * scene.tri_p2[tri]
-    )
-    ng = vm.cross(scene.tri_p1[tri] - scene.tri_p0[tri], scene.tri_p2[tri] - scene.tri_p0[tri])
-    ng = vm.normalize(ng)
+    p0 = gx.col3(at, sa.TA_P0)
+    p1 = gx.col3(at, sa.TA_P1)
+    p2 = gx.col3(at, sa.TA_P2)
+    p = b0[..., None] * p0 + b1[..., None] * p1 + b2[..., None] * p2
+    ng = vm.normalize(vm.cross(p1 - p0, p2 - p0))
     # orient by shading normals if present (reference triangle.rs sample)
     ns = (
-        b0[..., None] * scene.tri_n0[tri]
-        + b1[..., None] * scene.tri_n1[tri]
-        + b2[..., None] * scene.tri_n2[tri]
+        b0[..., None] * gx.col3(at, sa.TA_N0)
+        + b1[..., None] * gx.col3(at, sa.TA_N1)
+        + b2[..., None] * gx.col3(at, sa.TA_N2)
     )
-    has_n = scene.tri_has_n[tri]
+    has_n = gx.colb(at, sa.TA_HAS_N)
     ng = jnp.where(has_n[..., None], vm.face_forward(ng, ns), ng)
-    ng = jnp.where(scene.tri_reverse[tri][..., None], -ng, ng)
+    ng = jnp.where(gx.colb(at, sa.TA_REVERSE)[..., None], -ng, ng)
     return p, ng
 
 
 def sample_li(scene: sa.Scene, light_idx, ref_p, u2) -> LiSample:
     """light_idx: (N,) int32; ref_p: (N,3); u2: (N,2)."""
-    lp = scene.light_params[light_idx]
-    ltype = scene.light_type[light_idx]
+    from ..ops import gathers as gx
+
+    la = gx.take_rows(scene.light_attr, light_idx)
+    lp = la[..., : sa.N_LIGHT_PARAMS]
+    ltype = gx.coli(la, sa.LA_TYPE)
     n = ref_p.shape[0]
 
     pos = lp[:, sa.LP_P : sa.LP_P + 3]
@@ -174,7 +177,9 @@ def _env_lookup(scene: sa.Scene, uv):
 def pdf_li_area(scene: sa.Scene, light_idx, ref_p, p_hit, n_hit):
     """Solid-angle pdf that sample_li on area light light_idx would have
     produced direction towards p_hit (for BSDF-sampling MIS)."""
-    lp = scene.light_params[light_idx]
+    from ..ops import gathers as gx
+
+    lp = gx.take_rows(scene.light_attr, light_idx)[..., : sa.N_LIGHT_PARAMS]
     d = p_hit - ref_p
     d2 = jnp.maximum(vm.length_squared(d), 1e-12)
     wi = d / jnp.sqrt(d2)[..., None]
@@ -213,7 +218,9 @@ def env_le(scene: sa.Scene, d):
 def area_light_emitted(scene: sa.Scene, light_idx, n_hit, wo):
     """L() of an intersected area light (reference lights/diffuse.rs l()):
     lemit when the outgoing direction is on the emitting side."""
-    lp = scene.light_params[light_idx]
+    from ..ops import gathers as gx
+
+    lp = gx.take_rows(scene.light_attr, light_idx)[..., : sa.N_LIGHT_PARAMS]
     lemit = lp[:, sa.LP_I : sa.LP_I + 3]
     two_sided = lp[:, sa.LP_TWO_SIDED] > 0.5
     emits = two_sided | (vm.dot(n_hit, wo) > 0.0)

@@ -165,6 +165,26 @@ def get_2d_dyn(cfg: SamplerCfg, ctx: SampleCtx, dim):
     )
 
 
+def get_dims(cfg: SamplerCfg, ctx: SampleCtx, dim0, n_dims: int):
+    """All integrator dims for a bounce in one shot: (N, n_dims), or None
+    to signal the caller to fall back to per-dim calls.
+
+    For Sobol' on TPU this runs the fused Pallas bit-matrix kernel
+    (ops/pallas_sobol.py) — the XLA lowering of the per-dim XOR chains was
+    the single largest cost in the whole integrator."""
+    if cfg.kind == SOBOL:
+        import jax
+
+        if jax.default_backend() in ("tpu", "axon"):
+            from ..ops.pallas_sobol import sobol_dims
+
+            return sobol_dims(ctx.global_index.hi, ctx.global_index.lo, dim0, n_dims)
+        return jnp.stack(
+            [get_1d_dyn(cfg, ctx, dim0 + k) for k in range(n_dims)], axis=-1
+        )
+    return None
+
+
 def _permute(i, n: int, key):
     """Pseudorandom permutation of [0, n) via cycle-walking Feistel-lite
     (Kensler-style hash permutation used by correlated multi-jitter)."""

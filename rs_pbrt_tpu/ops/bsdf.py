@@ -253,6 +253,44 @@ class Bsdf(NamedTuple):
     kt: jnp.ndarray  # (N,3) transmission color (fresnel-spec lobe)
 
 
+def make_bsdf_at(scene, it):
+    """Build the per-lane BSDF at hits, resolving textured parameter slots
+    (replaces Material::compute_scattering_functions + per-material texture
+    evaluate calls, material.rs:63 + src/materials/*)."""
+    from ..scene import arrays as sa
+    from . import gathers as gx
+
+    ma = gx.take_rows(scene.mat_attr, it.mat)  # one-hot matmul
+    mat_type = gx.coli(ma, sa.MA_TYPE)
+    params = ma[..., sa.MA_PARAMS : sa.MA_PARAMS + sa.N_MAT_PARAMS]
+    if scene.tex_type.shape[0] > 1:  # textures present (trace-time static)
+        from . import texture as tx
+
+        mt = jnp.round(ma[..., sa.MA_TEX : sa.MA_TEX + sa.N_TEX_SLOTS]).astype(jnp.int32)
+
+        def override3(params, slot, col):
+            tid = mt[:, slot]
+            val = tx.eval_texture(scene, tid, it.uv, it.p)
+            cur = params[:, col : col + 3]
+            new = jnp.where((tid >= 0)[:, None], val, cur)
+            return params.at[:, col : col + 3].set(new)
+
+        def override1(params, slot, col):
+            tid = mt[:, slot]
+            val = tx.eval_texture(scene, tid, it.uv, it.p)[..., 0]
+            new = jnp.where(tid >= 0, val, params[:, col])
+            return params.at[:, col].set(new)
+
+        params = override3(params, sa.TEX_SLOT_KD, sa.MP_KD)
+        params = override3(params, sa.TEX_SLOT_KS, sa.MP_KS)
+        params = override3(params, sa.TEX_SLOT_KR, sa.MP_KR)
+        params = override3(params, sa.TEX_SLOT_KT, sa.MP_KT)
+        params = override1(params, sa.TEX_SLOT_SIGMA, sa.MP_SIGMA)
+        params = override1(params, sa.TEX_SLOT_ROUGH_U, sa.MP_ROUGH_U)
+        params = override1(params, sa.TEX_SLOT_ROUGH_V, sa.MP_ROUGH_V)
+    return make_bsdf(mat_type, params)
+
+
 def make_bsdf(mat_type, params):
     """Material tag + parameter row -> per-lane Bsdf
     (replaces Material::compute_scattering_functions, material.rs:63)."""

@@ -140,13 +140,22 @@ def make_distribution_1d(func) -> Distribution1D:
     return Distribution1D(func, cdf, func_int)
 
 
+# below this CDF length the comparison-count form (pure elementwise +
+# reduction, no gathers — TPU gathers measured ~ms at wavefront sizes)
+# replaces binary search
+COUNT_SEARCH_MAX = 512
+
+
 def find_interval(cdf, u):
-    """Largest i with cdf[..., i] <= u, clamped to [0, n-2]; batched binary
-    search (vectorized replacement of reference pbrt.rs:214 find_interval).
+    """Largest i with cdf[..., i] <= u, clamped to [0, n-2]
+    (vectorized replacement of reference pbrt.rs:214 find_interval).
 
     cdf: (..., n) broadcastable against u: (...,).
     """
     n = cdf.shape[-1]
+    if n <= COUNT_SEARCH_MAX:
+        idx = jnp.sum((cdf <= u[..., None]).astype(jnp.int32), axis=-1) - 1
+        return jnp.clip(idx, 0, n - 2)
     lo = jnp.zeros(jnp.broadcast_shapes(cdf.shape[:-1], u.shape), jnp.int32)
     hi = jnp.full_like(lo, n - 1)
     n_steps = int(np.ceil(np.log2(max(n, 2)))) + 1
@@ -160,18 +169,32 @@ def find_interval(cdf, u):
     return jnp.clip(lo, 0, n - 2)
 
 
+def bracket_cdf(cdf, u):
+    """(offset, cdf[offset], cdf[offset+1]) without gathers for small n:
+    the bracketing values come from masked min/max reductions."""
+    n = cdf.shape[-1]
+    o = find_interval(cdf, u)
+    if n <= COUNT_SEARCH_MAX:
+        oh = o[..., None] == jnp.arange(n)
+        c0 = jnp.sum(jnp.where(oh, cdf, 0.0), axis=-1)
+        oh1 = o[..., None] + 1 == jnp.arange(n)
+        c1 = jnp.sum(jnp.where(oh1, cdf, 0.0), axis=-1)
+    else:
+        c0 = jnp.take_along_axis(jnp.broadcast_to(cdf, o.shape + (n,)), o[..., None], axis=-1)[..., 0]
+        c1 = jnp.take_along_axis(jnp.broadcast_to(cdf, o.shape + (n,)), o[..., None] + 1, axis=-1)[..., 0]
+    return o, c0, c1
+
+
 _find_interval = find_interval
 
 
 def sample_distribution_1d_continuous(dist: Distribution1D, u):
     """Returns (value in [0,1), pdf, offset)."""
     n = dist.func.shape[-1]
-    o = _find_interval(dist.cdf, u)
-    c0 = jnp.take(dist.cdf, o, axis=-1)
-    c1 = jnp.take(dist.cdf, o + 1, axis=-1)
+    o, c0, c1 = bracket_cdf(dist.cdf, u)
     denom = c1 - c0
     du = jnp.where(denom > 0.0, (u - c0) / jnp.where(denom > 0.0, denom, 1.0), u - c0)
-    f = jnp.take(dist.func, o, axis=-1)
+    f = _read_at(dist.func, o)
     pdf = jnp.where(dist.func_int > 0.0, f / jnp.maximum(dist.func_int, 1e-30), 0.0)
     return (o.astype(jnp.float32) + du) / n, pdf, o
 
@@ -179,21 +202,28 @@ def sample_distribution_1d_continuous(dist: Distribution1D, u):
 def sample_distribution_1d_discrete(dist: Distribution1D, u):
     """Returns (offset, pdf, remapped u)."""
     n = dist.func.shape[-1]
-    o = _find_interval(dist.cdf, u)
-    f = jnp.take(dist.func, o, axis=-1)
+    o, c0, c1 = bracket_cdf(dist.cdf, u)
+    f = _read_at(dist.func, o)
     pdf = jnp.where(
         dist.func_int > 0.0, f / jnp.maximum(dist.func_int * n, 1e-30), 0.0
     )
-    c0 = jnp.take(dist.cdf, o, axis=-1)
-    c1 = jnp.take(dist.cdf, o + 1, axis=-1)
     u_remapped = jnp.where(c1 > c0, (u - c0) / jnp.maximum(c1 - c0, 1e-30), 0.0)
     return o, pdf, u_remapped
 
 
 def distribution_1d_discrete_pdf(dist: Distribution1D, index):
     n = dist.func.shape[-1]
-    f = jnp.take(dist.func, index, axis=-1)
+    f = _read_at(dist.func, index)
     return f / jnp.maximum(dist.func_int * n, 1e-30)
+
+
+def _read_at(arr, idx):
+    """Gather-free table read for small tables (one-hot mask + reduce)."""
+    n = arr.shape[-1]
+    if n <= COUNT_SEARCH_MAX:
+        oh = idx[..., None] == jnp.arange(n)
+        return jnp.sum(jnp.where(oh, arr, 0.0), axis=-1)
+    return jnp.take(arr, idx, axis=-1)
 
 
 class Distribution2D(NamedTuple):

@@ -23,6 +23,37 @@ from . import intersect as isect
 BRUTE_FORCE_MAX_TRIS = 4096
 
 
+def _use_pallas():
+    """Pallas kernels on real TPU backends only (CPU tests interpret slowly)."""
+    import jax
+
+    return jax.default_backend() in ("tpu", "axon")
+
+
+def _dense_tri_hit(scene, o, d, t_max):
+    if _use_pallas():
+        from .pallas_intersect import pallas_intersect_tris
+
+        return pallas_intersect_tris(
+            o, d, t_max, scene.tri_p0, scene.tri_p1, scene.tri_p2
+        )
+    return isect.intersect_tris_brute(
+        o, d, t_max, scene.tri_p0, scene.tri_p1, scene.tri_p2
+    )
+
+
+def _dense_tri_hit_p(scene, o, d, t_max):
+    if _use_pallas():
+        from .pallas_intersect import pallas_intersect_tris_p
+
+        return pallas_intersect_tris_p(
+            o, d, t_max, scene.tri_p0, scene.tri_p1, scene.tri_p2
+        )
+    return isect.intersect_tris_brute_p(
+        o, d, t_max, scene.tri_p0, scene.tri_p1, scene.tri_p2
+    )
+
+
 class Interaction(NamedTuple):
     valid: jnp.ndarray  # (N,) bool
     t: jnp.ndarray  # (N,)
@@ -38,10 +69,15 @@ class Interaction(NamedTuple):
 
 
 def _tri_interaction(scene: sa.Scene, o, d, hit: isect.TriHit):
+    from . import gathers as gx
+
     tri = jnp.clip(hit.tri, 0, scene.n_tris - 1)
+    at = gx.take_rows(scene.tri_attr, tri)  # one-hot matmul: all attrs at once
     b0, b1 = hit.b0, hit.b1
     b2 = 1.0 - b0 - b1
-    p0, p1, p2 = scene.tri_p0[tri], scene.tri_p1[tri], scene.tri_p2[tri]
+    p0 = gx.col3(at, sa.TA_P0)
+    p1 = gx.col3(at, sa.TA_P1)
+    p2 = gx.col3(at, sa.TA_P2)
     p = b0[..., None] * p0 + b1[..., None] * p1 + b2[..., None] * p2
     # error bound (reference triangle.rs:376: gamma(7) * sum |bi pi|)
     p_err = vm.gamma(7.0) * (
@@ -50,24 +86,24 @@ def _tri_interaction(scene: sa.Scene, o, d, hit: isect.TriHit):
     # geometric normal from the winding (reference triangle.rs dp02 x dp12)
     ng = vm.normalize(vm.cross(p0 - p2, p1 - p2))
     ns = (
-        b0[..., None] * scene.tri_n0[tri]
-        + b1[..., None] * scene.tri_n1[tri]
-        + b2[..., None] * scene.tri_n2[tri]
+        b0[..., None] * gx.col3(at, sa.TA_N0)
+        + b1[..., None] * gx.col3(at, sa.TA_N1)
+        + b2[..., None] * gx.col3(at, sa.TA_N2)
     )
     ns_len = vm.length(ns)
-    has_n = scene.tri_has_n[tri] & (ns_len > 1e-8)
+    has_n = gx.colb(at, sa.TA_HAS_N) & (ns_len > 1e-8)
     ns = jnp.where(has_n[..., None], ns / jnp.maximum(ns_len, 1e-8)[..., None], ng)
     # orient geometric to agree with shading (reference interaction.rs
     # set_shading_geometry) and honor ReverseOrientation
-    rev = scene.tri_reverse[tri]
+    rev = gx.colb(at, sa.TA_REVERSE)
     ns = jnp.where(rev[..., None], -ns, ns)
     ng = jnp.where(has_n[..., None], vm.face_forward(ng, ns), jnp.where(rev[..., None], -ng, ng))
     uv = (
-        b0[..., None] * scene.tri_uv0[tri]
-        + b1[..., None] * scene.tri_uv1[tri]
-        + b2[..., None] * scene.tri_uv2[tri]
+        b0[..., None] * gx.col2(at, sa.TA_UV0)
+        + b1[..., None] * gx.col2(at, sa.TA_UV1)
+        + b2[..., None] * gx.col2(at, sa.TA_UV2)
     )
-    return p, p_err, ng, ns, uv, scene.tri_mat[tri], scene.tri_light[tri]
+    return p, p_err, ng, ns, uv, gx.coli(at, sa.TA_MAT), gx.coli(at, sa.TA_LIGHT)
 
 
 def _sphere_hits(scene: sa.Scene, o, d, t_max):
@@ -92,9 +128,15 @@ def _sphere_hits(scene: sa.Scene, o, d, t_max):
 
 
 def _sphere_interaction(scene: sa.Scene, sph_idx, p_obj, phi):
-    prm = scene.sph_params[sph_idx]
-    radius, z_min, z_max, phi_max = prm[..., 0], prm[..., 1], prm[..., 2], prm[..., 3]
-    o2w = scene.sph_o2w[sph_idx]
+    from . import gathers as gx
+
+    at = gx.take_rows(scene.sph_attr, sph_idx)
+    radius = gx.col(at, sa.SP_PARAMS)
+    z_min = gx.col(at, sa.SP_PARAMS + 1)
+    z_max = gx.col(at, sa.SP_PARAMS + 2)
+    phi_max = gx.col(at, sa.SP_PARAMS + 3)
+    o2w = at[..., sa.SP_O2W : sa.SP_O2W + 16].reshape(at.shape[:-1] + (4, 4))
+    w2o = at[..., sa.SP_W2O : sa.SP_W2O + 16].reshape(at.shape[:-1] + (4, 4))
     theta = jnp.arccos(jnp.clip(p_obj[..., 2] / radius, -1.0, 1.0))
     theta_min = jnp.arccos(jnp.clip(z_min / radius, -1.0, 1.0))
     theta_max = jnp.arccos(jnp.clip(z_max / radius, -1.0, 1.0))
@@ -104,13 +146,13 @@ def _sphere_interaction(scene: sa.Scene, sph_idx, p_obj, phi):
     p, p_err_local = tr.xform_point_with_error(o2w, p_obj)
     # object-space hit error gamma(5)*|p_obj| transformed conservatively
     p_err = p_err_local + vm.gamma(5.0) * jnp.abs(p)
-    ng = vm.normalize(tr.xform_normal(scene.sph_w2o[sph_idx], n_obj))
-    rev = scene.sph_reverse[sph_idx]
+    ng = vm.normalize(tr.xform_normal(w2o, n_obj))
+    rev = gx.colb(at, sa.SP_REVERSE)
     swap = tr.swaps_handedness(o2w)
     flip = rev ^ swap
     ng = jnp.where(flip[..., None], -ng, ng)
     uv = jnp.stack([u, v], axis=-1)
-    return p, p_err, ng, ng, uv, scene.sph_mat[sph_idx], scene.sph_light[sph_idx]
+    return p, p_err, ng, ng, uv, gx.coli(at, sa.SP_MAT), gx.coli(at, sa.SP_LIGHT)
 
 
 def scene_intersect(
@@ -125,9 +167,7 @@ def scene_intersect(
                 o, d, t_best, accel, scene.tri_p0, scene.tri_p1, scene.tri_p2
             )
         else:
-            th = isect.intersect_tris_brute(
-                o, d, t_best, scene.tri_p0, scene.tri_p1, scene.tri_p2
-            )
+            th = _dense_tri_hit(scene, o, d, t_best)
     else:
         th = isect.TriHit(
             jnp.zeros(n, bool), t_best, jnp.full(n, -1, jnp.int32),
@@ -190,9 +230,7 @@ def scene_intersect_p(scene: sa.Scene, o, d, t_max, accel: Optional[bvhmod.LBVH]
                 o, d, t_max, accel, scene.tri_p0, scene.tri_p1, scene.tri_p2, any_hit=True
             ).valid
         else:
-            occ = occ | isect.intersect_tris_brute_p(
-                o, d, t_max, scene.tri_p0, scene.tri_p1, scene.tri_p2
-            )
+            occ = occ | _dense_tri_hit_p(scene, o, d, t_max)
     if scene.n_spheres > 0:
         sv, _, _, _, _ = _sphere_hits(scene, o, d, t_max)
         occ = occ | sv

@@ -96,6 +96,54 @@ ALG_TRI_RANGE = 1  # triangles [light_tri_start, light_tri_end)
 ALG_SPHERE = 2
 ALG_DISK = 3
 
+# ---- packed per-object attribute tables (one-hot-matmul gather targets;
+# see ops/gathers.py — per-lane gathers from small tables are turned into
+# MXU matmuls, so all attributes of an object live in ONE f32 row) ----
+
+# tri_attr columns
+TA_P0 = 0
+TA_P1 = 3
+TA_P2 = 6
+TA_N0 = 9
+TA_N1 = 12
+TA_N2 = 15
+TA_UV0 = 18
+TA_UV1 = 20
+TA_UV2 = 22
+TA_HAS_N = 24
+TA_MAT = 25
+TA_LIGHT = 26
+TA_REVERSE = 27
+TA_MED_IN = 28
+TA_MED_OUT = 29
+N_TRI_ATTR = 30
+
+# mat_attr columns
+MA_TYPE = 0
+MA_PARAMS = 1  # 1 : 1+N_MAT_PARAMS
+MA_TEX = 1 + N_MAT_PARAMS  # texture slot ids (as floats, -1 = none)
+N_MAT_ATTR = 1 + N_MAT_PARAMS + N_TEX_SLOTS
+
+# light_attr columns: light_params in 0:N_LIGHT_PARAMS then ints
+LA_TYPE = N_LIGHT_PARAMS
+LA_FLAGS = N_LIGHT_PARAMS + 1
+LA_GEOM = N_LIGHT_PARAMS + 2
+LA_TRI_START = N_LIGHT_PARAMS + 3
+LA_TRI_END = N_LIGHT_PARAMS + 4
+LA_SHAPE_IDX = N_LIGHT_PARAMS + 5
+N_LIGHT_ATTR = N_LIGHT_PARAMS + 6
+
+# sph_attr columns
+SP_O2W = 0  # 16 (row-major 4x4)
+SP_W2O = 16
+SP_PARAMS = 32  # radius zmin zmax phimax
+SP_MAT = 36
+SP_LIGHT = 37
+SP_REVERSE = 38
+SP_MED_IN = 39
+SP_MED_OUT = 40
+N_SPH_ATTR = 41
+
 
 class Scene(NamedTuple):
     # --- triangle soup (world space) ---
@@ -126,9 +174,13 @@ class Scene(NamedTuple):
     mat_params: jnp.ndarray  # (M, N_MAT_PARAMS)
     mat_tex: jnp.ndarray  # (M, N_TEX_SLOTS) i32 texture ids, -1 = constant
 
-    # --- textures (procedural table; image maps carry an atlas later) ---
+    # --- textures (type/param tables + child refs + packed image atlas) ---
     tex_type: jnp.ndarray  # (X,) i32
     tex_params: jnp.ndarray  # (X, 16)
+    tex_child: jnp.ndarray  # (X, 2) i32 sub-texture refs (-1 none)
+    tex_w2t: jnp.ndarray  # (X, 4, 4) world->texture transforms (3D mappings)
+    tex_atlas: jnp.ndarray  # (AH, AW, 3) all image textures stacked
+    tex_rect: jnp.ndarray  # (X, 4) i32: y0, h, w, wrap
 
     # --- lights ---
     light_type: jnp.ndarray  # (L,) i32
@@ -156,6 +208,12 @@ class Scene(NamedTuple):
     inf_dist: Distribution2D  # luminance*sin(theta) importance
     inf_w2l: jnp.ndarray  # (4,4) world->light transform
     inf_l2w: jnp.ndarray  # (4,4)
+
+    # --- packed attribute tables (derived; see gathers.py) ---
+    tri_attr: jnp.ndarray  # (T, N_TRI_ATTR)
+    mat_attr: jnp.ndarray  # (M, N_MAT_ATTR)
+    light_attr: jnp.ndarray  # (L, N_LIGHT_ATTR)
+    sph_attr: jnp.ndarray  # (S, N_SPH_ATTR)
 
     # --- world bound ---
     world_center: jnp.ndarray  # (3,)
@@ -202,6 +260,10 @@ def empty_scene_arrays(n_tris=0, n_sph=0, n_mat=1, n_lights=0, alight_pad=1):
         mat_tex=np.full((M, N_TEX_SLOTS), -1, np.int32),
         tex_type=np.zeros(1, np.int32),
         tex_params=np.zeros((1, 16), np.float32),
+        tex_child=np.full((1, 2), -1, np.int32),
+        tex_w2t=np.tile(np.eye(4, dtype=np.float32), (1, 1, 1)),
+        tex_atlas=np.zeros((1, 1, 3), np.float32),
+        tex_rect=np.zeros((1, 4), np.int32),
         light_type=np.zeros(L, np.int32),
         light_flags=np.zeros(L, np.int32),
         light_params=np.zeros((L, N_LIGHT_PARAMS), np.float32),
@@ -250,10 +312,12 @@ def finalize_scene(arrs: dict) -> Scene:
     arrs["world_center"] = center.astype(np.float32)
     arrs["world_radius"] = np.float32(radius)
 
-    # distant/infinite lights need world radius in their params
+    # distant/infinite lights need world radius in their params; spots
+    # repurpose the world-center slot for their direction (set by builder)
     for li in range(len(arrs["light_type"])):
         arrs["light_params"][li, LP_WORLD_RADIUS] = radius
-        arrs["light_params"][li, LP_WORLD_CENTER : LP_WORLD_CENTER + 3] = center
+        if arrs["light_type"][li] != LIGHT_SPOT:
+            arrs["light_params"][li, LP_WORLD_CENTER : LP_WORLD_CENTER + 3] = center
 
     rad = arrs["inf_radiance"]
     if rad.shape[0] > 1:
@@ -263,6 +327,59 @@ def finalize_scene(arrs: dict) -> Scene:
         inf_dist = make_distribution_2d(jnp.asarray(lum * sin_theta[:, None]))
     else:
         inf_dist = make_distribution_2d(jnp.ones((1, 1), jnp.float32))
+
+    # ---- derived packed attribute tables (host numpy) ----
+    T = len(arrs["tri_p0"])
+    tri_attr = np.zeros((max(T, 1), N_TRI_ATTR), np.float32)
+    if T:
+        tri_attr[:, TA_P0 : TA_P0 + 3] = arrs["tri_p0"]
+        tri_attr[:, TA_P1 : TA_P1 + 3] = arrs["tri_p1"]
+        tri_attr[:, TA_P2 : TA_P2 + 3] = arrs["tri_p2"]
+        tri_attr[:, TA_N0 : TA_N0 + 3] = arrs["tri_n0"]
+        tri_attr[:, TA_N1 : TA_N1 + 3] = arrs["tri_n1"]
+        tri_attr[:, TA_N2 : TA_N2 + 3] = arrs["tri_n2"]
+        tri_attr[:, TA_UV0 : TA_UV0 + 2] = arrs["tri_uv0"]
+        tri_attr[:, TA_UV1 : TA_UV1 + 2] = arrs["tri_uv1"]
+        tri_attr[:, TA_UV2 : TA_UV2 + 2] = arrs["tri_uv2"]
+        tri_attr[:, TA_HAS_N] = arrs["tri_has_n"]
+        tri_attr[:, TA_MAT] = arrs["tri_mat"]
+        tri_attr[:, TA_LIGHT] = arrs["tri_light"]
+        tri_attr[:, TA_REVERSE] = arrs["tri_reverse"]
+        tri_attr[:, TA_MED_IN] = arrs["tri_med"][:, 0]
+        tri_attr[:, TA_MED_OUT] = arrs["tri_med"][:, 1]
+    arrs["tri_attr"] = tri_attr
+
+    M = len(arrs["mat_type"])
+    mat_attr = np.zeros((M, N_MAT_ATTR), np.float32)
+    mat_attr[:, MA_TYPE] = arrs["mat_type"]
+    mat_attr[:, MA_PARAMS : MA_PARAMS + N_MAT_PARAMS] = arrs["mat_params"]
+    mat_attr[:, MA_TEX : MA_TEX + N_TEX_SLOTS] = arrs["mat_tex"]
+    arrs["mat_attr"] = mat_attr
+
+    L = len(arrs["light_type"])
+    light_attr = np.zeros((max(L, 1), N_LIGHT_ATTR), np.float32)
+    if L:
+        light_attr[:, :N_LIGHT_PARAMS] = arrs["light_params"]
+        light_attr[:, LA_TYPE] = arrs["light_type"]
+        light_attr[:, LA_FLAGS] = arrs["light_flags"]
+        light_attr[:, LA_GEOM] = arrs["light_geom_kind"]
+        light_attr[:, LA_TRI_START] = arrs["light_tri_start"]
+        light_attr[:, LA_TRI_END] = arrs["light_tri_end"]
+        light_attr[:, LA_SHAPE_IDX] = arrs["light_shape_idx"]
+    arrs["light_attr"] = light_attr
+
+    S = len(arrs["sph_o2w"])
+    sph_attr = np.zeros((max(S, 1), N_SPH_ATTR), np.float32)
+    if S:
+        sph_attr[:, SP_O2W : SP_O2W + 16] = arrs["sph_o2w"].reshape(S, 16)
+        sph_attr[:, SP_W2O : SP_W2O + 16] = arrs["sph_w2o"].reshape(S, 16)
+        sph_attr[:, SP_PARAMS : SP_PARAMS + 4] = arrs["sph_params"]
+        sph_attr[:, SP_MAT] = arrs["sph_mat"]
+        sph_attr[:, SP_LIGHT] = arrs["sph_light"]
+        sph_attr[:, SP_REVERSE] = arrs["sph_reverse"]
+        sph_attr[:, SP_MED_IN] = arrs["sph_med"][:, 0]
+        sph_attr[:, SP_MED_OUT] = arrs["sph_med"][:, 1]
+    arrs["sph_attr"] = sph_attr
 
     dev = {k: jnp.asarray(v) for k, v in arrs.items()}
     return Scene(inf_dist=inf_dist, **dev)

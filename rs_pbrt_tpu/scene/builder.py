@@ -29,6 +29,7 @@ class SceneBuilder:
         self.env = None  # (radiance HxWx3, l2w, w2o)
         self.media = []  # list of (sigma_a, sigma_s, g)
         self.camera_medium = -1
+        self.textures = []  # list of (type, params(16,), children(2,), w2t(4,4), image|None)
         # default material: grey matte (reference api.rs default)
         self.add_matte(kd=(0.5, 0.5, 0.5))
 
@@ -80,6 +81,35 @@ class SceneBuilder:
 
     def add_translucent(self, kd=(0.25,) * 3):
         return self._add_material(sa.TRANSLUCENT, kd=kd)
+
+    def add_texture(self, tex_type, params=None, children=(-1, -1),
+                    world_to_texture=None, image=None):
+        """Texture table entry (reference src/textures/* create fns).
+        params: dict of ops.texture.TP_* slot -> value, or (16,) array."""
+        from ..ops import texture as tx
+
+        pvec = np.zeros(tx.N_TEX_PARAMS, np.float32)
+        pvec[tx.TP_SU] = 1.0
+        pvec[tx.TP_SV] = 1.0
+        pvec[tx.TP_GAMMA_SCALE] = 1.0
+        if isinstance(params, dict):
+            for k, v in params.items():
+                if hasattr(v, "__len__"):
+                    pvec[k : k + len(v)] = v
+                else:
+                    pvec[k] = v
+        elif params is not None:
+            pvec[: len(params)] = params
+        w2t = np.asarray(
+            (world_to_texture.m_inv if world_to_texture is not None else np.eye(4)),
+            np.float32,
+        )
+        self.textures.append((int(tex_type), pvec, np.asarray(children, np.int32), w2t, image))
+        return len(self.textures) - 1
+
+    def set_material_texture(self, mat_id, slot, tex_id):
+        """Bind a texture to a material's texturable slot (sa.TEX_SLOT_*)."""
+        self.mats[mat_id][2][slot] = tex_id
 
     def add_medium(self, sigma_a=(1.0,) * 3, sigma_s=(1.0,) * 3, g=0.0, scale=1.0):
         """Homogeneous medium (reference media/homogeneous.rs + api.rs
@@ -324,25 +354,49 @@ class SceneBuilder:
             arrs["sph_med"] = np.asarray(self.sphs["med"], np.int32)
         arrs["camera_medium"] = np.int32(self.camera_medium)
 
+        if self.textures:
+            from ..ops import texture as tx
+
+            X = len(self.textures)
+            arrs["tex_type"] = np.asarray([t[0] for t in self.textures], np.int32)
+            arrs["tex_params"] = np.stack([t[1] for t in self.textures])
+            arrs["tex_child"] = np.stack([t[2] for t in self.textures])
+            arrs["tex_w2t"] = np.stack([t[3] for t in self.textures])
+            # pack images into a vertical atlas
+            imgs = [(i, t[4]) for i, t in enumerate(self.textures) if t[4] is not None]
+            rects = np.zeros((X, 4), np.int32)
+            if imgs:
+                aw = max(im.shape[1] for _, im in imgs)
+                ah = sum(im.shape[0] for _, im in imgs)
+                atlas = np.zeros((ah, aw, 3), np.float32)
+                y = 0
+                for i, im in imgs:
+                    h, w = im.shape[:2]
+                    atlas[y : y + h, :w] = im[..., :3]
+                    rects[i] = (y, h, w, int(self.textures[i][1][tx.TP_WRAP]))
+                    y += h
+                arrs["tex_atlas"] = atlas
+            arrs["tex_rect"] = rects
+
         if self.env is not None:
             arrs["inf_radiance"] = self.env[0]
             arrs["inf_l2w"] = self.env[1]
             arrs["inf_w2l"] = self.env[2]
 
-        scene = sa.finalize_scene(arrs)
-
-        # spot direction fixups (stored in world-center slot) + power dist
-        lp = np.asarray(scene.light_params)
+        # spot directions ride the world-center slot (finalize_scene leaves
+        # it alone for spot lights)
         for li, l in enumerate(self.lights):
             if "spot_dir" in l:
-                lp[li, sa.LP_WORLD_CENTER : sa.LP_WORLD_CENTER + 3] = l["spot_dir"]
+                arrs["light_params"][li, sa.LP_WORLD_CENTER : sa.LP_WORLD_CENTER + 3] = l["spot_dir"]
+
+        scene = sa.finalize_scene(arrs)
+
         env_total = float(np.mean(self.env[0])) * 3 if self.env is not None else 0.0
         power = lt.compute_light_power(
-            np.asarray(scene.light_type), lp, env_total
+            np.asarray(scene.light_type), np.asarray(scene.light_params), env_total
         ) if n_l else np.ones(0, np.float32)
         import jax.numpy as jnp
 
         return scene._replace(
-            light_params=jnp.asarray(lp),
             light_power=jnp.asarray(power) if n_l else scene.light_power,
         )

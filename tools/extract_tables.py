@@ -89,6 +89,10 @@ def main():
         assert arr.shape == (471,), (name, arr.shape)
         out[name.lower()] = arr
 
+    tx = REF / "texture.rs"
+    out["noise_perm"] = extract_const(tx, "NOISE_PERM", np.int32)
+    assert out["noise_perm"].shape == (512,)
+
     ld = REF / "lowdiscrepancy.rs"
     out["primes"] = extract_const(ld, "PRIMES", np.uint32)
     out["prime_sums"] = extract_const(ld, "PRIME_SUMS", np.uint32)
