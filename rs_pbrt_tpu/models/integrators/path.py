@@ -92,6 +92,8 @@ def radiance(
                 1.0,
                 smp.power_heuristic(1.0, prev_bsdf_pdf, 1.0, light_pdf),
             )
+            # detached-sampling AD: MIS weights are sampling artifacts
+            w_bsdf = jax.lax.stop_gradient(w_bsdf)
             L = L + beta * le * w_bsdf[..., None]
 
         # --- escaped rays: env light (reference path.rs:102-115) ---
@@ -152,19 +154,27 @@ def radiance(
             w_light = jnp.where(
                 ls.is_delta, 1.0, smp.power_heuristic(1.0, ls.pdf, 1.0, scat_pdf)
             )
-            ld = beta * f * ls.li * (
+            # detached sampling: weight and pdfs are constants under AD;
+            # gradient flows through f and li only (the standard detached
+            # estimator - gradients are unbiased for fixed sample sets)
+            inv_pdf = jax.lax.stop_gradient(
                 w_light / jnp.maximum(ls.pdf * sel_pdf_n, 1e-12)
-            )[..., None]
+            )
+            ld = beta * f * ls.li * inv_pdf[..., None]
             L = L + jnp.where((contrib_ok & ~occluded)[..., None], ld, 0.0)
 
         # --- BSDF sample for extension + MIS (reference path.rs:147-190) ---
         u_bsdf = u2d(3)
         u_lobe = u1(5)
         bs = bx.bsdf_sample(b, wo_l, u_bsdf, u_lobe)
-        wi_w = _to_world(bs.wi, ss, ts, it.ns)
-        cos_wi = vm.absdot(wi_w, it.ns)
+        # detach the sampled direction and its pdf (direction is a sampling
+        # decision; f stays differentiable w.r.t. material params)
+        wi_w = jax.lax.stop_gradient(_to_world(bs.wi, ss, ts, it.ns))
+        cos_wi = jax.lax.stop_gradient(vm.absdot(wi_w, it.ns))
         ok = (bs.pdf > 0.0) & jnp.any(bs.f > 0.0, axis=-1)
-        beta_next = beta * bs.f * (cos_wi / jnp.maximum(bs.pdf, 1e-12))[..., None]
+        beta_next = beta * bs.f * (
+            cos_wi / jnp.maximum(jax.lax.stop_gradient(bs.pdf), 1e-12)
+        )[..., None]
         beta = jnp.where((alive & ok)[..., None], beta_next, beta)
         alive = alive & ok
         specular_bounce = jnp.where(alive, bs.is_specular, specular_bounce)
@@ -184,7 +194,7 @@ def radiance(
 
         # --- Russian roulette after bounce 3 (reference path.rs:253-262) ---
         rr_active = bounce > 2
-        rr_beta_max = jnp.max(beta * eta_scale[..., None], axis=-1)
+        rr_beta_max = jax.lax.stop_gradient(jnp.max(beta * eta_scale[..., None], axis=-1))
         q = jnp.maximum(0.05, 1.0 - rr_beta_max)
         u_rr = u1(6)
         consider = rr_active & (rr_beta_max < cfg.rr_threshold) & alive
