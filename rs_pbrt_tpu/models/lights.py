@@ -246,3 +246,84 @@ def compute_light_power(light_type, light_params, has_env_total):
         light_type == sa.LIGHT_INFINITE, np.pi * wr * wr * has_env_total, power
     )
     return np.maximum(power, 1e-9).astype(np.float32)
+
+
+class LeSample(NamedTuple):
+    """Emitted-ray sample (reference light.rs sample_le :118-156)."""
+
+    o: jnp.ndarray  # (N,3) ray origin on/near the light
+    d: jnp.ndarray  # (N,3) emitted direction
+    n_light: jnp.ndarray  # (N,3)
+    le: jnp.ndarray  # (N,3)
+    pdf_pos: jnp.ndarray  # (N,)
+    pdf_dir: jnp.ndarray  # (N,)
+
+
+def sample_le(scene: sa.Scene, light_idx, u_pos, u_dir) -> LeSample:
+    """Sample an emitted photon ray (point/spot/distant/area families —
+    reference src/lights/*.rs sample_le)."""
+    from ..ops import gathers as gx
+
+    la = gx.take_rows(scene.light_attr, light_idx)
+    lp = la[..., : sa.N_LIGHT_PARAMS]
+    ltype = gx.coli(la, sa.LA_TYPE)
+    n = light_idx.shape[0]
+    pos = lp[:, sa.LP_P : sa.LP_P + 3]
+    intensity = lp[:, sa.LP_I : sa.LP_I + 3]
+    world_r = lp[:, sa.LP_WORLD_RADIUS]
+    world_c = lp[:, sa.LP_WORLD_CENTER : sa.LP_WORLD_CENTER + 3]
+    one = jnp.ones(n, jnp.float32)
+
+    # point: uniform sphere direction
+    d_pt = smp.uniform_sample_sphere(u_dir)
+    # spot: uniform cone around spot dir
+    ct_total = lp[:, sa.LP_COS_TOTAL]
+    d_cone_local = smp.uniform_sample_cone(u_dir, ct_total)
+    spot_dir = world_c  # spot stores its direction here
+    s1, s2 = vm.coordinate_system(vm.normalize(spot_dir))
+    d_spot = (
+        d_cone_local[:, 0:1] * s1 + d_cone_local[:, 1:2] * s2
+        + d_cone_local[:, 2:3] * vm.normalize(spot_dir)
+    )
+    pdf_dir_spot = smp.uniform_cone_pdf(ct_total)
+
+    # distant: origin on a world-radius disk, direction fixed
+    w = vm.normalize(pos)  # distant stores w_light in pos
+    v1, v2 = vm.coordinate_system(w)
+    cd = smp.concentric_sample_disk(u_pos)
+    p_disk = world_c + (world_r[:, None]) * (cd[:, 0:1] * v1 + cd[:, 1:2] * v2)
+    o_dist = p_disk + world_r[:, None] * w
+    pdf_pos_dist = 1.0 / jnp.maximum(vm.PI * world_r * world_r, 1e-12)
+
+    # area (tri range): area point + cosine hemisphere direction
+    if scene.n_tris > 0:
+        p_area, n_area = _area_sample_tri(scene, light_idx, pos, u_pos)
+    else:
+        p_area, n_area = pos, jnp.zeros_like(pos)
+    d_cos = smp.cosine_sample_hemisphere(u_dir)
+    a1, a2 = vm.coordinate_system(n_area)
+    d_area = d_cos[:, 0:1] * a1 + d_cos[:, 1:2] * a2 + d_cos[:, 2:3] * n_area
+    area = jnp.maximum(lp[:, sa.LP_AREA], 1e-12)
+    pdf_pos_area = 1.0 / area
+    pdf_dir_area = smp.cosine_hemisphere_pdf(jnp.abs(d_cos[:, 2]))
+
+    is_pt = ltype == sa.LIGHT_POINT
+    is_spot = ltype == sa.LIGHT_SPOT
+    is_dist = ltype == sa.LIGHT_DISTANT
+    is_area = ltype == sa.LIGHT_AREA
+
+    o = jnp.where(is_area[:, None], p_area, pos)
+    o = jnp.where(is_dist[:, None], o_dist, o)
+    d = jnp.where(is_pt[:, None], d_pt, d_pt)
+    d = jnp.where(is_spot[:, None], d_spot, d)
+    d = jnp.where(is_dist[:, None], -w, d)
+    d = jnp.where(is_area[:, None], d_area, d)
+    nl = jnp.where(is_area[:, None], n_area, d)
+    le = intensity
+    pdf_pos = jnp.where(is_area, pdf_pos_area, one)
+    pdf_pos = jnp.where(is_dist, pdf_pos_dist, pdf_pos)
+    pdf_dir = jnp.where(is_pt, smp.UNIFORM_SPHERE_PDF, one)
+    pdf_dir = jnp.where(is_spot, pdf_dir_spot, pdf_dir)
+    pdf_dir = jnp.where(is_area, pdf_dir_area, pdf_dir)
+    pdf_dir = jnp.where(is_dist, one, pdf_dir)
+    return LeSample(o, d, nl, le, jnp.maximum(pdf_pos, 1e-20), jnp.maximum(pdf_dir, 1e-20))

