@@ -181,3 +181,70 @@ def generate_rays(cam: Camera, p_film, u_lens, u_time) -> CameraRays:
     o = tr.xform_point(cam.cam_to_world, o_cam)
     d = vm.normalize(tr.xform_vector(cam.cam_to_world, d_cam))
     return CameraRays(o, d, time, jnp.ones(n, jnp.float32))
+
+
+# ---- light-transport importance interface (reference camera.rs:36-76 +
+# cameras/perspective.rs we/pdf_we/sample_wi) ----
+
+def _image_plane_area(cam: Camera):
+    """Area of the image plane at z=1 in camera space (the `a` constant of
+    reference perspective.rs:114-133)."""
+    sx, sy = cam.resolution
+    r2c = cam.raster_to_camera
+    p_min = tr.xform_point(r2c, jnp.asarray([0.0, 0.0, 0.0]))
+    p_max = tr.xform_point(r2c, jnp.asarray([float(sx), float(sy), 0.0]))
+    p_min = p_min / p_min[2]
+    p_max = p_max / p_max[2]
+    return jnp.abs((p_max[0] - p_min[0]) * (p_max[1] - p_min[1]))
+
+
+def camera_we(cam: Camera, o, d):
+    """Importance carried by ray (o,d) + raster coords; zero outside the
+    frustum (reference perspective.rs we)."""
+    w2c = jnp.linalg.inv(cam.cam_to_world)
+    d_cam = tr.xform_vector(w2c, d)
+    cos_theta = d_cam[..., 2]
+    # project to raster
+    p_focus = d_cam / jnp.maximum(cos_theta[..., None], 1e-9)
+    c2r = jnp.linalg.inv(cam.raster_to_camera)
+    p_raster = tr.xform_point(c2r, p_focus)
+    sx, sy = cam.resolution
+    inside = (
+        (cos_theta > 0)
+        & (p_raster[..., 0] >= 0) & (p_raster[..., 0] < sx)
+        & (p_raster[..., 1] >= 0) & (p_raster[..., 1] < sy)
+    )
+    a = _image_plane_area(cam)
+    cos2 = cos_theta * cos_theta
+    we = jnp.where(inside, 1.0 / jnp.maximum(a * cos2 * cos2, 1e-12), 0.0)
+    return we, p_raster[..., :2], inside
+
+
+def camera_pdf_we(cam: Camera, o, d):
+    """(pdf_pos, pdf_dir) of generate_ray producing (o,d)
+    (reference perspective.rs pdf_we)."""
+    we, p_raster, inside = camera_we(cam, o, d)
+    w2c = jnp.linalg.inv(cam.cam_to_world)
+    cos_theta = tr.xform_vector(w2c, d)[..., 2]
+    a = _image_plane_area(cam)
+    pdf_dir = jnp.where(
+        inside, 1.0 / jnp.maximum(a * cos_theta**3, 1e-12), 0.0
+    )
+    return jnp.ones_like(pdf_dir), pdf_dir
+
+
+def camera_sample_wi(cam: Camera, ref_p):
+    """Sample a direction from ref_p to the (pinhole) camera
+    (reference perspective.rs sample_wi).  Returns
+    (wi, we_value, pdf, p_raster, cam_p)."""
+    cam_p = cam.cam_to_world[:3, 3]
+    to_cam = cam_p - ref_p
+    dist = jnp.sqrt(jnp.maximum(jnp.sum(to_cam * to_cam, axis=-1), 1e-20))
+    wi = to_cam / dist[..., None]
+    # lens area = 1 for pinhole (reference convention)
+    w2c = jnp.linalg.inv(cam.cam_to_world)
+    cos_theta = tr.xform_vector(w2c, -wi)[..., 2]
+    pdf = jnp.where(cos_theta > 1e-6, (dist * dist) / jnp.maximum(cos_theta, 1e-6), 0.0)
+    we, p_raster, inside = camera_we(cam, jnp.broadcast_to(cam_p, ref_p.shape), -wi)
+    we = jnp.where(inside, we, 0.0)
+    return wi, we, pdf, p_raster, jnp.broadcast_to(cam_p, ref_p.shape)

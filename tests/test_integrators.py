@@ -175,3 +175,19 @@ class TestSPPM:
         img1 = np.asarray(sp.render_sppm(scene, camera, scfg, n_iterations=1, max_depth=3))
         img4 = np.asarray(sp.render_sppm(scene, camera, scfg, n_iterations=4, max_depth=3))
         assert np.isfinite(img1).all() and np.isfinite(img4).all()
+
+
+class TestBDPT:
+    def test_matches_path_all_depths(self):
+        from rs_pbrt_tpu.models.integrators import bdpt
+
+        scene, camera = presets.cornell_box(resolution=(12, 12))
+        scfg = smpl.make_sampler(smpl.RANDOM, 16, camera.resolution)
+        for md in (1, 3):
+            img = np.asarray(
+                bdpt.render_bdpt(scene, camera, spp=16, max_depth=md, sampler_cfg=scfg)
+            )
+            cfg = rdr.RenderCfg("path", spp=16, max_depth=md, rr_threshold=1.0)
+            pimg = np.asarray(rdr.render(scene, camera, cfg, scfg))
+            assert np.isfinite(img).all()
+            np.testing.assert_allclose(img.mean(), pimg.mean(), rtol=0.06)
