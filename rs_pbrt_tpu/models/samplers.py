@@ -50,11 +50,17 @@ def make_sampler(kind: int, spp: int, resolution=(1, 1), seed: int = 0) -> Sampl
 
 
 class SampleCtx(NamedTuple):
-    """Per-lane sampling context, computed once per (pixel, sample)."""
+    """Per-lane sampling context, computed once per (pixel, sample).
+
+    pss: optional (N, U) primary-sample-space vector; when present every
+    get_1d/get_2d reads pss[:, dim] directly — the MLT sampler's
+    3-stream PrimarySample vector (reference mlt.rs:28-279) expressed as
+    data instead of mutable state."""
 
     pixel: jnp.ndarray  # (N,2) int32
     sample_num: jnp.ndarray  # (N,) uint32
     global_index: u64.U64  # sobol global index (or zeros)
+    pss: jnp.ndarray | None = None
 
 
 def make_ctx(cfg: SamplerCfg, pixel, sample_num) -> SampleCtx:
@@ -78,6 +84,8 @@ def _pixel_hash(cfg: SamplerCfg, ctx: SampleCtx, dim):
 
 def get_1d(cfg: SamplerCfg, ctx: SampleCtx, dim: int):
     """dim is a static python int (uniform across lanes)."""
+    if ctx.pss is not None:
+        return ctx.pss[:, dim % ctx.pss.shape[1]]
     if cfg.kind == SOBOL:
         s = ld.sobol_sample(ctx.global_index, dim)
         if dim < 2:
@@ -110,6 +118,9 @@ def get_1d(cfg: SamplerCfg, ctx: SampleCtx, dim: int):
 
 
 def get_2d(cfg: SamplerCfg, ctx: SampleCtx, dim: int):
+    if ctx.pss is not None:
+        u = ctx.pss.shape[1]
+        return jnp.stack([ctx.pss[:, dim % u], ctx.pss[:, (dim + 1) % u]], axis=-1)
     if cfg.kind == SOBOL:
         return jnp.stack([get_1d(cfg, ctx, dim), get_1d(cfg, ctx, dim + 1)], axis=-1)
     if cfg.kind == ZEROTWO:

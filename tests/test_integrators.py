@@ -191,3 +191,17 @@ class TestBDPT:
             pimg = np.asarray(rdr.render(scene, camera, cfg, scfg))
             assert np.isfinite(img).all()
             np.testing.assert_allclose(img.mean(), pimg.mean(), rtol=0.06)
+
+
+class TestMLT:
+    def test_cornell_converges_to_path(self):
+        from rs_pbrt_tpu.models.integrators import mlt
+
+        scene, camera = presets.cornell_box(resolution=(12, 12))
+        img = np.asarray(
+            mlt.render_mlt(scene, camera, mutations_per_pixel=32, max_depth=3,
+                           n_chains=512, n_bootstrap=2048)
+        )
+        assert np.isfinite(img).all() and (img >= 0).all()
+        pimg = _render(scene, camera, "path", spp=64, max_depth=3)
+        np.testing.assert_allclose(img.mean(), pimg.mean(), rtol=0.15)
