@@ -1,0 +1,74 @@
+"""ctypes bridge to the native C++ LBVH builder (native/lbvh.cpp).
+
+Drop-in replacement for ops/bvh.build_lbvh at large primitive counts: same
+Karras construction, same flat SoA node layout, ~60x faster at 4.3M prims
+(the numpy build's sparse-table AABB phase is memory-bound).  Auto-builds
+the shared library on first use if g++ is available.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import subprocess
+from pathlib import Path
+
+import jax.numpy as jnp
+import numpy as np
+
+from .bvh import LBVH
+
+_NATIVE_DIR = Path(__file__).resolve().parent.parent.parent / "native"
+_LIB_PATH = _NATIVE_DIR / "liblbvh.so"
+_lib = None
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not _LIB_PATH.exists():
+        subprocess.run(["make", "-C", str(_NATIVE_DIR)], check=True, capture_output=True)
+    lib = ctypes.CDLL(str(_LIB_PATH))
+    f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+    i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    lib.lbvh_build.argtypes = [
+        f32p, f32p, ctypes.c_int, i32p, i32p, f32p, f32p, f32p, f32p, i32p,
+    ]
+    lib.lbvh_build.restype = ctypes.c_int
+    _lib = lib
+    return lib
+
+
+def native_available() -> bool:
+    try:
+        _load()
+        return True
+    except Exception:
+        return False
+
+
+def build_lbvh_native(bmin, bmax) -> LBVH:
+    """bmin/bmax: (N,3) float32 numpy arrays -> device LBVH pytree."""
+    lib = _load()
+    bmin = np.ascontiguousarray(bmin, np.float32)
+    bmax = np.ascontiguousarray(bmax, np.float32)
+    n = bmin.shape[0]
+    m = max(n - 1, 1)
+    child_l = np.empty(m, np.int32)
+    child_r = np.empty(m, np.int32)
+    bmin_l = np.empty((m, 3), np.float32)
+    bmax_l = np.empty((m, 3), np.float32)
+    bmin_r = np.empty((m, 3), np.float32)
+    bmax_r = np.empty((m, 3), np.float32)
+    prim_ids = np.empty(n, np.int32)
+    rc = lib.lbvh_build(
+        bmin, bmax, n, child_l, child_r, bmin_l, bmax_l, bmin_r, bmax_r, prim_ids
+    )
+    if rc != 0:
+        raise RuntimeError(f"lbvh_build failed rc={rc}")
+    return LBVH(
+        jnp.asarray(child_l), jnp.asarray(child_r),
+        jnp.asarray(bmin_l), jnp.asarray(bmax_l),
+        jnp.asarray(bmin_r), jnp.asarray(bmax_r),
+        jnp.asarray(prim_ids),
+    )

@@ -214,3 +214,28 @@ class TestLBVH:
             jnp.asarray(p0), jnp.asarray(p1), jnp.asarray(p2),
         )
         np.testing.assert_array_equal(np.asarray(hv.valid), np.asarray(hb.valid))
+
+
+class TestNativeLBVH:
+    def test_native_matches_brute(self):
+        from rs_pbrt_tpu.ops import bvh_native
+
+        if not bvh_native.native_available():
+            pytest.skip("native builder unavailable")
+        p0, p1, p2 = random_tris(500, seed=21)
+        bmin = np.minimum(np.minimum(p0, p1), p2)
+        bmax = np.maximum(np.maximum(p0, p1), p2)
+        bvh = bvh_native.build_lbvh_native(bmin, bmax)
+        o, d = random_rays(256, seed=22)
+        t_max = jnp.full(256, 1e6, jnp.float32)
+        hb = isect.intersect_tris_brute(
+            jnp.asarray(o), jnp.asarray(d), t_max,
+            jnp.asarray(p0), jnp.asarray(p1), jnp.asarray(p2),
+        )
+        hv = bvhmod.bvh_intersect_tris(
+            jnp.asarray(o), jnp.asarray(d), t_max, bvh,
+            jnp.asarray(p0), jnp.asarray(p1), jnp.asarray(p2),
+        )
+        np.testing.assert_array_equal(np.asarray(hv.valid), np.asarray(hb.valid))
+        v = np.asarray(hb.valid)
+        np.testing.assert_array_equal(np.asarray(hv.tri)[v], np.asarray(hb.tri)[v])
