@@ -98,6 +98,38 @@ def sample_li(scene: sa.Scene, light_idx, ref_p, u2) -> LiSample:
     falloff = jnp.where(cos_t < ct_total, 0.0, jnp.where(cos_t > ct_fall, 1.0, (delta * delta) * (delta * delta)))
     li_spot = li_point * falloff[..., None]
 
+    # --- projection (lights/projection.rs): spot frame + image modulation
+    # --- goniometric (lights/gonio.rs): angular map modulation ---
+    if scene.tex_atlas.shape[0] > 1:
+        from ..ops import gathers as gx2
+        from ..ops.texture import atlas_lookup
+
+        tex_id = jnp.clip(lp[:, sa.LP_TEX].astype(jnp.int32), 0, scene.tex_rect.shape[0] - 1)
+        rect = scene.tex_rect[tex_id]
+        w_l = vm.normalize(spot_dir)
+        s1, s2 = vm.coordinate_system(w_l)
+        dl = -wi_point  # direction from light toward the shaded point
+        x_l = vm.dot(dl, s1)
+        y_l = vm.dot(dl, s2)
+        z_l = vm.dot(dl, w_l)
+        tan_fov = jnp.maximum(lp[:, sa.LP_TAN_FOV], 1e-6)
+        up = 0.5 * (x_l / jnp.maximum(z_l, 1e-6) / tan_fov + 1.0)
+        vp = 0.5 * (y_l / jnp.maximum(z_l, 1e-6) / tan_fov + 1.0)
+        inside = (z_l > 0) & (up >= 0) & (up < 1) & (vp >= 0) & (vp < 1)
+        proj_tex = atlas_lookup(scene.tex_atlas, rect, up, vp)
+        li_proj = li_point * jnp.where(inside[..., None], proj_tex, 0.0)
+        # gonio: equirect angular lookup of the SAME frame
+        theta_g = jnp.arccos(jnp.clip(z_l, -1, 1))
+        phi_g = jnp.arctan2(y_l, x_l)
+        phi_g = jnp.where(phi_g < 0, phi_g + 2 * vm.PI, phi_g)
+        gon_tex = atlas_lookup(
+            scene.tex_atlas, rect, phi_g * vm.INV_2_PI, theta_g * vm.INV_PI
+        )
+        li_gonio = li_point * gon_tex
+    else:
+        li_proj = li_point * 0.0
+        li_gonio = li_point
+
     # --- distant (lights/distant.rs): pos slot holds w_light ---
     wi_dist = vm.normalize(pos)
     li_dist = intensity
@@ -141,28 +173,47 @@ def sample_li(scene: sa.Scene, light_idx, ref_p, u2) -> LiSample:
     p_far_inf = ref_p + wi_inf * (2.0 * world_r)[..., None]
 
     one = jnp.ones(n, jnp.float32)
-    wi = jnp.where((ltype == sa.LIGHT_POINT)[..., None] | (ltype == sa.LIGHT_SPOT)[..., None], wi_point, 0.0)
+    wi = jnp.where(
+        ((ltype == sa.LIGHT_POINT) | (ltype == sa.LIGHT_SPOT)
+         | (ltype == sa.LIGHT_PROJECTION) | (ltype == sa.LIGHT_GONIO))[..., None],
+        wi_point, 0.0,
+    )
     wi = jnp.where((ltype == sa.LIGHT_DISTANT)[..., None], wi_dist, wi)
     wi = jnp.where((ltype == sa.LIGHT_AREA)[..., None], wi_area, wi)
     wi = jnp.where((ltype == sa.LIGHT_INFINITE)[..., None], wi_inf, wi)
 
     li = jnp.where((ltype == sa.LIGHT_POINT)[..., None], li_point, 0.0)
     li = jnp.where((ltype == sa.LIGHT_SPOT)[..., None], li_spot, li)
+    li = jnp.where((ltype == sa.LIGHT_PROJECTION)[..., None], li_proj, li)
+    li = jnp.where((ltype == sa.LIGHT_GONIO)[..., None], li_gonio, li)
     li = jnp.where((ltype == sa.LIGHT_DISTANT)[..., None], li_dist, li)
     li = jnp.where((ltype == sa.LIGHT_AREA)[..., None], li_area, li)
     li = jnp.where((ltype == sa.LIGHT_INFINITE)[..., None], li_inf, li)
 
-    pdf = jnp.where((ltype == sa.LIGHT_POINT) | (ltype == sa.LIGHT_SPOT) | (ltype == sa.LIGHT_DISTANT), one, 0.0)
+    pdf = jnp.where(
+        (ltype == sa.LIGHT_POINT) | (ltype == sa.LIGHT_SPOT)
+        | (ltype == sa.LIGHT_PROJECTION) | (ltype == sa.LIGHT_GONIO)
+        | (ltype == sa.LIGHT_DISTANT),
+        one, 0.0,
+    )
     pdf = jnp.where(ltype == sa.LIGHT_AREA, pdf_area, pdf)
     pdf = jnp.where(ltype == sa.LIGHT_INFINITE, pdf_inf, pdf)
 
-    p_target = jnp.where((ltype == sa.LIGHT_POINT)[..., None] | (ltype == sa.LIGHT_SPOT)[..., None], pos, ref_p)
+    is_positional = (
+        (ltype == sa.LIGHT_POINT) | (ltype == sa.LIGHT_SPOT)
+        | (ltype == sa.LIGHT_PROJECTION) | (ltype == sa.LIGHT_GONIO)
+    )
+    p_target = jnp.where(is_positional[..., None], pos, ref_p)
     p_target = jnp.where((ltype == sa.LIGHT_DISTANT)[..., None], p_far_dist, p_target)
     p_target = jnp.where((ltype == sa.LIGHT_AREA)[..., None], p_area, p_target)
     p_target = jnp.where((ltype == sa.LIGHT_INFINITE)[..., None], p_far_inf, p_target)
 
     n_light = jnp.where((ltype == sa.LIGHT_AREA)[..., None], n_area, 0.0)
-    is_delta = (ltype == sa.LIGHT_POINT) | (ltype == sa.LIGHT_SPOT) | (ltype == sa.LIGHT_DISTANT)
+    is_delta = (
+        (ltype == sa.LIGHT_POINT) | (ltype == sa.LIGHT_SPOT)
+        | (ltype == sa.LIGHT_PROJECTION) | (ltype == sa.LIGHT_GONIO)
+        | (ltype == sa.LIGHT_DISTANT)
+    )
     return LiSample(wi, li, pdf, p_target, n_light, is_delta)
 
 

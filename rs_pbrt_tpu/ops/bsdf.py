@@ -218,7 +218,7 @@ def tr_pdf_wh(wo, wh, ax, ay):
 
 # ---- per-lane BSDF parameter block ----
 
-N_LOBE_KINDS = 8
+N_LOBE_KINDS = 10
 (
     LOBE_NONE,
     LOBE_LAMBERT,
@@ -228,7 +228,46 @@ N_LOBE_KINDS = 8
     LOBE_MICROFACET_REFL,
     LOBE_FRESNEL_BLEND,
     LOBE_MICROFACET_REFL_COND,
+    LOBE_DISNEY_DIFFUSE,
+    LOBE_DISNEY_GLOSS,
 ) = range(N_LOBE_KINDS)
+
+
+def _pow5(v):
+    return (v * v) * (v * v) * v
+
+
+def disney_diffuse_f(base, sigma_extra, wo, wi):
+    """Disney diffuse + retro-reflection (reference materials/disney.rs
+    DisneyDiffuse/DisneyRetro; sigma_extra carries roughness for retro)."""
+    wh = wi + wo
+    wh_ok = jnp.any(wh != 0.0, axis=-1)
+    wh_n = vm.normalize(wh)
+    cos_d = vm.absdot(wi, wh_n)
+    fl = _pow5(1.0 - abs_cos_theta(wi))
+    fv = _pow5(1.0 - abs_cos_theta(wo))
+    rough = sigma_extra
+    rr = 2.0 * rough * cos_d * cos_d
+    diffuse = (1.0 - 0.5 * fl) * (1.0 - 0.5 * fv)
+    retro = rr * (fl + fv + fl * fv * (rr - 1.0))
+    return base * (INV_PI * (diffuse + retro) * jnp.where(wh_ok, 1.0, 0.0))[..., None]
+
+
+def disney_gloss_f(f0, ax, ay, wo, wi):
+    """Metallic GGX lobe with Schlick fresnel toward f0 (reference
+    disney.rs microfacet + DisneyFresnel)."""
+    wh = wi + wo
+    wh_ok = jnp.any(wh != 0.0, axis=-1) & (abs_cos_theta(wi) > 0) & (abs_cos_theta(wo) > 0)
+    wh_n = vm.normalize(wh)
+    fr = f0 + _pow5(1.0 - vm.absdot(wi, wh_n))[..., None] * (1.0 - f0)
+    d_val = tr_d(wh_n, ax, ay)
+    g_val = tr_g(wo, wi, ax, ay)
+    denom = 4.0 * abs_cos_theta(wi) * abs_cos_theta(wo)
+    return jnp.where(
+        (wh_ok & (denom > 0))[..., None],
+        fr * (d_val * g_val / jnp.maximum(denom, 1e-12))[..., None],
+        0.0,
+    )
 
 
 class Bsdf(NamedTuple):
@@ -363,6 +402,21 @@ def make_bsdf(mat_type, params):
     r0 = jnp.where(m[:, None], kd, r0)
     r1 = jnp.where(m[:, None], ks, r1)
 
+    # DISNEY (materials/disney.rs): base*(1-metallic) diffuse+retro lobe +
+    # metallic GGX with Schlick F0 = lerp(0.04, base, metallic).
+    # Param mapping: MP_KS slot = (metallic, sheen, clearcoat) scalars.
+    m = mat_type == sa.DISNEY
+    metallic = params[:, sa.MP_KS]
+    f0 = vm.lerp(metallic[:, None], 0.04 * jnp.ones_like(kd), kd)
+    kind0 = jnp.where(m, LOBE_DISNEY_DIFFUSE, kind0)
+    kind1 = jnp.where(m, LOBE_DISNEY_GLOSS, kind1)
+    r0 = jnp.where(m[:, None], kd * (1.0 - metallic)[:, None], r0)
+    r1 = jnp.where(m[:, None], f0, r1)
+    # disney roughness remaps alpha = rough^2 (not the TR fit)
+    ax = jnp.where(m, jnp.maximum(rough_u * rough_u, 1e-4), ax)
+    ay = jnp.where(m, jnp.maximum(jnp.where(rough_v > 0, rough_v, rough_u) ** 2, 1e-4), ay)
+    sigma = jnp.where(m, rough_u, sigma)  # disney diffuse retro uses roughness
+
     # TRANSLUCENT: lambertian refl scaled (transmission later)
     m = mat_type == sa.TRANSLUCENT
     kind0 = jnp.where(m, LOBE_LAMBERT, kind0)
@@ -424,6 +478,10 @@ def _lobe_f(kind, color, b: Bsdf, wo, wi, reflect):
     out = jnp.where((kind == LOBE_MICROFACET_REFL)[..., None], f_mf, out)
     out = jnp.where((kind == LOBE_MICROFACET_REFL_COND)[..., None], f_mfc, out)
     out = jnp.where((kind == LOBE_FRESNEL_BLEND)[..., None], f_fb, out)
+    f_dd = disney_diffuse_f(color, b.sigma, wo, wi)
+    out = jnp.where((kind == LOBE_DISNEY_DIFFUSE)[..., None], f_dd, out)
+    f_dg = disney_gloss_f(color, b.ax, b.ay, wo, wi)
+    out = jnp.where((kind == LOBE_DISNEY_GLOSS)[..., None], f_dg, out)
     # reflective lobes contribute only when geometric sidedness says reflect
     out = jnp.where(reflect[..., None], out, 0.0)
     # and only when wo/wi are in the same shading hemisphere
@@ -438,8 +496,15 @@ def _lobe_pdf(kind, b: Bsdf, wo, wi):
     pdf_fb = 0.5 * (pdf_cos + tr_pdf_wh(wo, wh, b.ax, b.ay) / jnp.maximum(4.0 * vm.dot(wo, wh), 1e-12))
     same = same_hemisphere(wo, wi)
     out = jnp.zeros_like(pdf_cos)
-    out = jnp.where((kind == LOBE_LAMBERT) | (kind == LOBE_ORENNAYAR), pdf_cos, out)
-    out = jnp.where((kind == LOBE_MICROFACET_REFL) | (kind == LOBE_MICROFACET_REFL_COND), pdf_mf, out)
+    out = jnp.where(
+        (kind == LOBE_LAMBERT) | (kind == LOBE_ORENNAYAR) | (kind == LOBE_DISNEY_DIFFUSE),
+        pdf_cos, out,
+    )
+    out = jnp.where(
+        (kind == LOBE_MICROFACET_REFL) | (kind == LOBE_MICROFACET_REFL_COND)
+        | (kind == LOBE_DISNEY_GLOSS),
+        pdf_mf, out,
+    )
     out = jnp.where(kind == LOBE_FRESNEL_BLEND, pdf_fb, out)
     return jnp.where(same, out, 0.0)
 
@@ -501,9 +566,13 @@ def bsdf_sample(b: Bsdf, wo, u2, uc) -> BsdfSample:
 
     is_fs = kind == LOBE_FRESNEL_SPEC
     is_spec_r = kind == LOBE_SPEC_REFL
-    is_mf = (kind == LOBE_MICROFACET_REFL) | (kind == LOBE_MICROFACET_REFL_COND)
+    is_mf = (kind == LOBE_MICROFACET_REFL) | (kind == LOBE_MICROFACET_REFL_COND) | (
+        kind == LOBE_DISNEY_GLOSS
+    )
     is_fb = kind == LOBE_FRESNEL_BLEND
-    is_diff = (kind == LOBE_LAMBERT) | (kind == LOBE_ORENNAYAR)
+    is_diff = (kind == LOBE_LAMBERT) | (kind == LOBE_ORENNAYAR) | (
+        kind == LOBE_DISNEY_DIFFUSE
+    )
 
     # fresnel-blend samples: half cosine, half wh (reference FresnelBlend::sample_f)
     fb_spec = u2[..., 0] >= 0.5

@@ -88,7 +88,9 @@ LP_WORLD_RADIUS = 8
 LP_WORLD_CENTER = 9  # 9:12
 LP_TWO_SIDED = 12  # area light two-sided flag
 LP_AREA = 13  # total emitting area of this light's shape
-N_LIGHT_PARAMS = 14
+LP_TEX = 14  # texture id for projection/goniometric maps (-1 none)
+LP_TAN_FOV = 15  # projection light: tan(fov/2)
+N_LIGHT_PARAMS = 16
 
 # area-light geometry kinds
 ALG_NONE = 0
@@ -316,7 +318,7 @@ def finalize_scene(arrs: dict) -> Scene:
     # repurpose the world-center slot for their direction (set by builder)
     for li in range(len(arrs["light_type"])):
         arrs["light_params"][li, LP_WORLD_RADIUS] = radius
-        if arrs["light_type"][li] != LIGHT_SPOT:
+        if arrs["light_type"][li] not in (LIGHT_SPOT, LIGHT_PROJECTION, LIGHT_GONIO):
             arrs["light_params"][li, LP_WORLD_CENTER : LP_WORLD_CENTER + 3] = center
 
     rad = arrs["inf_radiance"]

@@ -82,6 +82,30 @@ class SceneBuilder:
     def add_translucent(self, kd=(0.25,) * 3):
         return self._add_material(sa.TRANSLUCENT, kd=kd)
 
+    def add_disney(self, color=(0.5,) * 3, metallic=0.0, roughness=0.5,
+                   sheen=0.0, clearcoat=0.0, eta=1.5):
+        """Principled BSDF (reference materials/disney.rs); MP_KS packs the
+        scalar controls (metallic, sheen, clearcoat)."""
+        return self._add_material(
+            sa.DISNEY, kd=color, ks=(metallic, sheen, clearcoat),
+            roughness=roughness, eta=eta, remap_roughness=False,
+        )
+
+    def add_mix(self, mat1: int, mat2: int, amount=(0.5,) * 3):
+        """Mix material (reference materials/mixmat.rs).  Approximated by
+        blending the two children's parameter vectors when they share a
+        type, else the dominant child is used (exact lobe-union mixing
+        needs >2 lobe slots; noted limitation)."""
+        t1, p1, _ = self.mats[mat1]
+        t2, p2, _ = self.mats[mat2]
+        amt = float(np.mean(amount))
+        if t1 == t2:
+            p = p1 * amt + p2 * (1 - amt)
+            self.mats.append((t1, p.astype(np.float32), np.full(sa.N_TEX_SLOTS, -1, np.int32)))
+        else:
+            self.mats.append(self.mats[mat1 if amt >= 0.5 else mat2])
+        return len(self.mats) - 1
+
     def add_texture(self, tex_type, params=None, children=(-1, -1),
                     world_to_texture=None, image=None):
         """Texture table entry (reference src/textures/* create fns).
@@ -265,6 +289,42 @@ class SceneBuilder:
         )
         # spot direction is stored in the world-center slot (overwritten by
         # finalize for other light types only)
+        self.lights[li]["spot_dir"] = d
+        return li
+
+    def add_projection_light(self, p=(0, 0, 0), to=(0, 0, 1), I=(1, 1, 1),
+                             fov=45.0, image=None, scale=(1, 1, 1)):
+        """reference lights/projection.rs (MipMap-projected spotlight)."""
+        from ..ops import texture as tx
+
+        if image is None:
+            image = np.ones((4, 4, 3), np.float32)
+        tex = self.add_texture(tx.TEX_IMAGEMAP, image=image)
+        d = np.asarray(to, np.float64) - np.asarray(p, np.float64)
+        d = (d / np.linalg.norm(d)).astype(np.float32)
+        li = self._add_light(
+            sa.LIGHT_PROJECTION, flags=sa.LF_DELTA_POSITION,
+            I=np.asarray(I, np.float32) * np.asarray(scale, np.float32), P=p,
+            extra={sa.LP_TEX: tex, sa.LP_TAN_FOV: np.tan(np.deg2rad(fov) / 2)},
+        )
+        self.lights[li]["spot_dir"] = d
+        return li
+
+    def add_gonio_light(self, p=(0, 0, 0), to=(0, 0, 1), I=(1, 1, 1),
+                        image=None, scale=(1, 1, 1)):
+        """reference lights/gonio.rs (angular intensity map)."""
+        from ..ops import texture as tx
+
+        if image is None:
+            image = np.ones((4, 8, 3), np.float32)
+        tex = self.add_texture(tx.TEX_IMAGEMAP, image=image)
+        d = np.asarray(to, np.float64) - np.asarray(p, np.float64)
+        d = (d / np.linalg.norm(d)).astype(np.float32)
+        li = self._add_light(
+            sa.LIGHT_GONIO, flags=sa.LF_DELTA_POSITION,
+            I=np.asarray(I, np.float32) * np.asarray(scale, np.float32), P=p,
+            extra={sa.LP_TEX: tex},
+        )
         self.lights[li]["spot_dir"] = d
         return li
 
