@@ -37,6 +37,70 @@ from .path import (
 
 # dims per bounce: base path dims (7) + medium channel/dist/phase u (4)
 DIMS_PER_BOUNCE = 11
+TRACK_STEPS = 16  # bounded delta/ratio tracking steps (grid media)
+
+
+def _has_grid(scene):
+    return scene.med_grid.shape[1] > 1 or scene.med_grid.shape[2] > 1 or scene.med_grid.shape[3] > 1
+
+
+def _density_at(scene, mid, p):
+    """Per-lane density: select among the K grids (K is small & static)."""
+    dens = jnp.ones(p.shape[:-1], jnp.float32)
+    for k in range(scene.med_grid.shape[0]):
+        dk = med.grid_density(scene.med_grid[k], scene.med_w2m[k], p)
+        dens = jnp.where(mid == k, dk, dens)
+    return dens
+
+
+def _delta_track(scene, mid, in_med, o, d, t_max, lane_key, bounce, seed):
+    """Delta tracking distance sample (reference grid.rs:209-271)."""
+    from ...utils import rng as rngmod
+
+    from ...ops import gathers as gx
+
+    sigma_t3 = scene.med_sigma_a[mid] + scene.med_sigma_s[mid]
+    sigma_t = jnp.mean(sigma_t3, axis=-1)
+    max_d = scene.med_max_density[mid]
+    inv_max = 1.0 / jnp.maximum(sigma_t * max_d, 1e-12)
+    t = jnp.zeros(o.shape[0], jnp.float32)
+    sampled = jnp.zeros(o.shape[0], bool)
+    done = ~in_med
+    for i in range(TRACK_STEPS):
+        u1 = rngmod.uniform_float(lane_key, bounce.astype(jnp.uint32), jnp.uint32(2 * i), jnp.uint32(seed))
+        u2 = rngmod.uniform_float(lane_key, bounce.astype(jnp.uint32), jnp.uint32(2 * i + 1), jnp.uint32(seed))
+        t_new = t - jnp.log(jnp.maximum(1.0 - u1, 1e-12)) * inv_max
+        past = t_new >= t_max
+        dens = _density_at(scene, mid, o + t_new[:, None] * d)
+        real = u2 < dens / jnp.maximum(max_d, 1e-12)
+        hit_now = ~done & ~past & real
+        sampled = sampled | hit_now
+        t = jnp.where(done | past, t, t_new)
+        done = done | past | hit_now
+    albedo = scene.med_sigma_s[mid] / jnp.maximum(sigma_t3, 1e-12)
+    weight = jnp.where(sampled[:, None], albedo, 1.0)
+    return med.MediumSample(sampled, jnp.minimum(t, t_max), weight)
+
+
+def _ratio_track_tr(scene, mid, in_med, o, d, dist, lane_key, salt, seed):
+    """Ratio tracking transmittance (reference grid.rs:155-208)."""
+    from ...utils import rng as rngmod
+
+    sigma_t = jnp.mean(scene.med_sigma_a[mid] + scene.med_sigma_s[mid], axis=-1)
+    max_d = scene.med_max_density[mid]
+    inv_max = 1.0 / jnp.maximum(sigma_t * max_d, 1e-12)
+    t = jnp.zeros(o.shape[0], jnp.float32)
+    tr_acc = jnp.ones(o.shape[0], jnp.float32)
+    done = ~in_med
+    for i in range(TRACK_STEPS):
+        u1 = rngmod.uniform_float(lane_key, jnp.uint32(salt), jnp.uint32(7000 + i), jnp.uint32(seed))
+        t_new = t - jnp.log(jnp.maximum(1.0 - u1, 1e-12)) * inv_max
+        past = t_new >= dist
+        dens = _density_at(scene, mid, o + t_new[:, None] * d)
+        tr_acc = jnp.where(done | past, tr_acc, tr_acc * jnp.clip(1.0 - dens / jnp.maximum(max_d, 1e-12), 0.0, 1.0))
+        t = t_new
+        done = done | past
+    return jnp.clip(tr_acc, 0.0, 1.0)
 
 
 def _prim_media(scene: sa.Scene, it: si.Interaction):
@@ -63,15 +127,21 @@ def _prim_media(scene: sa.Scene, it: si.Interaction):
 
 def _shadow_tr(scene, cur_med, p0, d, dist, accel):
     """Occlusion + transmittance for NEE (reference scene.rs:79
-    intersect_tr simplified: opaque occluders block; the current homogeneous
-    medium attenuates along the full segment)."""
+    intersect_tr simplified: opaque occluders block; the current medium
+    attenuates along the full segment — homogeneous closed form or ratio
+    tracking for grids)."""
     occluded = si.scene_intersect_p(scene, p0, d, dist * (1.0 - 1e-3), accel)
     in_med = cur_med >= 0
     mid = jnp.maximum(cur_med, 0)
-    sigma_t = scene.med_sigma_a[mid] + scene.med_sigma_s[mid]
-    tr = jnp.where(
-        in_med[..., None], med.homogeneous_tr(sigma_t, dist), 1.0
-    )
+    if _has_grid(scene):
+        lane_key = jnp.arange(p0.shape[0], dtype=jnp.uint32)
+        tr1 = _ratio_track_tr(scene, mid, in_med, p0, d, dist, lane_key, 0x5AD, 0x517)
+        tr = tr1[..., None] * jnp.ones((1, 3), jnp.float32)
+    else:
+        sigma_t = scene.med_sigma_a[mid] + scene.med_sigma_s[mid]
+        tr = jnp.where(
+            in_med[..., None], med.homogeneous_tr(sigma_t, dist), 1.0
+        )
     return occluded, tr
 
 
@@ -104,9 +174,13 @@ def radiance(
         seg_t = jnp.where(it.valid, it.t, 2.0 * scene.world_radius * 4.0)
         u_chan = u1(7)
         u_dist = u1(8)
-        ms = med.homogeneous_sample(
-            scene.med_sigma_a[mid], scene.med_sigma_s[mid], u_chan, u_dist, seg_t
-        )
+        if _has_grid(scene):
+            lane_key = jnp.arange(n, dtype=jnp.uint32)
+            ms = _delta_track(scene, mid, in_med, o, d, seg_t, lane_key, bounce, 0x517)
+        else:
+            ms = med.homogeneous_sample(
+                scene.med_sigma_a[mid], scene.med_sigma_s[mid], u_chan, u_dist, seg_t
+            )
         med_scatter = in_med & ms.sampled
         beta = jnp.where(in_med[..., None], beta * ms.weight, beta)
 

@@ -68,3 +68,84 @@ def homogeneous_sample(sigma_a, sigma_s, u_channel, u_dist, t_max):
         sampled[..., None], tr * sigma_s / pdf[..., None], tr / pdf[..., None]
     )
     return MediumSample(sampled, t, weight)
+
+
+def grid_density(grid, w2m, p):
+    """Trilinear density lookup (reference media/grid.rs density/d).
+
+    grid: (D,H,W) per-lane selected density; w2m: (...,4,4); p: (...,3)
+    world points.  Medium space is the unit cube."""
+    from ..utils import transform as tr
+
+    pm = tr.xform_point(w2m, p)
+    d, h, w = grid.shape[-3], grid.shape[-2], grid.shape[-1]
+    # continuous voxel coords (pbrt: p * n - 0.5)
+    gx = pm[..., 0] * w - 0.5
+    gy = pm[..., 1] * h - 0.5
+    gz = pm[..., 2] * d - 0.5
+    inside = (
+        (pm[..., 0] >= 0) & (pm[..., 0] < 1)
+        & (pm[..., 1] >= 0) & (pm[..., 1] < 1)
+        & (pm[..., 2] >= 0) & (pm[..., 2] < 1)
+    )
+    x0 = jnp.floor(gx); y0 = jnp.floor(gy); z0 = jnp.floor(gz)
+    fx = gx - x0; fy = gy - y0; fz = gz - z0
+    acc = jnp.zeros(pm.shape[:-1], jnp.float32)
+    for dz in (0, 1):
+        for dy in (0, 1):
+            for dx in (0, 1):
+                xi = jnp.clip(x0 + dx, 0, w - 1).astype(jnp.int32)
+                yi = jnp.clip(y0 + dy, 0, h - 1).astype(jnp.int32)
+                zi = jnp.clip(z0 + dz, 0, d - 1).astype(jnp.int32)
+                wgt = (
+                    (fx if dx else 1 - fx) * (fy if dy else 1 - fy) * (fz if dz else 1 - fz)
+                )
+                acc = acc + wgt * grid[..., zi, yi, xi] if grid.ndim == 3 else acc
+    if grid.ndim == 3:
+        return jnp.where(inside, acc, 0.0)
+    raise ValueError("grid must be (D,H,W)")
+
+
+def grid_sample_distance(grid, w2m, max_density, sigma_t_avg, o, d, t_max, u_seq):
+    """Delta tracking (reference grid.rs sample :209-271), bounded steps.
+
+    u_seq: (..., STEPS, 2) uniforms.  Returns (sampled, t)."""
+    steps = u_seq.shape[-2]
+    inv_max = 1.0 / jnp.maximum(sigma_t_avg * max_density, 1e-12)
+    t = jnp.zeros(o.shape[:-1], jnp.float32)
+    sampled = jnp.zeros(o.shape[:-1], bool)
+    done = jnp.zeros(o.shape[:-1], bool)
+    for i in range(steps):
+        u1 = u_seq[..., i, 0]
+        u2 = u_seq[..., i, 1]
+        t_new = t - jnp.log(jnp.maximum(1.0 - u1, 1e-12)) * inv_max
+        past = t_new >= t_max
+        p = o + t_new[..., None] * d
+        dens = grid_density(grid, w2m, p)
+        real = u2 < dens / jnp.maximum(max_density, 1e-12)
+        hit_now = ~done & ~past & real
+        sampled = sampled | hit_now
+        t = jnp.where(done, t, jnp.minimum(t_new, t_max))
+        done = done | past | hit_now
+    return sampled, t
+
+
+def grid_tr(grid, w2m, max_density, sigma_t_avg, o, d, dist, u_seq):
+    """Ratio tracking transmittance (reference grid.rs tr :155-208)."""
+    steps = u_seq.shape[-2]
+    inv_max = 1.0 / jnp.maximum(sigma_t_avg * max_density, 1e-12)
+    t = jnp.zeros(o.shape[:-1], jnp.float32)
+    tr_acc = jnp.ones(o.shape[:-1], jnp.float32)
+    done = jnp.zeros(o.shape[:-1], bool)
+    for i in range(steps):
+        u1 = u_seq[..., i, 0]
+        t_new = t - jnp.log(jnp.maximum(1.0 - u1, 1e-12)) * inv_max
+        past = t_new >= dist
+        p = o + t_new[..., None] * d
+        dens = grid_density(grid, w2m, p)
+        tr_acc = jnp.where(
+            done | past, tr_acc, tr_acc * (1.0 - dens / jnp.maximum(max_density, 1e-12))
+        )
+        t = t_new
+        done = done | past
+    return jnp.clip(tr_acc, 0.0, 1.0)

@@ -201,6 +201,9 @@ class Scene(NamedTuple):
     med_sigma_a: jnp.ndarray  # (K,3)
     med_sigma_s: jnp.ndarray  # (K,3)
     med_g: jnp.ndarray  # (K,)
+    med_grid: jnp.ndarray  # (K, D, H, W) density grids (1-voxel = homogeneous)
+    med_w2m: jnp.ndarray  # (K, 4, 4) world -> unit medium space
+    med_max_density: jnp.ndarray  # (K,)
     tri_med: jnp.ndarray  # (T,2) i32 (inside, outside) medium ids, -1 = vacuum
     sph_med: jnp.ndarray  # (S,2) i32
     camera_medium: jnp.ndarray  # () i32
@@ -278,6 +281,9 @@ def empty_scene_arrays(n_tris=0, n_sph=0, n_mat=1, n_lights=0, alight_pad=1):
         med_sigma_a=np.zeros((1, 3), np.float32),
         med_sigma_s=np.zeros((1, 3), np.float32),
         med_g=np.zeros(1, np.float32),
+        med_grid=np.ones((1, 1, 1, 1), np.float32),
+        med_w2m=np.tile(np.eye(4, dtype=np.float32), (1, 1, 1)),
+        med_max_density=np.ones(1, np.float32),
         tri_med=np.full((T, 2), -1, np.int32),
         sph_med=np.full((S, 2), -1, np.int32),
         camera_medium=np.int32(-1),

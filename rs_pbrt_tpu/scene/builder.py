@@ -135,12 +135,21 @@ class SceneBuilder:
         """Bind a texture to a material's texturable slot (sa.TEX_SLOT_*)."""
         self.mats[mat_id][2][slot] = tex_id
 
-    def add_medium(self, sigma_a=(1.0,) * 3, sigma_s=(1.0,) * 3, g=0.0, scale=1.0):
-        """Homogeneous medium (reference media/homogeneous.rs + api.rs
-        make_medium :953)."""
+    def add_medium(self, sigma_a=(1.0,) * 3, sigma_s=(1.0,) * 3, g=0.0, scale=1.0,
+                   density_grid=None, medium_to_world=None):
+        """Homogeneous or density-grid medium (reference
+        media/homogeneous.rs + media/grid.rs + api.rs make_medium :953).
+        density_grid: (D,H,W) numpy array; medium_to_world maps the unit
+        cube onto the grid's world placement."""
+        grid = None
+        w2m = np.eye(4, dtype=np.float32)
+        if density_grid is not None:
+            grid = np.asarray(density_grid, np.float32)
+            if medium_to_world is not None:
+                w2m = np.asarray(medium_to_world.m_inv, np.float32)
         self.media.append(
             (np.asarray(sigma_a, np.float32) * scale,
-             np.asarray(sigma_s, np.float32) * scale, float(g))
+             np.asarray(sigma_s, np.float32) * scale, float(g), grid, w2m)
         )
         return len(self.media) - 1
 
@@ -408,6 +417,23 @@ class SceneBuilder:
             arrs["med_sigma_a"] = np.stack([m[0] for m in self.media])
             arrs["med_sigma_s"] = np.stack([m[1] for m in self.media])
             arrs["med_g"] = np.asarray([m[2] for m in self.media], np.float32)
+            grids = [m[3] for m in self.media]
+            dims = [(g.shape if g is not None else (1, 1, 1)) for g in grids]
+            D = max(d[0] for d in dims); H = max(d[1] for d in dims); W = max(d[2] for d in dims)
+            gstack = np.ones((len(self.media), D, H, W), np.float32)
+            maxd = np.ones(len(self.media), np.float32)
+            for i, g in enumerate(grids):
+                if g is not None:
+                    gstack[i, : g.shape[0], : g.shape[1], : g.shape[2]] = g
+                    # pad region must never be sampled: w2m keeps p in the
+                    # real extent; set pad to 0 to be safe
+                    gstack[i, g.shape[0]:, :, :] = 0.0
+                    gstack[i, :, g.shape[1]:, :] = 0.0
+                    gstack[i, :, :, g.shape[2]:] = 0.0
+                    maxd[i] = float(g.max())
+            arrs["med_grid"] = gstack
+            arrs["med_w2m"] = np.stack([m[4] for m in self.media])
+            arrs["med_max_density"] = np.maximum(maxd, 1e-6)
         if n_tri and self.tris.get("med"):
             arrs["tri_med"] = np.asarray(self.tris["med"], np.int32)
         if n_sph and self.sphs.get("med"):

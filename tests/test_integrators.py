@@ -205,3 +205,55 @@ class TestMLT:
         assert np.isfinite(img).all() and (img >= 0).all()
         pimg = _render(scene, camera, "path", spp=64, max_depth=3)
         np.testing.assert_allclose(img.mean(), pimg.mean(), rtol=0.15)
+
+
+class TestGridMedia:
+    def test_constant_grid_matches_beer_lambert(self):
+        from rs_pbrt_tpu.utils import transform as tr2
+
+        b = SceneBuilder()
+        black = b.add_matte(kd=(0, 0, 0))
+        d = 5.0
+        b.add_triangle_mesh(
+            [[0, 1, 2], [0, 2, 3]],
+            [[-50, -50, d], [50, -50, d], [50, 50, d], [-50, 50, d]],
+            material=black, area_light=dict(L=(2.0,) * 3, two_sided=True),
+        )
+        m2w = tr2.compose(tr2.translate([-10, -10, -10]), tr2.scale(20, 20, 20))
+        mid = b.add_medium(sigma_a=(0.2,) * 3, sigma_s=(0.0,) * 3,
+                           density_grid=np.ones((8, 8, 8), np.float32),
+                           medium_to_world=m2w)
+        b.camera_medium = mid
+        scene = b.finalize()
+        camera = cam.make_perspective(
+            tr.look_at([0, 0, 0], [0, 0, d], [0, 1, 0]), (9, 9), fov=30.0
+        )
+        # delta tracking uses white-noise RNG (not sampler-stratified yet):
+        # average over the whole frame for tight statistics
+        img = _render(scene, camera, "volpath", spp=128, max_depth=2)
+        want = 2.0 * np.exp(-0.2 * d)
+        np.testing.assert_allclose(img[2:7, 2:7, 0].mean(), want, rtol=0.06)
+
+    def test_heterogeneous_density_gradient(self):
+        from rs_pbrt_tpu.utils import transform as tr2
+
+        def attenuation(density):
+            b = SceneBuilder()
+            black = b.add_matte(kd=(0, 0, 0))
+            b.add_triangle_mesh(
+                [[0, 1, 2], [0, 2, 3]],
+                [[-50, -50, 5], [50, -50, 5], [50, 50, 5], [-50, 50, 5]],
+                material=black, area_light=dict(L=(2.0,) * 3, two_sided=True),
+            )
+            m2w = tr2.compose(tr2.translate([-10, -10, -10]), tr2.scale(20, 20, 20))
+            g = np.full((8, 8, 8), density, np.float32)
+            mid = b.add_medium(sigma_a=(0.2,) * 3, sigma_s=(0.0,) * 3,
+                               density_grid=g, medium_to_world=m2w)
+            b.camera_medium = mid
+            scene = b.finalize()
+            camera = cam.make_perspective(
+                tr.look_at([0, 0, 0], [0, 0, 5], [0, 1, 0]), (9, 9), fov=30.0
+            )
+            return _render(scene, camera, "volpath", spp=64, max_depth=2)[2:7, 2:7, 0].mean()
+
+        assert attenuation(1.8) < attenuation(0.6) < attenuation(0.1)
