@@ -34,7 +34,7 @@ from .. import cameras as cam
 from .. import lights as lt
 from .. import samplers as smpl
 from ...utils import vecmath as vm
-from .path import _light_select_dist, _shading_frame, _to_local, _to_world
+from .path import _light_select_dist, _shading_frame, _shading_frame_du, _to_local, _to_world
 
 VT_CAMERA = 0
 VT_LIGHT = 1
@@ -119,7 +119,7 @@ def _walk(scene, cfg_s, ctx, o0, d0, beta0, pdf_dir0, max_verts, dim_base, accel
         alive = hit
 
         b = bx.make_bsdf_at(scene, it)
-        ss, ts = _shading_frame(it.ns)
+        ss, ts = _shading_frame_du(it.ns, it.dpdu)
         wo_l = _to_local(it.wo, ss, ts, it.ns)
         dim0 = dim_base + (slot - 1) * 3
         u2 = smpl.get_2d(cfg_s, ctx, dim0)
@@ -216,7 +216,8 @@ def _vertex_f(scene, path: Subpath, slot: int, wi_world):
 
     ma = gx.take_rows(scene.mat_attr, path.mat[:, slot])
     b = bx.make_bsdf(
-        gx.coli(ma, sa.MA_TYPE), ma[..., sa.MA_PARAMS : sa.MA_PARAMS + sa.N_MAT_PARAMS]
+        gx.coli(ma, sa.MA_TYPE), ma[..., sa.MA_PARAMS : sa.MA_PARAMS + sa.N_MAT_PARAMS],
+        enable_hair=scene.has_hair,
     )
     ns = path.ns[:, slot]
     ss, ts = _shading_frame(ns)

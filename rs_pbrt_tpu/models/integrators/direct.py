@@ -20,7 +20,7 @@ from ...scene import arrays as sa
 from .. import lights as lt
 from .. import samplers as smpl
 from ...utils import vecmath as vm
-from .path import _light_select_dist, _shading_frame, _to_local, _to_world
+from .path import _light_select_dist, _shading_frame, _shading_frame_du, _to_local, _to_world
 
 DIM_CAMERA = 5
 
@@ -147,7 +147,7 @@ def whitted_radiance(scene, wcfg: WhittedCfg, cfg_s, ctx, ray_o, ray_d, accel=No
         alive = alive & it.valid
 
         b = bx.make_bsdf_at(scene, it)
-        ss, ts = _shading_frame(it.ns)
+        ss, ts = _shading_frame_du(it.ns, it.dpdu)
         dim0 = DIM_CAMERA + depth * (2 * max(scene.n_lights, 1) + 3)
         if scene.n_lights > 0:
             ld = uniform_sample_all_lights(scene, cfg_s, ctx, it, b, ss, ts, dim0, accel)
@@ -200,7 +200,7 @@ def directlighting_radiance(scene, dcfg, cfg_s, ctx, ray_o, ray_d, accel=None):
         alive = alive & it.valid
 
         b = bx.make_bsdf_at(scene, it)
-        ss, ts = _shading_frame(it.ns)
+        ss, ts = _shading_frame_du(it.ns, it.dpdu)
         dim0 = DIM_CAMERA + depth * (2 * max(scene.n_lights, 1) + 3)
         if scene.n_lights > 0:
             if dcfg.sample_all:

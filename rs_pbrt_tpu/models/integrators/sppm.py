@@ -32,7 +32,7 @@ from ...scene import arrays as sa
 from .. import lights as lt
 from .. import samplers as smpl
 from ...utils import vecmath as vm
-from .path import _light_select_dist, _shading_frame, _to_local, _to_world
+from .path import _light_select_dist, _shading_frame, _shading_frame_du, _to_local, _to_world
 from .direct import uniform_sample_one_light
 
 GAMMA = 2.0 / 3.0  # reference sppm.rs radius update
@@ -84,7 +84,7 @@ def _camera_pass(scene, cfg_s, ctx, ray_o, ray_d, max_depth, light_dist, accel):
         alive = alive & it.valid
 
         b = bx.make_bsdf_at(scene, it)
-        ss, ts = _shading_frame(it.ns)
+        ss, ts = _shading_frame_du(it.ns, it.dpdu)
         dim0 = 5 + depth * 7
         if scene.n_lights > 0:
             ld_i = uniform_sample_one_light(
@@ -223,6 +223,7 @@ def _photon_pass(scene, vps: VisiblePoints, grid: Grid, radius, n_photons: int,
                 b_vp = bx.make_bsdf(
                     gx.coli(ma, sa.MA_TYPE),
                     ma[..., sa.MA_PARAMS : sa.MA_PARAMS + sa.N_MAT_PARAMS],
+                    enable_hair=scene.has_hair,
                 )
                 ns_vp = vps.ns[vp_i]
                 ss, ts = _shading_frame(ns_vp)
@@ -238,7 +239,7 @@ def _photon_pass(scene, vps: VisiblePoints, grid: Grid, radius, n_photons: int,
 
             # continue the photon walk
         b_ph = bx.make_bsdf_at(scene, it)
-        ss, ts = _shading_frame(it.ns)
+        ss, ts = _shading_frame_du(it.ns, it.dpdu)
         wo_l = _to_local(it.wo, ss, ts, it.ns)
         u_b = u2(10 + depth * 4)
         u_c = u1(12 + depth * 4)

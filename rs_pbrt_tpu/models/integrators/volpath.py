@@ -30,7 +30,7 @@ from .path import (
     DIM_CAMERA,
     PathCfg,
     _light_select_dist,
-    _shading_frame,
+    _shading_frame, _shading_frame_du,
     _to_local,
     _to_world,
 )
@@ -225,7 +225,7 @@ def radiance(
 
             # scattering term: phase (medium) or BSDF*cos (surface)
             b = bx.make_bsdf_at(scene, it)
-            ss, ts = _shading_frame(it.ns)
+            ss, ts = _shading_frame_du(it.ns, it.dpdu)
             wo_l = _to_local(it.wo, ss, ts, it.ns)
             wi_l = _to_local(ls.wi, ss, ts, it.ns)
             reflect = vm.dot(ls.wi, it.ng) * vm.dot(it.wo, it.ng) > 0.0
@@ -261,7 +261,7 @@ def radiance(
         wi_med, ph_pdf = med.hg_sample_phase(-d, u_phase, g)
 
         b = bx.make_bsdf_at(scene, it)
-        ss, ts = _shading_frame(it.ns)
+        ss, ts = _shading_frame_du(it.ns, it.dpdu)
         wo_l = _to_local(it.wo, ss, ts, it.ns)
         u_bsdf = u2d(3)
         u_lobe = u1(5)

@@ -218,7 +218,7 @@ def tr_pdf_wh(wo, wh, ax, ay):
 
 # ---- per-lane BSDF parameter block ----
 
-N_LOBE_KINDS = 10
+N_LOBE_KINDS = 11
 (
     LOBE_NONE,
     LOBE_LAMBERT,
@@ -230,7 +230,266 @@ N_LOBE_KINDS = 10
     LOBE_MICROFACET_REFL_COND,
     LOBE_DISNEY_DIFFUSE,
     LOBE_DISNEY_GLOSS,
+    LOBE_HAIR,
 ) = range(N_LOBE_KINDS)
+
+
+# ---- hair BSDF (reference materials/hair.rs:178-790, Marschner/Chiang) ----
+# Local frame convention matches the BSDF frame: x = fiber tangent (dpdu),
+# so wo.x = sin(theta_o); azimuth phi = atan2(w.z, w.y).
+
+HAIR_P_MAX = 3
+SQRT_PI_OVER_8 = 0.626657069
+
+
+def _safe_sqrt(x):
+    return jnp.sqrt(jnp.maximum(x, 0.0))
+
+
+def _hair_i0(x):
+    """Modified Bessel I0 via the reference's 10-term series (hair.rs:679)."""
+    val = jnp.zeros_like(x)
+    x2i = jnp.ones_like(x)
+    ifact = 1.0
+    i4 = 1.0
+    for i in range(10):
+        if i > 1:
+            ifact *= i
+        val = val + x2i / (i4 * ifact * ifact)
+        x2i = x2i * x * x
+        i4 *= 4.0
+    return val
+
+
+def _hair_log_i0(x):
+    big = x + 0.5 * (-jnp.log(2.0 * jnp.pi) + jnp.log(1.0 / jnp.maximum(x, 1e-12)) + 1.0 / (8.0 * jnp.maximum(x, 1e-12)))
+    return jnp.where(x > 12.0, big, jnp.log(jnp.maximum(_hair_i0(x), 1e-37)))
+
+
+def _hair_mp(cos_ti, cos_to, sin_ti, sin_to, v):
+    """Longitudinal scattering Mp (hair.rs:660)."""
+    a = cos_ti * cos_to / v
+    b = sin_ti * sin_to / v
+    small = jnp.exp(_hair_log_i0(a) - b - 1.0 / v + 0.6931 + jnp.log(1.0 / (2.0 * v)))
+    large = jnp.exp(-b) * _hair_i0(a) / (jnp.sinh(1.0 / v) * 2.0 * v)
+    return jnp.where(v <= 0.1, small, large)
+
+
+def _hair_derived(beta_m, beta_n, alpha_deg):
+    """Per-lane derived hair parameters (hair.rs:196-268): longitudinal
+    variances v[0..3], azimuthal scale s, scale-tilt rotation tables."""
+    bm2 = beta_m * beta_m
+    bm4 = bm2 * bm2
+    bm20 = bm4 * bm4 * bm4 * bm4 * bm4
+    f = 0.726 * beta_m + 0.812 * bm2 + 3.7 * bm20
+    v0 = f * f
+    v = [v0, 0.25 * v0, 4.0 * v0, 4.0 * v0]
+    v = [jnp.maximum(x, 1e-7) for x in v]
+    bn2 = beta_n * beta_n
+    bn4 = bn2 * bn2
+    bn22 = bn4 * bn4 * bn4 * bn4 * bn4 * bn2
+    s = SQRT_PI_OVER_8 * (0.265 * beta_n + 1.194 * bn2 + 5.372 * bn22)
+    s = jnp.maximum(s, 1e-5)
+    alpha = alpha_deg * (jnp.pi / 180.0)
+    sin2k = [jnp.sin(alpha)]
+    cos2k = [_safe_sqrt(1.0 - sin2k[0] ** 2)]
+    for _ in range(2):
+        sin2k.append(2.0 * cos2k[-1] * sin2k[-1])
+        cos2k.append(cos2k[-1] ** 2 - sin2k[-1] ** 2)
+    return v, s, sin2k, cos2k
+
+
+def _hair_common(b, wo):
+    sin_to = wo[..., 0]
+    cos_to = _safe_sqrt(1.0 - sin_to * sin_to)
+    phi_o = jnp.arctan2(wo[..., 2], wo[..., 1])
+    sin_tt = sin_to / b.eta
+    cos_tt = _safe_sqrt(1.0 - sin_tt * sin_tt)
+    etap = _safe_sqrt(b.eta * b.eta - sin_to * sin_to) / jnp.maximum(cos_to, 1e-7)
+    sin_gt = b.h / etap
+    cos_gt = _safe_sqrt(1.0 - sin_gt * sin_gt)
+    gamma_t = jnp.arcsin(jnp.clip(sin_gt, -1.0, 1.0))
+    gamma_o = jnp.arcsin(jnp.clip(b.h, -1.0, 1.0))
+    # single-pass transmittance through the fiber (hair.rs:358); sigma_a in r0
+    t = jnp.exp(-b.r0 * (2.0 * cos_gt / jnp.maximum(cos_tt, 1e-7))[..., None])
+    return sin_to, cos_to, phi_o, gamma_o, gamma_t, t
+
+
+def _hair_ap(cos_to, eta, h, t):
+    """Attenuations A_p, p=0..3 (hair.rs:707)."""
+    cos_go = _safe_sqrt(1.0 - h * h)
+    f = fr_dielectric(cos_to * cos_go, 1.0, eta)[..., None]
+    ap = [jnp.broadcast_to(f, t.shape)]
+    ap.append(t * (1.0 - f) ** 2)
+    ap.append(ap[1] * t * f)
+    ap.append(ap[2] * t * f / jnp.maximum(1.0 - t * f, 1e-4))
+    return ap
+
+
+def _hair_np(phi, p, s, gamma_o, gamma_t):
+    """Azimuthal scattering Np: trimmed logistic around phi_fn (hair.rs:752)."""
+    dphi = phi - (2.0 * p * gamma_t - 2.0 * gamma_o + p * jnp.pi)
+    dphi = jnp.mod(dphi + jnp.pi, 2.0 * jnp.pi) - jnp.pi
+    x = jnp.abs(dphi)
+    e = jnp.exp(-x / s)
+    logistic = e / (s * (1.0 + e) ** 2)
+    cdf = lambda y: 1.0 / (1.0 + jnp.exp(-y / s))
+    return logistic / (cdf(jnp.pi) - cdf(-jnp.pi))
+
+
+def _hair_tilt(p, sin_to, cos_to, sin2k, cos2k):
+    """Scale-tilt rotated (sin,cos)theta_o for lobe p (hair.rs:363-387)."""
+    if p == 0:
+        st = sin_to * cos2k[1] - cos_to * sin2k[1]
+        ct = cos_to * cos2k[1] + sin_to * sin2k[1]
+    elif p == 1:
+        st = sin_to * cos2k[0] + cos_to * sin2k[0]
+        ct = cos_to * cos2k[0] - sin_to * sin2k[0]
+    elif p == 2:
+        st = sin_to * cos2k[2] + cos_to * sin2k[2]
+        ct = cos_to * cos2k[2] - sin_to * sin2k[2]
+    else:
+        return sin_to, cos_to
+    return st, jnp.abs(ct)
+
+
+def hair_f(b, wo, wi):
+    """HairBSDF::f (hair.rs:325-417).  sigma_a lives in b.r0, beta_m in
+    b.ax, beta_n in b.ay, alpha(deg) in b.sigma, offset h in b.h."""
+    v, s, sin2k, cos2k = _hair_derived(b.ax, b.ay, b.sigma)
+    sin_to, cos_to, phi_o, gamma_o, gamma_t, t = _hair_common(b, wo)
+    sin_ti = wi[..., 0]
+    cos_ti = _safe_sqrt(1.0 - sin_ti * sin_ti)
+    phi_i = jnp.arctan2(wi[..., 2], wi[..., 1])
+    phi = phi_i - phi_o
+    ap = _hair_ap(cos_to, b.eta, b.h, t)
+    fsum = jnp.zeros_like(t)
+    for p in range(HAIR_P_MAX):
+        st, ct = _hair_tilt(p, sin_to, cos_to, sin2k, cos2k)
+        mp = _hair_mp(cos_ti, ct, sin_ti, st, v[p])
+        np_ = _hair_np(phi, p, s, gamma_o, gamma_t)
+        fsum = fsum + ap[p] * (mp * np_)[..., None]
+    mp_last = _hair_mp(cos_ti, cos_to, sin_ti, sin_to, v[HAIR_P_MAX])
+    fsum = fsum + ap[HAIR_P_MAX] * (mp_last / (2.0 * jnp.pi))[..., None]
+    aci = abs_cos_theta(wi)
+    fsum = jnp.where(aci[..., None] > 0.0, fsum / jnp.maximum(aci, 1e-7)[..., None], fsum)
+    return jnp.nan_to_num(fsum, nan=0.0, posinf=0.0)
+
+
+def _hair_ap_pdf(b, cos_to, t):
+    ap = _hair_ap(cos_to, b.eta, b.h, t)
+    y = lambda c: 0.212671 * c[..., 0] + 0.715160 * c[..., 1] + 0.072169 * c[..., 2]
+    ys = [y(a) for a in ap]
+    total = jnp.maximum(sum(ys), 1e-12)
+    return [yy / total for yy in ys]
+
+
+def hair_pdf(b, wo, wi):
+    """HairBSDF::pdf (hair.rs:553-622)."""
+    v, s, sin2k, cos2k = _hair_derived(b.ax, b.ay, b.sigma)
+    sin_to, cos_to, phi_o, gamma_o, gamma_t, t = _hair_common(b, wo)
+    sin_ti = wi[..., 0]
+    cos_ti = _safe_sqrt(1.0 - sin_ti * sin_ti)
+    phi_i = jnp.arctan2(wi[..., 2], wi[..., 1])
+    phi = phi_i - phi_o
+    ap_pdf = _hair_ap_pdf(b, cos_to, t)
+    pdf = jnp.zeros_like(cos_to)
+    for p in range(HAIR_P_MAX):
+        st, ct = _hair_tilt(p, sin_to, cos_to, sin2k, cos2k)
+        pdf = pdf + ap_pdf[p] * _hair_mp(cos_ti, ct, sin_ti, st, v[p]) * _hair_np(
+            phi, p, s, gamma_o, gamma_t
+        )
+    pdf = pdf + ap_pdf[HAIR_P_MAX] * _hair_mp(
+        cos_ti, cos_to, sin_ti, sin_to, v[HAIR_P_MAX]
+    ) * (1.0 / (2.0 * jnp.pi))
+    return jnp.nan_to_num(pdf, nan=0.0, posinf=0.0)
+
+
+def _compact_1_by_1(x):
+    x = x & jnp.uint32(0x55555555)
+    x = (x ^ (x >> 1)) & jnp.uint32(0x33333333)
+    x = (x ^ (x >> 2)) & jnp.uint32(0x0F0F0F0F)
+    x = (x ^ (x >> 4)) & jnp.uint32(0x00FF00FF)
+    x = (x ^ (x >> 8)) & jnp.uint32(0x0000FFFF)
+    return x
+
+
+def _demux_float(f):
+    """Split one uniform into two by bit de-interleave (hair.rs:647).
+    The 32-bit fixed-point value is assembled from two 16-bit halves so no
+    f32->u32 conversion exceeds 2^16 (safe without x64 and on TPU)."""
+    f = jnp.clip(f, 0.0, 0.99999994)
+    hi16 = jnp.floor(f * 65536.0)
+    lo16 = jnp.floor((f * 65536.0 - hi16) * 65536.0)
+    v = (hi16.astype(jnp.uint32) << 16) | jnp.minimum(lo16, 65535.0).astype(jnp.uint32)
+    a = _compact_1_by_1(v).astype(jnp.float32) / np.float32(1 << 16)
+    b = _compact_1_by_1(v >> 1).astype(jnp.float32) / np.float32(1 << 16)
+    return a, b
+
+
+def hair_sample(b, wo, u2):
+    """HairBSDF::sample_f (hair.rs:418-552): returns (wi, pdf)."""
+    v, s, sin2k, cos2k = _hair_derived(b.ax, b.ay, b.sigma)
+    sin_to, cos_to, phi_o, gamma_o, gamma_t, t = _hair_common(b, wo)
+    u0x, u0y = _demux_float(u2[..., 0])
+    u1x, u1y = _demux_float(u2[..., 1])
+    ap_pdf = _hair_ap_pdf(b, cos_to, t)
+
+    # discrete lobe choice p by ap_pdf (hair.rs:439-446)
+    c0 = ap_pdf[0]
+    c1 = c0 + ap_pdf[1]
+    c2 = c1 + ap_pdf[2]
+    p_idx = (
+        (u0x >= c0).astype(jnp.int32)
+        + (u0x >= c1).astype(jnp.int32)
+        + (u0x >= c2).astype(jnp.int32)
+    )
+    u0x_rem = u0x - jnp.where(p_idx >= 1, c0 * 0 + ap_pdf[0], 0.0)
+    u0x_rem = u0x_rem - jnp.where(p_idx >= 2, ap_pdf[1], 0.0)
+    u0x_rem = u0x_rem - jnp.where(p_idx >= 3, ap_pdf[2], 0.0)
+
+    # tilted angles for the chosen p
+    st_all, ct_all = [], []
+    for p in range(HAIR_P_MAX + 1):
+        st, ct = _hair_tilt(p, sin_to, cos_to, sin2k, cos2k)
+        st_all.append(st)
+        ct_all.append(ct)
+    stack = lambda xs: jnp.stack(xs, -1)
+    pick = lambda xs: jnp.take_along_axis(stack(xs), p_idx[..., None], -1)[..., 0]
+    sin_top = pick(st_all)
+    cos_top = pick(ct_all)
+    vp = pick(v)
+
+    # longitudinal sample (hair.rs:463-477)
+    u1x = jnp.maximum(u1x, 1e-5)
+    cos_theta = 1.0 + vp * jnp.log(u1x + (1.0 - u1x) * jnp.exp(-2.0 / vp))
+    sin_theta = _safe_sqrt(1.0 - cos_theta * cos_theta)
+    cos_phi_l = jnp.cos(2.0 * jnp.pi * u1y)
+    sin_ti = -cos_theta * sin_top + sin_theta * cos_phi_l * cos_top
+    cos_ti = _safe_sqrt(1.0 - sin_ti * sin_ti)
+
+    # azimuthal sample (hair.rs:479-491): trimmed-logistic around phi_fn
+    k = 1.0 / (1.0 + jnp.exp(-jnp.pi / s)) - 1.0 / (1.0 + jnp.exp(jnp.pi / s))
+    cdf_a = 1.0 / (1.0 + jnp.exp(jnp.pi / s))
+    x = -s * jnp.log(1.0 / jnp.clip(u0y * k + cdf_a, 1e-7, 1.0 - 1e-7) - 1.0)
+    x = jnp.clip(jnp.nan_to_num(x, nan=0.0), -jnp.pi, jnp.pi)
+    pf = 2.0 * p_idx.astype(jnp.float32) * gamma_t - 2.0 * gamma_o + p_idx * jnp.pi
+    dphi = jnp.where(p_idx < HAIR_P_MAX, pf + x, 2.0 * jnp.pi * u0y)
+    phi_i = phi_o + dphi
+    wi = jnp.stack(
+        [sin_ti, cos_ti * jnp.cos(phi_i), cos_ti * jnp.sin(phi_i)], axis=-1
+    )
+
+    # pdf over all lobes (hair.rs:500-546) == hair_pdf(b, wo, wi)
+    pdf = jnp.zeros_like(cos_to)
+    for p in range(HAIR_P_MAX):
+        pdf = pdf + ap_pdf[p] * _hair_mp(cos_ti, ct_all[p], sin_ti, st_all[p], v[p]) * _hair_np(
+            dphi, p, s, gamma_o, gamma_t
+        )
+    pdf = pdf + ap_pdf[HAIR_P_MAX] * _hair_mp(
+        cos_ti, cos_to, sin_ti, sin_to, v[HAIR_P_MAX]
+    ) * (1.0 / (2.0 * jnp.pi))
+    return wi, jnp.nan_to_num(pdf, nan=0.0, posinf=0.0)
 
 
 def _pow5(v):
@@ -290,6 +549,9 @@ class Bsdf(NamedTuple):
     eta3: jnp.ndarray  # (N,3) conductor eta
     k3: jnp.ndarray  # (N,3) conductor k
     kt: jnp.ndarray  # (N,3) transmission color (fresnel-spec lobe)
+    h: jnp.ndarray  # (N,) hair fiber offset in [-1,1] (= -1 + 2*uv.y)
+    enable_hair: bool = True  # STATIC: trace-time gate for the hair lobe
+    #   (scenes without hair skip the Bessel-series math entirely)
 
 
 def make_bsdf_at(scene, it):
@@ -327,12 +589,14 @@ def make_bsdf_at(scene, it):
         params = override1(params, sa.TEX_SLOT_SIGMA, sa.MP_SIGMA)
         params = override1(params, sa.TEX_SLOT_ROUGH_U, sa.MP_ROUGH_U)
         params = override1(params, sa.TEX_SLOT_ROUGH_V, sa.MP_ROUGH_V)
-    return make_bsdf(mat_type, params)
+    return make_bsdf(mat_type, params, uv=it.uv, enable_hair=scene.has_hair)
 
 
-def make_bsdf(mat_type, params):
+def make_bsdf(mat_type, params, uv=None, enable_hair=True):
     """Material tag + parameter row -> per-lane Bsdf
-    (replaces Material::compute_scattering_functions, material.rs:63)."""
+    (replaces Material::compute_scattering_functions, material.rs:63).
+    uv: optional (N,2) hit coordinates; uv.y gives the hair fiber offset.
+    enable_hair: STATIC — pass False for scenes with no hair material."""
     n = mat_type.shape[0]
     kd = params[:, sa.MP_KD : sa.MP_KD + 3]
     ks = params[:, sa.MP_KS : sa.MP_KS + 3]
@@ -379,8 +643,10 @@ def make_bsdf(mat_type, params):
     r0 = jnp.where(m[:, None], kr, r0)
 
     # GLASS (materials/glass.rs): smooth -> FresnelSpecular;
-    # rough -> TR reflection (+ transmission folded into fresnel-spec path)
-    m = mat_type == sa.GLASS
+    # rough -> TR reflection (+ transmission folded into fresnel-spec path).
+    # SUBSURFACE (materials/subsurface.rs) has the same glass-like surface
+    # BSDF; its BSSRDF is handled by the integrator on transmission.
+    m = (mat_type == sa.GLASS) | (mat_type == sa.SUBSURFACE)
     kind0 = jnp.where(m, jnp.where(smooth, LOBE_FRESNEL_SPEC, LOBE_MICROFACET_REFL), kind0)
     r0 = jnp.where(m[:, None], kr, r0)
 
@@ -422,7 +688,33 @@ def make_bsdf(mat_type, params):
     kind0 = jnp.where(m, LOBE_LAMBERT, kind0)
     r0 = jnp.where(m[:, None], kd * 0.5, r0)
 
-    return Bsdf(kind0, kind1, r0, r1, ax, ay, eta, sigma, eta3, k3, kt)
+    # HAIR (materials/hair.rs): single Marschner lobe.  Param mapping:
+    # MP_KD = sigma_a OR reflectance color (MP_OPACITY.x = 1 -> convert via
+    # sigma_a_from_reflectance at shade time so textured color works),
+    # MP_ROUGH_U/V = beta_m/beta_n (remap flag off), MP_SIGMA = alpha deg.
+    m = mat_type == sa.HAIR
+    kind0 = jnp.where(m, LOBE_HAIR, kind0)
+    kind1 = jnp.where(m, LOBE_NONE, kind1)
+    from_color = params[:, sa.MP_OPACITY] > 0.5
+    beta_n_h = rough_v
+    bn = jnp.clip(beta_n_h, 1e-3, 1.0)
+    denom_sa = (
+        5.969 - 0.215 * bn + 2.532 * bn**2 - 10.73 * bn**3 + 5.574 * bn**4
+        + 0.245 * bn**5
+    )
+    f_sa = jnp.log(jnp.clip(kd, 1e-5, 1.0)) / denom_sa[:, None]
+    sigma_a_hair = jnp.where(from_color[:, None], f_sa * f_sa, kd)
+    r0 = jnp.where(m[:, None], sigma_a_hair, r0)
+    ax = jnp.where(m, jnp.clip(rough_u, 1e-3, 1.0), ax)  # beta_m
+    ay = jnp.where(m, jnp.clip(rough_v, 1e-3, 1.0), ay)  # beta_n
+
+    if uv is None:
+        h = jnp.zeros(n, jnp.float32)
+    else:
+        h = jnp.clip(-1.0 + 2.0 * uv[..., 1], -1.0, 1.0)
+    return Bsdf(
+        kind0, kind1, r0, r1, ax, ay, eta, sigma, eta3, k3, kt, h, bool(enable_hair)
+    )
 
 
 def num_components(b: Bsdf):
@@ -486,6 +778,10 @@ def _lobe_f(kind, color, b: Bsdf, wo, wi, reflect):
     out = jnp.where(reflect[..., None], out, 0.0)
     # and only when wo/wi are in the same shading hemisphere
     out = jnp.where(same_hemisphere(wo, wi)[..., None], out, 0.0)
+    # hair scatters over the full sphere — bypasses both masks
+    if b.enable_hair:
+        is_hair = kind == LOBE_HAIR
+        out = jnp.where(is_hair[..., None], hair_f(b, wo, wi), out)
     return out
 
 
@@ -506,7 +802,11 @@ def _lobe_pdf(kind, b: Bsdf, wo, wi):
         pdf_mf, out,
     )
     out = jnp.where(kind == LOBE_FRESNEL_BLEND, pdf_fb, out)
-    return jnp.where(same, out, 0.0)
+    out = jnp.where(same, out, 0.0)
+    # hair: full-sphere pdf, no hemisphere mask
+    if b.enable_hair:
+        out = jnp.where(kind == LOBE_HAIR, hair_pdf(b, wo, wi), out)
+    return out
 
 
 def bsdf_f(b: Bsdf, wo, wi, reflect):
@@ -590,6 +890,10 @@ def bsdf_sample(b: Bsdf, wo, u2, uc) -> BsdfSample:
     wi = jnp.where(is_spec_r[..., None], wi_spec, wi)
     wi = jnp.where(is_fs[..., None], wi_fs, wi)
     wi = jnp.where(is_fb[..., None], wi_fb, wi)
+    if b.enable_hair:
+        is_hair = kind == LOBE_HAIR
+        wi_hair, _ = hair_sample(b, wo, u2)
+        wi = jnp.where(is_hair[..., None], wi_hair, wi)
     wi = vm.normalize(wi)
 
     is_specular = is_fs | is_spec_r

@@ -17,10 +17,27 @@ from ..scene import arrays as sa
 from ..utils import transform as tr
 from ..utils import vecmath as vm
 from . import bvh as bvhmod
+from . import curves as crv
 from . import intersect as isect
 
-# below this triangle count the dense sweep beats traversal on TPU
+# below this primitive count the dense sweep beats traversal on TPU
 BRUTE_FORCE_MAX_TRIS = 4096
+BRUTE_FORCE_MAX_CURVES = 1024
+
+
+class Accel(NamedTuple):
+    """Per-primitive-family LBVHs (None = brute force that family)."""
+
+    tri: Optional[bvhmod.LBVH]
+    crv: Optional[bvhmod.LBVH]
+
+
+def _as_accel(accel) -> Accel:
+    if accel is None:
+        return Accel(None, None)
+    if isinstance(accel, Accel):
+        return accel
+    return Accel(accel, None)  # legacy: bare tri LBVH
 
 
 def _use_pallas():
@@ -65,7 +82,10 @@ class Interaction(NamedTuple):
     wo: jnp.ndarray  # (N,3)
     mat: jnp.ndarray  # (N,) int32
     light: jnp.ndarray  # (N,) int32 area light id or -1
-    prim: jnp.ndarray  # (N,) int32 (triangle id, or n_tris + sphere id)
+    prim: jnp.ndarray  # (N,) int32 (triangle id, or n_tris + sphere id,
+    #                    or n_tris + n_spheres + curve segment id)
+    dpdu: jnp.ndarray  # (N,3) surface u-tangent (BSDF frame x-axis;
+    #                    fiber direction on curves — reflection.rs Bsdf::new)
 
 
 def _tri_interaction(scene: sa.Scene, o, d, hit: isect.TriHit):
@@ -98,12 +118,22 @@ def _tri_interaction(scene: sa.Scene, o, d, hit: isect.TriHit):
     rev = gx.colb(at, sa.TA_REVERSE)
     ns = jnp.where(rev[..., None], -ns, ns)
     ng = jnp.where(has_n[..., None], vm.face_forward(ng, ns), jnp.where(rev[..., None], -ng, ng))
-    uv = (
-        b0[..., None] * gx.col2(at, sa.TA_UV0)
-        + b1[..., None] * gx.col2(at, sa.TA_UV1)
-        + b2[..., None] * gx.col2(at, sa.TA_UV2)
-    )
-    return p, p_err, ng, ns, uv, gx.coli(at, sa.TA_MAT), gx.coli(at, sa.TA_LIGHT)
+    uv0 = gx.col2(at, sa.TA_UV0)
+    uv1 = gx.col2(at, sa.TA_UV1)
+    uv2 = gx.col2(at, sa.TA_UV2)
+    uv = b0[..., None] * uv0 + b1[..., None] * uv1 + b2[..., None] * uv2
+    # dpdu from the uv parameterization (reference triangle.rs:300-330)
+    duv02 = uv0 - uv2
+    duv12 = uv1 - uv2
+    dp02 = p0 - p2
+    dp12 = p1 - p2
+    det = duv02[..., 0] * duv12[..., 1] - duv02[..., 1] * duv12[..., 0]
+    inv_det = jnp.where(jnp.abs(det) < 1e-12, 0.0, 1.0 / jnp.where(det == 0, 1.0, det))
+    dpdu = (duv12[..., 1:2] * dp02 - duv02[..., 1:2] * dp12) * inv_det[..., None]
+    degen = vm.length_squared(dpdu) < 1e-16
+    dpdu_fb, _ = vm.coordinate_system(ng)
+    dpdu = jnp.where(degen[..., None], dpdu_fb, dpdu)
+    return p, p_err, ng, ns, uv, gx.coli(at, sa.TA_MAT), gx.coli(at, sa.TA_LIGHT), dpdu
 
 
 def _sphere_hits(scene: sa.Scene, o, d, t_max):
@@ -152,19 +182,35 @@ def _sphere_interaction(scene: sa.Scene, sph_idx, p_obj, phi):
     flip = rev ^ swap
     ng = jnp.where(flip[..., None], -ng, ng)
     uv = jnp.stack([u, v], axis=-1)
-    return p, p_err, ng, ng, uv, gx.coli(at, sa.SP_MAT), gx.coli(at, sa.SP_LIGHT)
+    # dpdu = (-phi_max*y, phi_max*x, 0) in object space (sphere.rs)
+    dpdu_obj = jnp.stack(
+        [-phi_max * p_obj[..., 1], phi_max * p_obj[..., 0], jnp.zeros_like(phi_max)],
+        axis=-1,
+    )
+    dpdu = tr.xform_vector(o2w, dpdu_obj)
+    degen = vm.length_squared(dpdu) < 1e-16
+    dpdu_fb, _ = vm.coordinate_system(ng)
+    dpdu = jnp.where(degen[..., None], dpdu_fb, dpdu)
+    return p, p_err, ng, ng, uv, gx.coli(at, sa.SP_MAT), gx.coli(at, sa.SP_LIGHT), dpdu
+
+
+def _curve_hit(scene: sa.Scene, o, d, t_max, accel: Accel):
+    if accel.crv is not None and scene.n_curve_segs > BRUTE_FORCE_MAX_CURVES:
+        return crv.bvh_intersect_curves(o, d, t_max, accel.crv, scene.crv_attr)
+    return crv.intersect_curves_brute(o, d, t_max, scene.crv_attr)
 
 
 def scene_intersect(
-    scene: sa.Scene, o, d, t_max, accel: Optional[bvhmod.LBVH] = None
+    scene: sa.Scene, o, d, t_max, accel=None
 ) -> Interaction:
+    accel = _as_accel(accel)
     n = o.shape[0]
     t_best = jnp.asarray(t_max, jnp.float32)
 
     if scene.n_tris > 0:
-        if accel is not None and scene.n_tris > BRUTE_FORCE_MAX_TRIS:
+        if accel.tri is not None and scene.n_tris > BRUTE_FORCE_MAX_TRIS:
             th = bvhmod.bvh_intersect_tris(
-                o, d, t_best, accel, scene.tri_p0, scene.tri_p1, scene.tri_p2
+                o, d, t_best, accel.tri, scene.tri_p0, scene.tri_p1, scene.tri_p2
             )
         else:
             th = _dense_tri_hit(scene, o, d, t_best)
@@ -183,22 +229,36 @@ def scene_intersect(
         p_obj = jnp.zeros((n, 3), jnp.float32)
         phi = jnp.zeros(n, jnp.float32)
 
+    if scene.n_curve_segs > 0:
+        t_so_far = jnp.minimum(jnp.where(th.valid, th.t, t_best), jnp.where(sv, st, t_best))
+        ch = _curve_hit(scene, o, d, t_so_far, accel)
+        cv, ct = ch.valid, ch.t
+    else:
+        ch = None
+        cv = jnp.zeros(n, bool)
+        ct = t_best
+
     use_sph = sv & (~th.valid | (st < th.t))
-    valid = th.valid | sv
-    t = jnp.where(use_sph, st, th.t)
+    t_ts = jnp.where(use_sph, st, th.t)  # best of tri/sphere
+    valid_ts = th.valid | sv
+    use_crv = cv & (~valid_ts | (ct < t_ts))
+    valid = valid_ts | cv
+    t = jnp.where(use_crv, ct, t_ts)
 
     zero3 = jnp.zeros((n, 3), jnp.float32)
     if scene.n_tris > 0:
-        tp, tperr, tng, tns, tuv, tmat, tlight = _tri_interaction(scene, o, d, th)
+        tp, tperr, tng, tns, tuv, tmat, tlight, tdpdu = _tri_interaction(scene, o, d, th)
     else:
-        tp = tperr = tng = tns = zero3
+        tp = tperr = tng = tns = tdpdu = zero3
         tuv = jnp.zeros((n, 2), jnp.float32)
         tmat = jnp.zeros(n, jnp.int32)
         tlight = jnp.full(n, -1, jnp.int32)
     if scene.n_spheres > 0:
-        sp, sperr, sng, sns, suv, smat, slight = _sphere_interaction(scene, sidx, p_obj, phi)
+        sp, sperr, sng, sns, suv, smat, slight, sdpdu = _sphere_interaction(
+            scene, sidx, p_obj, phi
+        )
     else:
-        sp = sperr = sng = sns = zero3
+        sp = sperr = sng = sns = sdpdu = zero3
         suv = jnp.zeros((n, 2), jnp.float32)
         smat = jnp.zeros(n, jnp.int32)
         slight = jnp.full(n, -1, jnp.int32)
@@ -208,48 +268,84 @@ def scene_intersect(
     p_err = jnp.where(sel3, sperr, tperr)
     ng = jnp.where(sel3, sng, tng)
     ns = jnp.where(sel3, sns, tns)
-    uv = jnp.where(use_sph[..., None], suv, tuv)
+    uv = jnp.where(sel3, suv, tuv)
+    dpdu = jnp.where(sel3, sdpdu, tdpdu)
     mat = jnp.where(use_sph, smat, tmat)
     light = jnp.where(use_sph, slight, tlight)
     prim = jnp.where(use_sph, scene.n_tris + sidx, th.tri)
 
+    if ch is not None:
+        cp_, cperr, cdpdu, cns, cuv, cmat = crv.curve_interaction(o, d, scene.crv_attr, ch)
+        # curves: geometric normal == shading normal (faces the ray by
+        # construction of dpdv in the ray plane, curve.rs:306-322)
+        selc = use_crv[..., None]
+        p = jnp.where(selc, cp_, p)
+        p_err = jnp.where(selc, cperr, p_err)
+        ng = jnp.where(selc, cns, ng)
+        ns = jnp.where(selc, cns, ns)
+        uv = jnp.where(selc, cuv, uv)
+        dpdu = jnp.where(selc, cdpdu, dpdu)
+        mat = jnp.where(use_crv, cmat, mat)
+        light = jnp.where(use_crv, -1, light)
+        prim = jnp.where(use_crv, scene.n_tris + scene.n_spheres + ch.seg, prim)
+
     return Interaction(
         valid, t, p, p_err, ng, ns, uv, -vm.normalize(d),
         jnp.where(valid, mat, 0), jnp.where(valid, light, -1),
-        jnp.where(valid, prim, -1),
+        jnp.where(valid, prim, -1), dpdu,
     )
 
 
-def scene_intersect_p(scene: sa.Scene, o, d, t_max, accel: Optional[bvhmod.LBVH] = None):
+def scene_intersect_p(scene: sa.Scene, o, d, t_max, accel=None):
     """Any-hit (shadow) query (reference scene.rs:67)."""
+    accel = _as_accel(accel)
     n = o.shape[0]
     occ = jnp.zeros(n, bool)
     if scene.n_tris > 0:
-        if accel is not None and scene.n_tris > BRUTE_FORCE_MAX_TRIS:
+        if accel.tri is not None and scene.n_tris > BRUTE_FORCE_MAX_TRIS:
             occ = occ | bvhmod.bvh_intersect_tris(
-                o, d, t_max, accel, scene.tri_p0, scene.tri_p1, scene.tri_p2, any_hit=True
+                o, d, t_max, accel.tri, scene.tri_p0, scene.tri_p1, scene.tri_p2, any_hit=True
             ).valid
         else:
             occ = occ | _dense_tri_hit_p(scene, o, d, t_max)
     if scene.n_spheres > 0:
         sv, _, _, _, _ = _sphere_hits(scene, o, d, t_max)
         occ = occ | sv
+    if scene.n_curve_segs > 0:
+        if accel.crv is not None and scene.n_curve_segs > BRUTE_FORCE_MAX_CURVES:
+            occ = occ | crv.bvh_intersect_curves(
+                o, d, t_max, accel.crv, scene.crv_attr, any_hit=True
+            ).valid
+        else:
+            occ = occ | crv.intersect_curves_brute(o, d, t_max, scene.crv_attr).valid
     return occ
 
 
-def build_accel(scene: sa.Scene) -> Optional[bvhmod.LBVH]:
-    """Host-side accelerator build; None for brute-force scenes.
-    Prefers the native C++ builder (native/lbvh.cpp, ~18x the numpy build
+def _build_lbvh_pref_native(bmin, bmax):
+    """Prefers the native C++ builder (native/lbvh.cpp, ~18x the numpy build
     at Ganesha scale); falls back to the vectorized numpy Karras build."""
-    if scene.n_tris <= BRUTE_FORCE_MAX_TRIS:
-        return None
-    p0 = np.asarray(scene.tri_p0)
-    p1 = np.asarray(scene.tri_p1)
-    p2 = np.asarray(scene.tri_p2)
-    bmin = np.minimum(np.minimum(p0, p1), p2)
-    bmax = np.maximum(np.maximum(p0, p1), p2)
     from . import bvh_native
 
     if bvh_native.native_available():
         return bvh_native.build_lbvh_native(bmin, bmax)
     return bvhmod.build_lbvh(bmin, bmax)
+
+
+def build_accel(scene: sa.Scene) -> Accel:
+    """Host-side accelerator build; families below the brute-force
+    threshold get no tree."""
+    tri_bvh = None
+    crv_bvh = None
+    if scene.n_tris > BRUTE_FORCE_MAX_TRIS:
+        p0 = np.asarray(scene.tri_p0)
+        p1 = np.asarray(scene.tri_p1)
+        p2 = np.asarray(scene.tri_p2)
+        bmin = np.minimum(np.minimum(p0, p1), p2)
+        bmax = np.maximum(np.maximum(p0, p1), p2)
+        tri_bvh = _build_lbvh_pref_native(bmin, bmax)
+    if scene.n_curve_segs > BRUTE_FORCE_MAX_CURVES:
+        at = np.asarray(scene.crv_attr)
+        cp = at[:, crv.CV_CP : crv.CV_CP + 12].reshape(-1, 4, 3)
+        hw = np.maximum(at[:, crv.CV_W0], at[:, crv.CV_W1])[:, None] * 0.5
+        crv_bvh = _build_lbvh_pref_native(cp.min(1) - hw, cp.max(1) + hw)
+    return Accel(tri_bvh, crv_bvh)

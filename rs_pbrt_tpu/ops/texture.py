@@ -140,7 +140,7 @@ _MARBLE_C = np.asarray(
 def marble(p, scale_n, omega, octaves, variation):
     """reference textures/marble.rs evaluate: sin displaced by fbm, mapped
     through a 9-color spline."""
-    first = scale_n * p
+    first = scale_n[..., None] * p
     t_disp = variation * fbm(first, omega, octaves)
     t = jnp.sin(first[..., 1] + t_disp) * 0.5 + 0.5
     # evaluate the spline through _MARBLE_C

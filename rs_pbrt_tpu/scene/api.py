@@ -185,18 +185,40 @@ class PbrtAPI:
     # ---- materials & textures ----
 
     def _texture_or_const(self, params, name, default):
-        """Resolve an rgb slot that may reference a named texture."""
+        """Constant value for the material factory; textured slots are
+        bound to the device texture table afterwards (_bind_texture_slots),
+        which overrides the constant at shade time (ops/bsdf.make_bsdf_at)."""
         if name in params and params[name][0] == "texture":
-            tex = self.textures.get(str(params[name][1][0]))
-            if tex is not None and tex[0] == "constant":
-                return tex[1]
-            # non-constant textures resolve to their mean for now
-            if tex is not None and tex[0] == "imagemap_mean":
-                return tex[1]
             return default
         return ps.find_spectrum(params, name, default)
 
+    # (pbrt param name, material texture slot) bindings
+    _TEX_SLOTS = (
+        ("Kd", "TEX_SLOT_KD"), ("color", "TEX_SLOT_KD"), ("Ks", "TEX_SLOT_KS"),
+        ("Kr", "TEX_SLOT_KR"), ("Kt", "TEX_SLOT_KT"), ("sigma", "TEX_SLOT_SIGMA"),
+        ("roughness", "TEX_SLOT_ROUGH_U"), ("uroughness", "TEX_SLOT_ROUGH_U"),
+        ("vroughness", "TEX_SLOT_ROUGH_V"), ("opacity", "TEX_SLOT_OPACITY"),
+        ("bumpmap", "TEX_SLOT_BUMP"),
+    )
+
+    def _bind_texture_slots(self, mat_id, params):
+        from . import arrays as sa
+
+        for pname, slot_name in self._TEX_SLOTS:
+            if pname in params and params[pname][0] == "texture":
+                tid = self.textures.get(str(params[pname][1][0]))
+                if tid is not None:
+                    self.builder.set_material_texture(
+                        mat_id, getattr(sa, slot_name), tid
+                    )
+
     def _make_material(self, mtype, params):
+        mid = self._make_material_raw(mtype, params)
+        if mid is not None:
+            self._bind_texture_slots(mid, params)
+        return mid
+
+    def _make_material_raw(self, mtype, params):
         b = self.builder
         if mtype in ("", "none"):
             return b.add_matte(kd=(0, 0, 0))
@@ -246,6 +268,33 @@ class PbrtAPI:
             )
         if mtype == "translucent":
             return b.add_translucent(kd=self._texture_or_const(params, "Kd", (0.25,) * 3))
+        if mtype == "hair":
+            return b.add_hair(
+                sigma_a=ps.find_spectrum(params, "sigma_a", None),
+                color=self._texture_or_const(params, "color", None),
+                eumelanin=ps.find_one(params, "eumelanin", None),
+                pheomelanin=ps.find_one(params, "pheomelanin", None),
+                eta=ps.find_one(params, "eta", 1.55),
+                beta_m=ps.find_one(params, "beta_m", 0.3),
+                beta_n=ps.find_one(params, "beta_n", 0.3),
+                alpha=ps.find_one(params, "alpha", 2.0),
+            )
+        if mtype == "disney":
+            return b.add_disney(
+                color=self._texture_or_const(params, "color", (0.5,) * 3),
+                metallic=ps.find_one(params, "metallic", 0.0),
+                roughness=ps.find_one(params, "roughness", 0.5),
+                sheen=ps.find_one(params, "sheen", 0.0),
+                clearcoat=ps.find_one(params, "clearcoat", 0.0),
+                eta=ps.find_one(params, "eta", 1.5),
+            )
+        if mtype == "mix":
+            m1 = self.gs.named_materials.get(ps.find_string(params, "namedmaterial1"))
+            m2 = self.gs.named_materials.get(ps.find_string(params, "namedmaterial2"))
+            if m1 is not None and m2 is not None:
+                return b.add_mix(
+                    m1, m2, amount=ps.find_spectrum(params, "amount", (0.5,) * 3)
+                )
         print(f"WARNING: material {mtype!r} approximated as matte")
         return b.add_matte(kd=self._texture_or_const(params, "Kd", (0.5, 0.5, 0.5)))
 
@@ -264,34 +313,111 @@ class PbrtAPI:
         else:
             print(f"WARNING: unknown named material {st.args[0]!r}")
 
+    def _child_tex(self, params, name, default_rgb):
+        """Resolve a texture-or-constant param to a texture id (creating an
+        implicit constant texture for literal values — pbrt semantics)."""
+        from ..ops import texture as tx
+
+        if name in params and params[name][0] == "texture":
+            tid = self.textures.get(str(params[name][1][0]))
+            if tid is not None:
+                return tid
+        val = ps.find_spectrum(params, name, default_rgb)
+        return self.builder.add_texture(tx.TEX_CONSTANT, {tx.TP_VALUE: tuple(np.atleast_1d(val)[:3]) if hasattr(val, "__len__") else (val, val, val)})
+
     def _st_texture(self, st):
-        tex_name, tex_kind, tex_class = st.args[0], st.args[1], st.args[2]
+        """Build a REAL device texture-table entry per class (reference
+        src/textures/* create functions via api.rs make_texture :1039)."""
+        from ..ops import texture as tx
+
+        tex_name, _tex_kind, tex_class = st.args[0], st.args[1], st.args[2]
+        p = st.params
+        b = self.builder
+        uvp = {
+            tx.TP_SU: ps.find_one(p, "uscale", 1.0),
+            tx.TP_SV: ps.find_one(p, "vscale", 1.0),
+            tx.TP_DU: ps.find_one(p, "udelta", 0.0),
+            tx.TP_DV: ps.find_one(p, "vdelta", 0.0),
+        }
+        w2t = tr.Transform(
+            np.asarray(self.ctm, np.float32),
+            np.linalg.inv(self.ctm.astype(np.float64)).astype(np.float32),
+        )
+        tid = None
         if tex_class == "constant":
-            self.textures[tex_name] = (
-                "constant", ps.find_spectrum(st.params, "value", (1, 1, 1))
+            tid = b.add_texture(
+                tx.TEX_CONSTANT, {tx.TP_VALUE: ps.find_spectrum(p, "value", (1, 1, 1))}
             )
         elif tex_class == "scale":
-            t1 = self._texture_or_const(st.params, "tex1", (1, 1, 1))
-            t2 = self._texture_or_const(st.params, "tex2", (1, 1, 1))
-            self.textures[tex_name] = (
-                "constant", tuple(np.asarray(t1) * np.asarray(t2))
+            c1 = self._child_tex(p, "tex1", (1, 1, 1))
+            c2 = self._child_tex(p, "tex2", (1, 1, 1))
+            tid = b.add_texture(tx.TEX_SCALE, {}, children=(c1, c2))
+        elif tex_class == "mix":
+            c1 = self._child_tex(p, "tex1", (0, 0, 0))
+            c2 = self._child_tex(p, "tex2", (1, 1, 1))
+            amt = ps.find_one(p, "amount", 0.5)
+            tid = b.add_texture(
+                tx.TEX_MIX, {tx.TP_VALUE: (amt, amt, amt)}, children=(c1, c2)
             )
+        elif tex_class == "checkerboard":
+            c1 = self._child_tex(p, "tex1", (1, 1, 1))
+            c2 = self._child_tex(p, "tex2", (0, 0, 0))
+            tid = b.add_texture(tx.TEX_CHECKER, uvp, children=(c1, c2))
+        elif tex_class == "dots":
+            c1 = self._child_tex(p, "inside", (1, 1, 1))
+            c2 = self._child_tex(p, "outside", (0, 0, 0))
+            tid = b.add_texture(tx.TEX_DOTS, uvp, children=(c1, c2))
+        elif tex_class in ("fbm", "wrinkled"):
+            kind = tx.TEX_FBM if tex_class == "fbm" else tx.TEX_WRINKLED
+            tid = b.add_texture(
+                kind,
+                {tx.TP_VALUE: (1, 1, 1),
+                 tx.TP_OCTAVES: ps.find_one(p, "octaves", 8),
+                 tx.TP_OMEGA: ps.find_one(p, "roughness", 0.5)},
+                world_to_texture=w2t,
+            )
+        elif tex_class == "marble":
+            tid = b.add_texture(
+                tx.TEX_MARBLE,
+                {tx.TP_OCTAVES: ps.find_one(p, "octaves", 8),
+                 tx.TP_OMEGA: ps.find_one(p, "roughness", 0.5),
+                 tx.TP_SCALE_N: ps.find_one(p, "scale", 1.0),
+                 tx.TP_VARIATION: ps.find_one(p, "variation", 0.2)},
+                world_to_texture=w2t,
+            )
+        elif tex_class == "windy":
+            tid = b.add_texture(tx.TEX_WINDY, {tx.TP_VALUE: (1, 1, 1)}, world_to_texture=w2t)
+        elif tex_class == "uv":
+            tid = b.add_texture(tx.TEX_UV, uvp)
+        elif tex_class == "bilerp":
+            v00 = ps.find_spectrum(p, "v00", (0, 0, 0))
+            v11 = ps.find_spectrum(p, "v11", (1, 1, 1))
+            c1 = b.add_texture(tx.TEX_CONSTANT, {tx.TP_VALUE: v00})
+            c2 = b.add_texture(tx.TEX_CONSTANT, {tx.TP_VALUE: v11})
+            tid = b.add_texture(tx.TEX_BILERP, uvp, children=(c1, c2))
         elif tex_class == "imagemap":
-            fname = ps.find_string(st.params, "filename")
+            fname = ps.find_string(p, "filename")
             try:
                 from ..io.image import read_image
 
-                p = Path(fname)
-                if self.search_dir and not p.is_absolute():
-                    p = self.search_dir / p
-                img = read_image(p)
-                self.textures[tex_name] = ("imagemap_mean", tuple(img.mean((0, 1))))
+                fp = Path(fname)
+                if self.search_dir and not fp.is_absolute():
+                    fp = self.search_dir / fp
+                img = np.asarray(read_image(fp), np.float32)
+                wrap = {"repeat": 0, "clamp": 1, "black": 2}.get(
+                    ps.find_string(p, "wrap", "repeat"), 0
+                )
+                prm = dict(uvp)
+                prm[tx.TP_WRAP] = wrap
+                prm[tx.TP_GAMMA_SCALE] = ps.find_one(p, "scale", 1.0)
+                tid = b.add_texture(tx.TEX_IMAGEMAP, prm, image=img)
             except Exception as e:
                 print(f"WARNING: imagemap {fname!r} load failed ({e}); using grey")
-                self.textures[tex_name] = ("constant", (0.5, 0.5, 0.5))
+                tid = b.add_texture(tx.TEX_CONSTANT, {tx.TP_VALUE: (0.5, 0.5, 0.5)})
         else:
             print(f"WARNING: texture class {tex_class!r} -> constant grey")
-            self.textures[tex_name] = ("constant", (0.5, 0.5, 0.5))
+            tid = b.add_texture(tx.TEX_CONSTANT, {tx.TP_VALUE: (0.5, 0.5, 0.5)})
+        self.textures[tex_name] = tid
 
     # ---- lights ----
 
@@ -427,6 +553,20 @@ class PbrtAPI:
                 F, V, normals=N, material=gs.material, object_to_world=o2w,
                 area_light=al, reverse_orientation=gs.reverse_orientation,
             )
+        elif kind == "curve":
+            P = np.asarray(ps.find_floats(st.params, "P"), np.float32).reshape(-1, 3)
+            nrm = ps.find_floats(st.params, "N")
+            width = ps.find_one(st.params, "width", 1.0)
+            b.add_curve(
+                P[:4],
+                width0=ps.find_one(st.params, "width0", width),
+                width1=ps.find_one(st.params, "width1", width),
+                curve_type=ps.find_string(st.params, "type", "flat"),
+                normals=np.asarray(nrm, np.float32).reshape(1, 2, 3) if nrm else None,
+                splitdepth=int(ps.find_one(st.params, "splitdepth", 3)),
+                material=gs.material,
+                object_to_world=o2w,
+            )
         else:
             print(f"WARNING: shape {kind!r} unsupported, skipped")
 
@@ -500,6 +640,21 @@ class PbrtAPI:
             camera = cam.make_orthographic(c2w, resolution)
         elif self.camera_name == "environment":
             camera = cam.make_environment(c2w, resolution)
+        elif self.camera_name == "realistic":
+            from ..io.floatfile import read_float_file
+
+            lens_file = ps.find_string(self.camera_params, "lensfile", "")
+            lf = Path(lens_file)
+            if self.search_dir and not lf.is_absolute():
+                lf = self.search_dir / lf
+            lens_data = read_float_file(lf)
+            camera = cam.make_realistic(
+                c2w, resolution, lens_data,
+                aperture_diameter=ps.find_one(self.camera_params, "aperturediameter", 1.0),
+                focus_distance=ps.find_one(self.camera_params, "focusdistance", 10.0),
+                film_diag_mm=ps.find_one(self.film_params, "diagonal", 35.0),
+                simple_weighting=ps.find_one(self.camera_params, "simpleweighting", True),
+            )
         else:
             camera = cam.make_perspective(
                 c2w, resolution, fov=fov,

@@ -49,8 +49,9 @@ MP_SIGMA = 15  # oren-nayar sigma (degrees)
 MP_REMAP_ROUGH = 16  # bool: remap roughness to alpha
 MP_ETA3 = 17  # 17:20 conductor eta rgb (metal)
 MP_K3 = 20  # 20:23 conductor absorption k rgb (metal)
-MP_OPACITY = 23  # 23:26 uber opacity rgb
-N_MAT_PARAMS = 26
+MP_OPACITY = 23  # 23:26 uber opacity rgb (hair reuses .x as a mode flag)
+MP_BSSRDF = 26  # subsurface material: index into the bss_* tables (-1 none)
+N_MAT_PARAMS = 27
 
 # texturable slots (mat_tex[:, slot] is a texture id or -1)
 TEX_SLOT_KD = 0
@@ -171,6 +172,10 @@ class Scene(NamedTuple):
     sph_light: jnp.ndarray  # (S,)
     sph_reverse: jnp.ndarray  # (S,) bool
 
+    # --- curve (hair) leaf segments, pre-flattened at build time ---
+    # packed rows per ops/curves.py CV_* layout (world-space control points)
+    crv_attr: jnp.ndarray  # (C, curves.N_CURVE_ATTR)
+
     # --- materials ---
     mat_type: jnp.ndarray  # (M,) i32
     mat_params: jnp.ndarray  # (M, N_MAT_PARAMS)
@@ -224,6 +229,18 @@ class Scene(NamedTuple):
     world_center: jnp.ndarray  # (3,)
     world_radius: jnp.ndarray  # ()
 
+    # shape-encoded static flag: (1,) if any material is HAIR else (0,)
+    # (lets jitted code skip the hair-lobe math without a traced branch)
+    hair_flag: jnp.ndarray
+
+    # --- subsurface (BSSRDF) per-material folded profile tables
+    # (ops/bssrdf.py); B rows, 0 when no subsurface material ---
+    bss_profile: jnp.ndarray  # (B,3,K) radial profile per channel
+    bss_cdf: jnp.ndarray  # (B,3,K)
+    bss_rho_eff: jnp.ndarray  # (B,3)
+    bss_sigma_t: jnp.ndarray  # (B,3)
+    bss_eta: jnp.ndarray  # (B,)
+
     @property
     def n_tris(self):
         return self.tri_p0.shape[0]
@@ -233,12 +250,24 @@ class Scene(NamedTuple):
         return self.sph_o2w.shape[0]
 
     @property
+    def n_curve_segs(self):
+        return self.crv_attr.shape[0]
+
+    @property
     def n_lights(self):
         return self.light_type.shape[0]
 
     @property
     def has_env(self):
         return self.inf_radiance.shape[0] > 1
+
+    @property
+    def has_hair(self):
+        return self.hair_flag.shape[0] > 0
+
+    @property
+    def has_subsurface(self):
+        return self.bss_profile.shape[0] > 0
 
 
 def empty_scene_arrays(n_tris=0, n_sph=0, n_mat=1, n_lights=0, alight_pad=1):
@@ -260,6 +289,7 @@ def empty_scene_arrays(n_tris=0, n_sph=0, n_mat=1, n_lights=0, alight_pad=1):
         sph_mat=np.zeros(S, np.int32),
         sph_light=np.full(S, -1, np.int32),
         sph_reverse=np.zeros(S, bool),
+        crv_attr=np.zeros((0, 26), np.float32),  # curves.N_CURVE_ATTR
         mat_type=np.zeros(M, np.int32),
         mat_params=np.zeros((M, N_MAT_PARAMS), np.float32),
         mat_tex=np.full((M, N_TEX_SLOTS), -1, np.int32),
@@ -292,6 +322,12 @@ def empty_scene_arrays(n_tris=0, n_sph=0, n_mat=1, n_lights=0, alight_pad=1):
         inf_l2w=np.eye(4, dtype=np.float32),
         world_center=np.zeros(3, np.float32),
         world_radius=np.float32(1.0),
+        hair_flag=np.zeros(0, np.float32),
+        bss_profile=np.zeros((0, 3, 64), np.float32),
+        bss_cdf=np.zeros((0, 3, 64), np.float32),
+        bss_rho_eff=np.zeros((0, 3), np.float32),
+        bss_sigma_t=np.zeros((0, 3), np.float32),
+        bss_eta=np.zeros(0, np.float32),
     )
 
 
@@ -310,6 +346,10 @@ def finalize_scene(arrs: dict) -> Scene:
         scale = np.linalg.norm(arrs["sph_o2w"][:, :3, :3], axis=(1, 2))
         r = arrs["sph_params"][:, 0] * scale
         pts += [c - r[:, None], c + r[:, None]]
+    if len(arrs.get("crv_attr", ())):
+        cp = arrs["crv_attr"][:, 0:12].reshape(-1, 4, 3)
+        hw = arrs["crv_attr"][:, 12:14].max(1)[:, None] * 0.5
+        pts += [cp.min(1) - hw, cp.max(1) + hw]
     if pts:
         allp = np.concatenate(pts, 0)
         lo, hi = allp.min(0), allp.max(0)
@@ -389,5 +429,8 @@ def finalize_scene(arrs: dict) -> Scene:
         sph_attr[:, SP_MED_OUT] = arrs["sph_med"][:, 1]
     arrs["sph_attr"] = sph_attr
 
+    arrs["hair_flag"] = np.zeros(
+        1 if np.any(np.asarray(arrs["mat_type"]) == HAIR) else 0, np.float32
+    )
     dev = {k: jnp.asarray(v) for k, v in arrs.items()}
     return Scene(inf_dist=inf_dist, **dev)

@@ -24,6 +24,8 @@ class SceneBuilder:
             "p0", "p1", "p2", "n0", "n1", "n2", "uv0", "uv1", "uv2",
             "has_n", "mat", "light", "reverse")}
         self.sphs = {k: [] for k in ("o2w", "w2o", "params", "mat", "light", "reverse")}
+        self.curves = []  # list of packed (M_i, N_CURVE_ATTR) segment blocks
+        self.bssrdfs = []  # list of per-material folded BSSRDF table dicts
         self.mats = []  # list of (type, params, tex)
         self.lights = []  # list of dicts
         self.env = None  # (radiance HxWx3, l2w, w2o)
@@ -50,6 +52,7 @@ class SceneBuilder:
         p[sa.MP_ETA3 : sa.MP_ETA3 + 3] = kw.get("eta3", (0.2, 0.92, 1.1))
         p[sa.MP_K3 : sa.MP_K3 + 3] = kw.get("k3", (3.9, 2.45, 2.14))
         p[sa.MP_OPACITY : sa.MP_OPACITY + 3] = kw.get("opacity", (1, 1, 1))
+        p[sa.MP_BSSRDF] = -1
         self.mats.append((mtype, p, t))
         return len(self.mats) - 1
 
@@ -90,6 +93,59 @@ class SceneBuilder:
             sa.DISNEY, kd=color, ks=(metallic, sheen, clearcoat),
             roughness=roughness, eta=eta, remap_roughness=False,
         )
+
+    def add_hair(self, sigma_a=None, color=None, eumelanin=None, pheomelanin=None,
+                 eta=1.55, beta_m=0.3, beta_n=0.3, alpha=2.0):
+        """Hair material (reference materials/hair.rs:28-126).  Parameter
+        resolution order mirrors HairMaterial::create: sigma_a > color >
+        melanin concentrations > default eumelanin 1.3."""
+        mode = 0.0  # MP_OPACITY.x: 0 = KD holds sigma_a, 1 = KD holds color
+        if sigma_a is not None:
+            kd = sigma_a
+        elif color is not None:
+            kd = color
+            mode = 1.0
+        else:
+            ce = 1.3 if (eumelanin is None and pheomelanin is None) else (eumelanin or 0.0)
+            cp = pheomelanin or 0.0
+            eu = np.array([0.419, 0.697, 1.37], np.float32)
+            ph = np.array([0.187, 0.4, 1.05], np.float32)
+            kd = tuple(ce * eu + cp * ph)
+        return self._add_material(
+            sa.HAIR, kd=kd, rough_u=beta_m, rough_v=beta_n, sigma=alpha,
+            eta=eta, remap_roughness=False, opacity=(mode, 0.0, 0.0),
+        )
+
+    def add_subsurface(self, sigma_a=None, sigma_s=None, name=None, scale=1.0,
+                       eta=1.33, g=0.0, kr=(1.0,) * 3, kt=(1.0,) * 3,
+                       roughness=0.0, remap=True):
+        """Subsurface material (reference materials/subsurface.rs): a
+        glass-like surface BSDF + a TabulatedBssrdf built from the
+        photon-beam-diffusion table (core/bssrdf.rs:569-682).  The (rho,
+        radius) table is folded to per-channel radius profiles at build time
+        (see ops/bssrdf.py)."""
+        from ..ops import bssrdf as bss
+
+        if name is not None:
+            from ..io.measured_ss import get_medium_scattering_properties
+
+            props = get_medium_scattering_properties(name)
+            if props is not None:
+                sigma_a, sigma_s = props
+        if sigma_a is None:
+            sigma_a = (0.0011, 0.0024, 0.014)
+        if sigma_s is None:
+            sigma_s = (2.55, 3.21, 3.77)
+        sigma_a = np.asarray(sigma_a, np.float32) * scale
+        sigma_s = np.asarray(sigma_s, np.float32) * scale
+        tabs = bss.make_material_tables(sigma_a, sigma_s, g, eta)
+        self.bssrdfs.append(tabs)
+        mid = self._add_material(
+            sa.SUBSURFACE, kr=kr, kt=kt, eta=eta, roughness=roughness,
+            remap_roughness=remap,
+        )
+        self.mats[mid][1][sa.MP_BSSRDF] = len(self.bssrdfs) - 1
+        return mid
 
     def add_mix(self, mat1: int, mat2: int, amount=(0.5,) * 3):
         """Mix material (reference materials/mixmat.rs).  Approximated by
@@ -243,6 +299,44 @@ class SceneBuilder:
         self.sphs["reverse"].append(reverse_orientation)
         self.sphs.setdefault("med", []).append(medium_interface)
         return light_id
+
+    def add_curve(
+        self,
+        cps,
+        width=1.0,
+        width0=None,
+        width1=None,
+        curve_type="flat",
+        normals=None,
+        splitdepth=3,
+        material: int = 0,
+        object_to_world: Optional[tr.Transform] = None,
+    ):
+        """Cubic Bézier curve(s) (reference shapes/curve.rs create_curve_shape
+        :556).  cps: (4,3) or (N,4,3) control points in object space; curves
+        are flattened to leaf segments at build time (ops/curves.py)."""
+        from ..ops import curves as cv
+
+        cps = np.asarray(cps, np.float32).reshape(-1, 4, 3)
+        n = cps.shape[0]
+        if object_to_world is not None:
+            m = np.asarray(object_to_world.m, np.float32)
+            cps = cps @ m[:3, :3].T + m[:3, 3]
+        w0 = np.full(n, width if width0 is None else width0, np.float32)
+        w1 = np.full(n, width if width1 is None else width1, np.float32)
+        ctype = {"flat": cv.FLAT, "cylinder": cv.CYLINDER, "ribbon": cv.RIBBON}[curve_type]
+        n0 = n1 = None
+        if normals is not None:
+            nn = np.asarray(normals, np.float32).reshape(-1, 2, 3)
+            if object_to_world is not None:
+                minv_t = np.linalg.inv(np.asarray(object_to_world.m, np.float32)[:3, :3]).T
+                nn = nn @ minv_t.T
+            n0, n1 = nn[:, 0], nn[:, 1]
+        arrs = cv.flatten_curves(cps, w0, w1, np.full(n, ctype, np.int32),
+                                 n0, n1, splitdepth=splitdepth)
+        at = cv.pack_curve_attr(arrs, np.full(arrs["crv_cp"].shape[0], material, np.int32))
+        self.curves.append(at)
+        return at.shape[0]
 
     # ---- lights (reference api.rs make_light :769-952) ----
 
@@ -439,6 +533,16 @@ class SceneBuilder:
         if n_sph and self.sphs.get("med"):
             arrs["sph_med"] = np.asarray(self.sphs["med"], np.int32)
         arrs["camera_medium"] = np.int32(self.camera_medium)
+
+        if self.curves:
+            arrs["crv_attr"] = np.concatenate(self.curves, axis=0)
+
+        if self.bssrdfs:
+            arrs["bss_profile"] = np.stack([t["profile"] for t in self.bssrdfs])
+            arrs["bss_cdf"] = np.stack([t["cdf"] for t in self.bssrdfs])
+            arrs["bss_rho_eff"] = np.stack([t["rho_eff"] for t in self.bssrdfs])
+            arrs["bss_sigma_t"] = np.stack([t["sigma_t"] for t in self.bssrdfs])
+            arrs["bss_eta"] = np.asarray([t["eta"] for t in self.bssrdfs], np.float32)
 
         if self.textures:
             from ..ops import texture as tx
