@@ -21,6 +21,9 @@ from ..utils import vecmath as vm
 PERSPECTIVE = 0
 ORTHOGRAPHIC = 1
 ENVIRONMENT = 2
+REALISTIC = 3
+
+_NO_LENS = np.zeros((0, 4), np.float32)
 
 
 @struct.dataclass
@@ -33,6 +36,13 @@ class Camera:
     shutter_close: jnp.ndarray
     cam_type: int = struct.field(pytree_node=False, default=PERSPECTIVE)
     resolution: tuple = struct.field(pytree_node=False, default=(1, 1))
+    # ---- realistic-lens data (cameras/realistic.rs); static host arrays so
+    # the element loop unrolls at trace time (tuple-of-tuples: hashable for
+    # jit static args) ----
+    lens: tuple = struct.field(pytree_node=False, default=())
+    pupil_bounds: tuple = struct.field(pytree_node=False, default=())
+    film_diag: float = struct.field(pytree_node=False, default=0.035)
+    simple_weighting: bool = struct.field(pytree_node=False, default=True)
 
 
 def _screen_window(resolution, frame_aspect=None, screen_window=None):
@@ -108,6 +118,42 @@ def make_orthographic(
     )
 
 
+def make_realistic(
+    cam_to_world: tr.Transform,
+    resolution,
+    lens_data,
+    aperture_diameter=1.0,
+    focus_distance=10.0,
+    film_diag_mm=35.0,
+    simple_weighting=True,
+    shutter_open=0.0,
+    shutter_close=1.0,
+) -> Camera:
+    """Lens-system camera (reference cameras/realistic.rs:50-197).
+    lens_data: flat list of (radius, thickness, eta, aperture-diameter) rows
+    in mm, scene-front-to-rear (a pbrt .dat lens file's contents)."""
+    from . import realistic as rl
+
+    elements = rl.parse_lens_data(lens_data, aperture_diameter)
+    film_diag = film_diag_mm * 0.001
+    elements[-1, 1] = rl.focus_thick_lens(elements, focus_distance, film_diag)
+    pupil = rl.build_exit_pupil_bounds(elements, film_diag)
+    return Camera(
+        cam_to_world.m,
+        jnp.eye(4, dtype=jnp.float32),
+        jnp.float32(0.0),
+        jnp.float32(focus_distance),
+        jnp.float32(shutter_open),
+        jnp.float32(shutter_close),
+        cam_type=REALISTIC,
+        resolution=tuple(resolution),
+        lens=tuple(map(tuple, elements.astype(np.float32).tolist())),
+        pupil_bounds=tuple(map(tuple, pupil.tolist())),
+        film_diag=float(film_diag),
+        simple_weighting=bool(simple_weighting),
+    )
+
+
 def make_environment(
     cam_to_world: tr.Transform, resolution, shutter_open=0.0, shutter_close=1.0
 ) -> Camera:
@@ -138,6 +184,58 @@ def generate_rays(cam: Camera, p_film, u_lens, u_time) -> CameraRays:
     """
     n = p_film.shape[0]
     time = vm.lerp(u_time, cam.shutter_open, cam.shutter_close)
+
+    if cam.cam_type == REALISTIC:
+        from . import realistic as rl
+
+        lens_np = np.asarray(cam.lens, np.float32)
+        pupil_np = np.asarray(cam.pupil_bounds, np.float32)
+        sx, sy = cam.resolution
+        aspect = sy / sx
+        x_ext = float(np.sqrt(cam.film_diag**2 / (1.0 + aspect * aspect)))
+        y_ext = aspect * x_ext
+        s = p_film / jnp.asarray([float(sx), float(sy)], jnp.float32)
+        p2x = -x_ext / 2.0 + s[..., 0] * x_ext
+        p2y = -y_ext / 2.0 + s[..., 1] * y_ext
+        # pbrt film point: (-p2.x, p2.y, 0) (realistic.rs:206-211)
+        fx = -p2x
+        fy = p2y
+        r_film = jnp.sqrt(fx * fx + fy * fy)
+        n_bins = pupil_np.shape[0]
+        bin_i = jnp.clip(
+            (r_film / (cam.film_diag / 2.0) * n_bins).astype(jnp.int32), 0, n_bins - 1
+        )
+        pb = jnp.asarray(pupil_np)[bin_i]  # (N,4): x0 y0 x1 y1
+        area = jnp.maximum((pb[:, 2] - pb[:, 0]) * (pb[:, 3] - pb[:, 1]), 0.0)
+        lx = vm.lerp(u_lens[..., 0], pb[:, 0], pb[:, 2])
+        ly = vm.lerp(u_lens[..., 1], pb[:, 1], pb[:, 3])
+        sin_t = jnp.where(r_film > 0, fy / jnp.maximum(r_film, 1e-20), 0.0)
+        cos_t = jnp.where(r_film > 0, fx / jnp.maximum(r_film, 1e-20), 1.0)
+        rear_z = float(lens_np[-1, 1])
+        p_rear = jnp.stack(
+            [cos_t * lx - sin_t * ly, sin_t * lx + cos_t * ly, jnp.full_like(lx, rear_z)],
+            axis=-1,
+        )
+        o_film = jnp.stack([fx, fy, jnp.zeros_like(fx)], axis=-1)
+        d_film = p_rear - o_film
+        ok, o_out, d_out = rl.trace_from_film_jnp(lens_np, o_film, d_film)
+        o = tr.xform_point(cam.cam_to_world, o_out)
+        d = vm.normalize(tr.xform_vector(cam.cam_to_world, d_out))
+        cos_theta = vm.normalize(d_film)[..., 2]
+        cos4 = (cos_theta * cos_theta) ** 2
+        if cam.simple_weighting:
+            area0 = float(
+                max(
+                    (pupil_np[0, 2] - pupil_np[0, 0])
+                    * (pupil_np[0, 3] - pupil_np[0, 1]),
+                    1e-20,
+                )
+            )
+            w = cos4 * area / area0
+        else:
+            w = (cam.shutter_close - cam.shutter_open) * cos4 * area / (rear_z * rear_z)
+        w = jnp.where(ok, w, 0.0)
+        return CameraRays(o, d, time, w)
 
     if cam.cam_type == ENVIRONMENT:
         sx, sy = cam.resolution
