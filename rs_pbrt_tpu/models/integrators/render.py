@@ -28,6 +28,8 @@ class RenderCfg(NamedTuple):
     spp: int  # static
     max_depth: int  # static
     rr_threshold: float  # static
+    light_strategy: str = "power"  # "uniform" | "power" | "spatial"
+    #   (reference lightdistrib.rs create_light_sample_distribution :393)
 
 
 def _camera_rays(camera: cam.Camera, sampler_cfg, ctx, pixel):
@@ -45,29 +47,29 @@ def radiance_fn(integrator: str, max_depth: int, rr_threshold: float):
 
     if integrator == "path":
         pcfg = pathmod.PathCfg(max_depth, rr_threshold)
-        return lambda scene, cfg_s, ctx, o, d, accel: pathmod.radiance(
-            scene, pcfg, cfg_s, ctx, o, d, accel
+        return lambda scene, cfg_s, ctx, o, d, accel, ld=None: pathmod.radiance(
+            scene, pcfg, cfg_s, ctx, o, d, accel, light_distrib=ld
         )
     if integrator == "volpath":
         from . import volpath as volmod
 
         pcfg = pathmod.PathCfg(max_depth, rr_threshold)
-        return lambda scene, cfg_s, ctx, o, d, accel: volmod.radiance(
+        return lambda scene, cfg_s, ctx, o, d, accel, ld=None: volmod.radiance(
             scene, pcfg, cfg_s, ctx, o, d, accel
         )
     if integrator == "ao":
         acfg = directmod.AOCfg(n_samples=8, cos_sample=True)
-        return lambda scene, cfg_s, ctx, o, d, accel: directmod.ao_radiance(
+        return lambda scene, cfg_s, ctx, o, d, accel, ld=None: directmod.ao_radiance(
             scene, acfg, cfg_s, ctx, o, d, accel
         )
     if integrator == "whitted":
         wcfg = directmod.WhittedCfg(max_depth)
-        return lambda scene, cfg_s, ctx, o, d, accel: directmod.whitted_radiance(
+        return lambda scene, cfg_s, ctx, o, d, accel, ld=None: directmod.whitted_radiance(
             scene, wcfg, cfg_s, ctx, o, d, accel
         )
     if integrator == "directlighting":
         dcfg = directmod.DirectLightingCfg(max_depth, sample_all=False)
-        return lambda scene, cfg_s, ctx, o, d, accel: directmod.directlighting_radiance(
+        return lambda scene, cfg_s, ctx, o, d, accel, ld=None: directmod.directlighting_radiance(
             scene, dcfg, cfg_s, ctx, o, d, accel
         )
     raise ValueError(f"unknown integrator {integrator!r}")
@@ -89,13 +91,14 @@ def render_batch(
     filter_cfg: filmmod.FilterCfg,
     pixel: jnp.ndarray,  # (N,2) int32
     sample_num: jnp.ndarray,  # (N,) uint32
+    light_distrib=None,
 ):
     """One wavefront batch.  Static args exclude spp so different sample
     counts share one compilation (only shapes + depth matter)."""
     ctx = smpl.make_ctx(sampler_cfg, pixel, sample_num)
     rays, p_film = _camera_rays(camera, sampler_cfg, ctx, pixel)
     L = radiance_fn(integrator, max_depth, rr_threshold)(
-        scene, sampler_cfg, ctx, rays.o, rays.d, accel
+        scene, sampler_cfg, ctx, rays.o, rays.d, accel, light_distrib
     )
     L = L * rays.weight[..., None]
     return filmmod.add_samples(film, filter_cfg, p_film, L)
@@ -122,6 +125,12 @@ def render(
     pixels = jnp.asarray(np.stack([xs.ravel(), ys.ravel()], -1))
     film = filmmod.make_film((w, h))
 
+    light_distrib = None
+    if getattr(cfg, "light_strategy", "power") == "spatial" and scene.n_lights > 0:
+        from .. import lightdistrib as ldist
+
+        light_distrib = ldist.build_spatial(scene)
+
     spp_per_batch = max(1, min(cfg.spp, max_lanes // n_pix))
     sample = 0
     while sample < cfg.spp:
@@ -132,7 +141,7 @@ def render(
         )
         film = render_batch(
             scene, accel, camera, cfg.integrator, cfg.max_depth, cfg.rr_threshold,
-            sampler_cfg, film, filter_cfg, pix, snums,
+            sampler_cfg, film, filter_cfg, pix, snums, light_distrib,
         )
         sample += nb
     return filmmod.to_rgb(film)
