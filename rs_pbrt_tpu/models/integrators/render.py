@@ -104,6 +104,31 @@ def render_batch(
     return filmmod.add_samples(film, filter_cfg, p_film, L)
 
 
+def save_checkpoint(path, film: filmmod.Film, next_sample: int):
+    """Write progressive-render state (film sums + sample counter).
+
+    Checkpoint/resume has no reference equivalent (SURVEY §5: its nearest
+    feature is SPPM's periodic image write); here spp batches are the
+    checkpoint unit, so a killed render resumes exactly."""
+    np.savez(
+        path, rgb=np.asarray(film.rgb), weight=np.asarray(film.weight),
+        splat=np.asarray(film.splat), next_sample=np.int64(next_sample),
+    )
+
+
+def load_checkpoint(path):
+    """Returns (Film, next_sample) or None."""
+    import os
+
+    if not os.path.exists(path):
+        return None
+    z = np.load(path)
+    film = filmmod.Film(
+        jnp.asarray(z["rgb"]), jnp.asarray(z["weight"]), jnp.asarray(z["splat"])
+    )
+    return film, int(z["next_sample"])
+
+
 def render(
     scene: sa.Scene,
     camera: cam.Camera,
@@ -112,11 +137,19 @@ def render(
     filter_cfg: Optional[filmmod.FilterCfg] = None,
     accel: Optional[bvhmod.LBVH] = None,
     max_lanes: int = 1 << 20,
+    checkpoint_path: Optional[str] = None,
+    checkpoint_every: int = 0,
+    stats: Optional[dict] = None,
 ):
     """Single-device render: loops spp batches over the full pixel grid.
 
     Returns the resolved linear RGB image (H, W, 3).
+    checkpoint_path/_every: progressive-state persistence (spp batches are
+    the checkpoint unit).  stats: optional dict filled with counters
+    (the reference's TODO'd nCameraRays-style stats, SURVEY §5).
     """
+    import time as _time
+
     if filter_cfg is None:
         filter_cfg = filmmod.make_filter(filmmod.FILTER_BOX)
     w, h = camera.resolution
@@ -124,6 +157,11 @@ def render(
     xs, ys = np.meshgrid(np.arange(w, dtype=np.int32), np.arange(h, dtype=np.int32))
     pixels = jnp.asarray(np.stack([xs.ravel(), ys.ravel()], -1))
     film = filmmod.make_film((w, h))
+    sample = 0
+    if checkpoint_path is not None:
+        ck = load_checkpoint(checkpoint_path)
+        if ck is not None:
+            film, sample = ck
 
     light_distrib = None
     if getattr(cfg, "light_strategy", "power") == "spatial" and scene.n_lights > 0:
@@ -131,8 +169,9 @@ def render(
 
         light_distrib = ldist.build_spatial(scene)
 
+    t0 = _time.time()
     spp_per_batch = max(1, min(cfg.spp, max_lanes // n_pix))
-    sample = 0
+    since_ck = 0
     while sample < cfg.spp:
         nb = min(spp_per_batch, cfg.spp - sample)
         pix = jnp.tile(pixels, (nb, 1))
@@ -144,4 +183,23 @@ def render(
             sampler_cfg, film, filter_cfg, pix, snums, light_distrib,
         )
         sample += nb
-    return filmmod.to_rgb(film)
+        since_ck += nb
+        if checkpoint_path is not None and checkpoint_every and (
+            since_ck >= checkpoint_every or sample >= cfg.spp
+        ):
+            jax.block_until_ready(film)
+            save_checkpoint(checkpoint_path, film, sample)
+            since_ck = 0
+    img = filmmod.to_rgb(film)
+    if stats is not None:
+        img.block_until_ready()
+        dt = max(_time.time() - t0, 1e-9)
+        stats.update(
+            camera_rays=n_pix * cfg.spp,
+            spp=cfg.spp,
+            resolution=(w, h),
+            wall_s=dt,
+            paths_per_s=n_pix * cfg.spp / dt,
+            max_ray_casts=n_pix * cfg.spp * (cfg.max_depth + 1) * 2,
+        )
+    return img

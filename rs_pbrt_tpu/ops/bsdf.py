@@ -218,7 +218,7 @@ def tr_pdf_wh(wo, wh, ax, ay):
 
 # ---- per-lane BSDF parameter block ----
 
-N_LOBE_KINDS = 11
+N_LOBE_KINDS = 12
 (
     LOBE_NONE,
     LOBE_LAMBERT,
@@ -231,6 +231,7 @@ N_LOBE_KINDS = 11
     LOBE_DISNEY_DIFFUSE,
     LOBE_DISNEY_GLOSS,
     LOBE_HAIR,
+    LOBE_FOURIER,
 ) = range(N_LOBE_KINDS)
 
 
@@ -552,6 +553,8 @@ class Bsdf(NamedTuple):
     h: jnp.ndarray  # (N,) hair fiber offset in [-1,1] (= -1 + 2*uv.y)
     enable_hair: bool = True  # STATIC: trace-time gate for the hair lobe
     #   (scenes without hair skip the Bessel-series math entirely)
+    fou: object = None  # FourierTable when the scene has a fourier material
+    #   (STATIC None otherwise — gates the series math at trace time)
 
 
 def make_bsdf_at(scene, it):
@@ -564,7 +567,7 @@ def make_bsdf_at(scene, it):
     ma = gx.take_rows(scene.mat_attr, it.mat)  # one-hot matmul
     mat_type = gx.coli(ma, sa.MA_TYPE)
     params = ma[..., sa.MA_PARAMS : sa.MA_PARAMS + sa.N_MAT_PARAMS]
-    if scene.tex_type.shape[0] > 1:  # textures present (trace-time static)
+    if scene.tex_type.shape[0] > 1 and scene.tex_slot_mask:  # static gates
         from . import texture as tx
 
         mt = jnp.round(ma[..., sa.MA_TEX : sa.MA_TEX + sa.N_TEX_SLOTS]).astype(jnp.int32)
@@ -582,17 +585,37 @@ def make_bsdf_at(scene, it):
             new = jnp.where(tid >= 0, val, params[:, col])
             return params.at[:, col].set(new)
 
-        params = override3(params, sa.TEX_SLOT_KD, sa.MP_KD)
-        params = override3(params, sa.TEX_SLOT_KS, sa.MP_KS)
-        params = override3(params, sa.TEX_SLOT_KR, sa.MP_KR)
-        params = override3(params, sa.TEX_SLOT_KT, sa.MP_KT)
-        params = override1(params, sa.TEX_SLOT_SIGMA, sa.MP_SIGMA)
-        params = override1(params, sa.TEX_SLOT_ROUGH_U, sa.MP_ROUGH_U)
-        params = override1(params, sa.TEX_SLOT_ROUGH_V, sa.MP_ROUGH_V)
-    return make_bsdf(mat_type, params, uv=it.uv, enable_hair=scene.has_hair)
+        # the scene's static slot bitmask prunes unbound slots at trace
+        # time (each override drags a full texture eval into the graph)
+        sm = scene.tex_slot_mask
+        if sm & (1 << sa.TEX_SLOT_KD):
+            params = override3(params, sa.TEX_SLOT_KD, sa.MP_KD)
+        if sm & (1 << sa.TEX_SLOT_KS):
+            params = override3(params, sa.TEX_SLOT_KS, sa.MP_KS)
+        if sm & (1 << sa.TEX_SLOT_KR):
+            params = override3(params, sa.TEX_SLOT_KR, sa.MP_KR)
+        if sm & (1 << sa.TEX_SLOT_KT):
+            params = override3(params, sa.TEX_SLOT_KT, sa.MP_KT)
+        if sm & (1 << sa.TEX_SLOT_SIGMA):
+            params = override1(params, sa.TEX_SLOT_SIGMA, sa.MP_SIGMA)
+        if sm & (1 << sa.TEX_SLOT_ROUGH_U):
+            params = override1(params, sa.TEX_SLOT_ROUGH_U, sa.MP_ROUGH_U)
+        if sm & (1 << sa.TEX_SLOT_ROUGH_V):
+            params = override1(params, sa.TEX_SLOT_ROUGH_V, sa.MP_ROUGH_V)
+    fou = None
+    if scene.has_fourier:
+        from .fourier_bsdf import FourierTable
+
+        fou = FourierTable(
+            scene.fou_mu, scene.fou_dense, scene.fou_m, scene.fou_cdf,
+            scene.fou_a0, scene.fou_eta, jnp.int32(3),
+        )
+    return make_bsdf(
+        mat_type, params, uv=it.uv, enable_hair=scene.has_hair, fou=fou
+    )
 
 
-def make_bsdf(mat_type, params, uv=None, enable_hair=True):
+def make_bsdf(mat_type, params, uv=None, enable_hair=True, fou=None):
     """Material tag + parameter row -> per-lane Bsdf
     (replaces Material::compute_scattering_functions, material.rs:63).
     uv: optional (N,2) hit coordinates; uv.y gives the hair fiber offset.
@@ -688,6 +711,12 @@ def make_bsdf(mat_type, params, uv=None, enable_hair=True):
     kind0 = jnp.where(m, LOBE_LAMBERT, kind0)
     r0 = jnp.where(m[:, None], kd * 0.5, r0)
 
+    # FOURIER (materials/fourier.rs): tabulated single lobe; eval needs the
+    # scene's FourierTable carried in the Bsdf
+    m = mat_type == sa.FOURIER
+    kind0 = jnp.where(m & (fou is not None), LOBE_FOURIER, kind0)
+    kind1 = jnp.where(m, LOBE_NONE, kind1)
+
     # HAIR (materials/hair.rs): single Marschner lobe.  Param mapping:
     # MP_KD = sigma_a OR reflectance color (MP_OPACITY.x = 1 -> convert via
     # sigma_a_from_reflectance at shade time so textured color works),
@@ -713,7 +742,8 @@ def make_bsdf(mat_type, params, uv=None, enable_hair=True):
     else:
         h = jnp.clip(-1.0 + 2.0 * uv[..., 1], -1.0, 1.0)
     return Bsdf(
-        kind0, kind1, r0, r1, ax, ay, eta, sigma, eta3, k3, kt, h, bool(enable_hair)
+        kind0, kind1, r0, r1, ax, ay, eta, sigma, eta3, k3, kt, h,
+        bool(enable_hair), fou,
     )
 
 
@@ -782,6 +812,10 @@ def _lobe_f(kind, color, b: Bsdf, wo, wi, reflect):
     if b.enable_hair:
         is_hair = kind == LOBE_HAIR
         out = jnp.where(is_hair[..., None], hair_f(b, wo, wi), out)
+    if b.fou is not None:
+        from .fourier_bsdf import fourier_f
+
+        out = jnp.where((kind == LOBE_FOURIER)[..., None], fourier_f(b.fou, wo, wi), out)
     return out
 
 
@@ -806,6 +840,10 @@ def _lobe_pdf(kind, b: Bsdf, wo, wi):
     # hair: full-sphere pdf, no hemisphere mask
     if b.enable_hair:
         out = jnp.where(kind == LOBE_HAIR, hair_pdf(b, wo, wi), out)
+    if b.fou is not None:
+        from .fourier_bsdf import fourier_pdf
+
+        out = jnp.where(kind == LOBE_FOURIER, fourier_pdf(b.fou, wo, wi), out)
     return out
 
 
@@ -894,6 +932,11 @@ def bsdf_sample(b: Bsdf, wo, u2, uc) -> BsdfSample:
         is_hair = kind == LOBE_HAIR
         wi_hair, _ = hair_sample(b, wo, u2)
         wi = jnp.where(is_hair[..., None], wi_hair, wi)
+    if b.fou is not None:
+        from .fourier_bsdf import fourier_sample
+
+        wi_fou, _, _ = fourier_sample(b.fou, wo, u2)
+        wi = jnp.where((kind == LOBE_FOURIER)[..., None], wi_fou, wi)
     wi = vm.normalize(wi)
 
     is_specular = is_fs | is_spec_r

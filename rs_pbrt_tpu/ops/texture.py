@@ -202,47 +202,85 @@ def atlas_lookup(atlas, rect, u, v):
     return jnp.where(black[..., None], 0.0, acc)
 
 
-def eval_leaf(scene, tex_id, uv, p):
-    """Evaluate every leaf texture family for per-lane tex_id, select one.
-    Returns (..., 3) rgb."""
+def trilinear_lookup(scene, tex_id, u, v, width):
+    """Mip-pyramid width lookup (reference mipmap.rs:233-270): two bilinear
+    fetches at adjacent levels lerped by the fractional level.  width is the
+    texture-space footprint (0 -> finest level)."""
+    nlv = scene.tex_nlv[tex_id].astype(jnp.float32)
+    level = nlv - 1.0 + jnp.log2(jnp.maximum(width, 1e-8))
+    level = jnp.clip(level, 0.0, jnp.maximum(nlv - 1.0, 0.0))
+    l0 = jnp.floor(level).astype(jnp.int32)
+    nl1 = jnp.maximum(scene.tex_nlv[tex_id] - 1, 0)
+    l1 = jnp.minimum(l0 + 1, nl1)
+    f = (level - l0.astype(jnp.float32))[..., None]
+    wrap = scene.tex_rect[tex_id][..., 3:4]
+
+    def rect_at(lv):
+        r3 = jnp.take_along_axis(
+            scene.tex_mip[tex_id], lv[..., None, None], axis=-2
+        )[..., 0, :]
+        return jnp.concatenate([r3, wrap], axis=-1)
+
+    c0 = atlas_lookup(scene.tex_atlas, rect_at(l0), u, v)
+    c1 = atlas_lookup(scene.tex_atlas, rect_at(l1), u, v)
+    return (1.0 - f) * c0 + f * c1
+
+
+def eval_leaf(scene, tex_id, uv, p, width=None):
+    """Evaluate the leaf texture families PRESENT IN THE SCENE for per-lane
+    tex_id, select one.  Absent families compile to nothing — the scene's
+    shape-encoded tex_kind_mask prunes them at trace time (a textured scene
+    otherwise drags 4 Perlin-noise families into every material eval).
+    Returns (..., 3) rgb.  width: optional per-lane texture-space footprint
+    for mip selection (None -> finest level, the reference's behavior
+    without ray differentials)."""
+    kinds = getattr(scene, "tex_kind_mask", ~0)
+    has = lambda t: bool(kinds & (1 << t))
+
     tp = scene.tex_params[tex_id]
     ttype = scene.tex_type[tex_id]
     su, sv = tp[..., TP_SU], tp[..., TP_SV]
     du, dv = tp[..., TP_DU], tp[..., TP_DV]
     u = uv[..., 0] * jnp.where(su == 0.0, 1.0, su) + du
     v = uv[..., 1] * jnp.where(sv == 0.0, 1.0, sv) + dv
-    from ..utils import transform as tr
-
-    p_tex = tr.xform_point(scene.tex_w2t[tex_id], p)
 
     out = jnp.broadcast_to(tp[..., TP_VALUE : TP_VALUE + 3], uv.shape[:-1] + (3,))
 
-    has = lambda t: bool((np.asarray(scene.tex_type) == t).any()) if isinstance(scene.tex_type, np.ndarray) else True
-    octs = jnp.clip(tp[..., TP_OCTAVES].astype(jnp.int32), 1, MAX_OCTAVES)
-    omega = jnp.where(tp[..., TP_OMEGA] == 0.0, 0.5, tp[..., TP_OMEGA])
+    if has(TEX_FBM) or has(TEX_WRINKLED) or has(TEX_MARBLE) or has(TEX_WINDY):
+        from ..utils import transform as tr
 
-    f = fbm(p_tex, omega, octs)
-    out = jnp.where((ttype == TEX_FBM)[..., None], f[..., None] * tp[..., TP_VALUE : TP_VALUE + 3], out)
-    w = turbulence(p_tex, omega, octs)
-    out = jnp.where((ttype == TEX_WRINKLED)[..., None], w[..., None] * tp[..., TP_VALUE : TP_VALUE + 3], out)
-    m = marble(p_tex, jnp.where(tp[..., TP_SCALE_N] == 0, 1.0, tp[..., TP_SCALE_N]), omega, octs, tp[..., TP_VARIATION])
-    out = jnp.where((ttype == TEX_MARBLE)[..., None], m, out)
-    wd = windy(p_tex, 1.0)
-    out = jnp.where((ttype == TEX_WINDY)[..., None], wd[..., None] * tp[..., TP_VALUE : TP_VALUE + 3], out)
-    uvc = jnp.stack([u - jnp.floor(u), v - jnp.floor(v), jnp.zeros_like(u)], axis=-1)
-    out = jnp.where((ttype == TEX_UV)[..., None], uvc, out)
-    if scene.tex_atlas.shape[0] > 1:
-        img = atlas_lookup(scene.tex_atlas, scene.tex_rect[tex_id], u, v) * tp[
-            ..., TP_GAMMA_SCALE, None
-        ]
+        p_tex = tr.xform_point(scene.tex_w2t[tex_id], p)
+        octs = jnp.clip(tp[..., TP_OCTAVES].astype(jnp.int32), 1, MAX_OCTAVES)
+        omega = jnp.where(tp[..., TP_OMEGA] == 0.0, 0.5, tp[..., TP_OMEGA])
+        if has(TEX_FBM):
+            f = fbm(p_tex, omega, octs)
+            out = jnp.where((ttype == TEX_FBM)[..., None], f[..., None] * tp[..., TP_VALUE : TP_VALUE + 3], out)
+        if has(TEX_WRINKLED):
+            w = turbulence(p_tex, omega, octs)
+            out = jnp.where((ttype == TEX_WRINKLED)[..., None], w[..., None] * tp[..., TP_VALUE : TP_VALUE + 3], out)
+        if has(TEX_MARBLE):
+            m = marble(p_tex, jnp.where(tp[..., TP_SCALE_N] == 0, 1.0, tp[..., TP_SCALE_N]), omega, octs, tp[..., TP_VARIATION])
+            out = jnp.where((ttype == TEX_MARBLE)[..., None], m, out)
+        if has(TEX_WINDY):
+            wd = windy(p_tex, 1.0)
+            out = jnp.where((ttype == TEX_WINDY)[..., None], wd[..., None] * tp[..., TP_VALUE : TP_VALUE + 3], out)
+    if has(TEX_UV):
+        uvc = jnp.stack([u - jnp.floor(u), v - jnp.floor(v), jnp.zeros_like(u)], axis=-1)
+        out = jnp.where((ttype == TEX_UV)[..., None], uvc, out)
+    if has(TEX_IMAGEMAP) and scene.tex_atlas.shape[0] > 1:
+        if width is None:
+            img = atlas_lookup(scene.tex_atlas, scene.tex_rect[tex_id], u, v)
+        else:
+            img = trilinear_lookup(scene, tex_id, u, v, width)
+        img = img * tp[..., TP_GAMMA_SCALE, None]
         out = jnp.where((ttype == TEX_IMAGEMAP)[..., None], img, out)
     return out
 
 
-def eval_texture(scene, tex_id, uv, p):
+def eval_texture(scene, tex_id, uv, p, width=None):
     """Full eval with one nesting level (scale/mix/checker/dots children)."""
     tex_id = jnp.clip(tex_id, 0, scene.tex_type.shape[0] - 1)
-    v_self = eval_leaf(scene, tex_id, uv, p)
+    v_self = eval_leaf(scene, tex_id, uv, p, width)
     ttype = scene.tex_type[tex_id]
     needs_children = (
         (ttype == TEX_SCALE) | (ttype == TEX_MIX) | (ttype == TEX_CHECKER) | (ttype == TEX_DOTS)

@@ -288,6 +288,16 @@ class PbrtAPI:
                 clearcoat=ps.find_one(params, "clearcoat", 0.0),
                 eta=ps.find_one(params, "eta", 1.5),
             )
+        if mtype == "fourier":
+            bf = ps.find_string(params, "bsdffile", "")
+            fp = Path(bf)
+            if self.search_dir and not fp.is_absolute():
+                fp = self.search_dir / fp
+            try:
+                return b.add_fourier(bsdffile=str(fp))
+            except Exception as e:
+                print(f"WARNING: fourier table {bf!r} load failed ({e})")
+                return b.add_matte(kd=(0.5, 0.5, 0.5))
         if mtype == "mix":
             m1 = self.gs.named_materials.get(ps.find_string(params, "namedmaterial1"))
             m2 = self.gs.named_materials.get(ps.find_string(params, "namedmaterial2"))

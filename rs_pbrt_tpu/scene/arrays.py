@@ -187,7 +187,9 @@ class Scene(NamedTuple):
     tex_child: jnp.ndarray  # (X, 2) i32 sub-texture refs (-1 none)
     tex_w2t: jnp.ndarray  # (X, 4, 4) world->texture transforms (3D mappings)
     tex_atlas: jnp.ndarray  # (AH, AW, 3) all image textures stacked
-    tex_rect: jnp.ndarray  # (X, 4) i32: y0, h, w, wrap
+    tex_rect: jnp.ndarray  # (X, 4) i32: y0, h, w, wrap (mip level 0)
+    tex_mip: jnp.ndarray  # (X, MAX_LEVELS, 3) i32 per-level (y0, h, w)
+    tex_nlv: jnp.ndarray  # (X,) i32 number of pyramid levels
 
     # --- lights ---
     light_type: jnp.ndarray  # (L,) i32
@@ -233,6 +235,12 @@ class Scene(NamedTuple):
     # (lets jitted code skip the hair-lobe math without a traced branch)
     hair_flag: jnp.ndarray
 
+    # shape-encoded static bitmasks (jitted code prunes absent branches):
+    # tex_kind_flag.shape[0] = bitmask of texture TYPE tags present;
+    # tex_slot_flag.shape[0] = bitmask of material texture SLOTS bound
+    tex_kind_flag: jnp.ndarray  # (kind_mask, 0)
+    tex_slot_flag: jnp.ndarray  # (slot_mask, 0)
+
     # --- subsurface (BSSRDF) per-material folded profile tables
     # (ops/bssrdf.py); B rows, 0 when no subsurface material ---
     bss_profile: jnp.ndarray  # (B,3,K) radial profile per channel
@@ -240,6 +248,15 @@ class Scene(NamedTuple):
     bss_rho_eff: jnp.ndarray  # (B,3)
     bss_sigma_t: jnp.ndarray  # (B,3)
     bss_eta: jnp.ndarray  # (B,)
+
+    # --- FourierBSDF table (ops/fourier_bsdf.py); one per scene,
+    # zero-size mu when absent ---
+    fou_mu: jnp.ndarray  # (MU,)
+    fou_dense: jnp.ndarray  # (MU*MU, 3*m_cap)
+    fou_m: jnp.ndarray  # (MU*MU,)
+    fou_cdf: jnp.ndarray  # (MU, MU)
+    fou_a0: jnp.ndarray  # (MU, MU)
+    fou_eta: jnp.ndarray  # ()
 
     @property
     def n_tris(self):
@@ -268,6 +285,18 @@ class Scene(NamedTuple):
     @property
     def has_subsurface(self):
         return self.bss_profile.shape[0] > 0
+
+    @property
+    def has_fourier(self):
+        return self.fou_mu.shape[0] > 0
+
+    @property
+    def tex_kind_mask(self):
+        return self.tex_kind_flag.shape[0]
+
+    @property
+    def tex_slot_mask(self):
+        return self.tex_slot_flag.shape[0]
 
 
 def empty_scene_arrays(n_tris=0, n_sph=0, n_mat=1, n_lights=0, alight_pad=1):
@@ -299,6 +328,8 @@ def empty_scene_arrays(n_tris=0, n_sph=0, n_mat=1, n_lights=0, alight_pad=1):
         tex_w2t=np.tile(np.eye(4, dtype=np.float32), (1, 1, 1)),
         tex_atlas=np.zeros((1, 1, 3), np.float32),
         tex_rect=np.zeros((1, 4), np.int32),
+        tex_mip=np.zeros((1, 12, 3), np.int32),
+        tex_nlv=np.ones(1, np.int32),
         light_type=np.zeros(L, np.int32),
         light_flags=np.zeros(L, np.int32),
         light_params=np.zeros((L, N_LIGHT_PARAMS), np.float32),
@@ -328,6 +359,14 @@ def empty_scene_arrays(n_tris=0, n_sph=0, n_mat=1, n_lights=0, alight_pad=1):
         bss_rho_eff=np.zeros((0, 3), np.float32),
         bss_sigma_t=np.zeros((0, 3), np.float32),
         bss_eta=np.zeros(0, np.float32),
+        fou_mu=np.zeros(0, np.float32),
+        fou_dense=np.zeros((0, 0), np.float32),
+        fou_m=np.zeros(0, np.int32),
+        fou_cdf=np.zeros((0, 0), np.float32),
+        fou_a0=np.zeros((0, 0), np.float32),
+        fou_eta=np.float32(1.0),
+        tex_kind_flag=np.zeros((0, 0), np.float32),
+        tex_slot_flag=np.zeros((0, 0), np.float32),
     )
 
 
@@ -432,5 +471,17 @@ def finalize_scene(arrs: dict) -> Scene:
     arrs["hair_flag"] = np.zeros(
         1 if np.any(np.asarray(arrs["mat_type"]) == HAIR) else 0, np.float32
     )
+    kind_mask = 0
+    for t in np.unique(np.asarray(arrs["tex_type"], np.int64)):
+        kind_mask |= 1 << int(t)
+    if arrs["tex_type"].shape[0] <= 1 and not np.any(arrs["mat_tex"] >= 0):
+        kind_mask = 0  # no real textures
+    slot_mask = 0
+    mt = np.asarray(arrs["mat_tex"])
+    for s_ in range(mt.shape[1]):
+        if np.any(mt[:, s_] >= 0):
+            slot_mask |= 1 << s_
+    arrs["tex_kind_flag"] = np.zeros((kind_mask, 0), np.float32)
+    arrs["tex_slot_flag"] = np.zeros((slot_mask, 0), np.float32)
     dev = {k: jnp.asarray(v) for k, v in arrs.items()}
     return Scene(inf_dist=inf_dist, **dev)

@@ -26,6 +26,7 @@ class SceneBuilder:
         self.sphs = {k: [] for k in ("o2w", "w2o", "params", "mat", "light", "reverse")}
         self.curves = []  # list of packed (M_i, N_CURVE_ATTR) segment blocks
         self.bssrdfs = []  # list of per-material folded BSSRDF table dicts
+        self.fourier_table = None  # single SCATFUN table dict (ops/fourier_bsdf)
         self.mats = []  # list of (type, params, tex)
         self.lights = []  # list of dicts
         self.env = None  # (radiance HxWx3, l2w, w2o)
@@ -146,6 +147,17 @@ class SceneBuilder:
         )
         self.mats[mid][1][sa.MP_BSSRDF] = len(self.bssrdfs) - 1
         return mid
+
+    def add_fourier(self, bsdffile=None, table=None):
+        """FourierBSDF material (reference materials/fourier.rs + the
+        SCATFUN loader reflection.rs:80-187).  One table per scene."""
+        from ..ops import fourier_bsdf as fb
+
+        if table is None and bsdffile is not None:
+            table = fb.make_fourier_table(fb.read_bsdf_file(bsdffile))
+        if table is not None:
+            self.fourier_table = table
+        return self._add_material(sa.FOURIER)
 
     def add_mix(self, mat1: int, mat2: int, amount=(0.5,) * 3):
         """Mix material (reference materials/mixmat.rs).  Approximated by
@@ -537,6 +549,15 @@ class SceneBuilder:
         if self.curves:
             arrs["crv_attr"] = np.concatenate(self.curves, axis=0)
 
+        if self.fourier_table is not None:
+            t = self.fourier_table
+            arrs["fou_mu"] = t["mu"]
+            arrs["fou_dense"] = t["dense"]
+            arrs["fou_m"] = t["m"]
+            arrs["fou_cdf"] = t["cdf"]
+            arrs["fou_a0"] = t["a0"]
+            arrs["fou_eta"] = t["eta"]
+
         if self.bssrdfs:
             arrs["bss_profile"] = np.stack([t["profile"] for t in self.bssrdfs])
             arrs["bss_cdf"] = np.stack([t["cdf"] for t in self.bssrdfs])
@@ -552,21 +573,37 @@ class SceneBuilder:
             arrs["tex_params"] = np.stack([t[1] for t in self.textures])
             arrs["tex_child"] = np.stack([t[2] for t in self.textures])
             arrs["tex_w2t"] = np.stack([t[3] for t in self.textures])
-            # pack images into a vertical atlas
+            # pack images into a vertical atlas — every texture's full mip
+            # pyramid (ops/mipmap.py, reference core/mipmap.rs) is stacked,
+            # one rect per (texture, level)
+            from ..ops import mipmap as mp
+
             imgs = [(i, t[4]) for i, t in enumerate(self.textures) if t[4] is not None]
             rects = np.zeros((X, 4), np.int32)
+            mips = np.zeros((X, mp.MAX_LEVELS, 3), np.int32)
+            nlv = np.zeros(X, np.int32)
             if imgs:
-                aw = max(im.shape[1] for _, im in imgs)
-                ah = sum(im.shape[0] for _, im in imgs)
+                pyramids = {
+                    i: mp.build_pyramid(im[..., :3], int(self.textures[i][1][tx.TP_WRAP]))
+                    for i, im in imgs
+                }
+                aw = max(lv.shape[1] for p in pyramids.values() for lv in p)
+                ah = sum(lv.shape[0] for p in pyramids.values() for lv in p)
                 atlas = np.zeros((ah, aw, 3), np.float32)
                 y = 0
-                for i, im in imgs:
-                    h, w = im.shape[:2]
-                    atlas[y : y + h, :w] = im[..., :3]
-                    rects[i] = (y, h, w, int(self.textures[i][1][tx.TP_WRAP]))
-                    y += h
+                for i, _im in imgs:
+                    for li, lv in enumerate(pyramids[i]):
+                        h, w = lv.shape[:2]
+                        atlas[y : y + h, :w] = lv
+                        mips[i, li] = (y, h, w)
+                        if li == 0:
+                            rects[i] = (y, h, w, int(self.textures[i][1][tx.TP_WRAP]))
+                        y += h
+                    nlv[i] = len(pyramids[i])
                 arrs["tex_atlas"] = atlas
             arrs["tex_rect"] = rects
+            arrs["tex_mip"] = mips
+            arrs["tex_nlv"] = nlv
 
         if self.env is not None:
             arrs["inf_radiance"] = self.env[0]
