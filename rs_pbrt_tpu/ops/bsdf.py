@@ -530,14 +530,19 @@ def disney_gloss_f(f0, ax, ay, wo, wi):
     )
 
 
-class Bsdf(NamedTuple):
+from flax import struct
+
+
+@struct.dataclass
+class Bsdf:
     """Flattened per-lane 2-lobe BSDF built from the material tables.
 
     The reference builds up to 8 BxDFs per hit (reflection.rs:280); the 13
     materials in practice use 1 diffuse-ish + 1 glossy/specular lobe (+
     transmission).  We carry two lobe slots; materials needing more use the
     combined closed forms (uber folds kr into spec slot etc.).
-    """
+    enable_hair is a STATIC trace-time gate (non-hair scenes skip the
+    Bessel-series math); fou is the FourierTable pytree or None."""
 
     kind0: jnp.ndarray  # (N,) lobe kind tags
     kind1: jnp.ndarray
@@ -551,10 +556,8 @@ class Bsdf(NamedTuple):
     k3: jnp.ndarray  # (N,3) conductor k
     kt: jnp.ndarray  # (N,3) transmission color (fresnel-spec lobe)
     h: jnp.ndarray  # (N,) hair fiber offset in [-1,1] (= -1 + 2*uv.y)
-    enable_hair: bool = True  # STATIC: trace-time gate for the hair lobe
-    #   (scenes without hair skip the Bessel-series math entirely)
-    fou: object = None  # FourierTable when the scene has a fourier material
-    #   (STATIC None otherwise — gates the series math at trace time)
+    enable_hair: bool = struct.field(pytree_node=False, default=True)
+    fou: object = None
 
 
 def make_bsdf_at(scene, it):

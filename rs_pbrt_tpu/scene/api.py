@@ -563,6 +563,29 @@ class PbrtAPI:
                 F, V, normals=N, material=gs.material, object_to_world=o2w,
                 area_light=al, reverse_orientation=gs.reverse_orientation,
             )
+        elif kind == "nurbs":
+            from ..io.nurbs import tessellate_nurbs
+
+            nu = int(ps.find_one(st.params, "nu", 0))
+            nv = int(ps.find_one(st.params, "nv", 0))
+            uo = int(ps.find_one(st.params, "uorder", 0))
+            vo = int(ps.find_one(st.params, "vorder", 0))
+            uk = ps.find_floats(st.params, "uknots")
+            vk = ps.find_floats(st.params, "vknots")
+            Pn = ps.find_floats(st.params, "P")
+            Pw = ps.find_floats(st.params, "Pw")
+            if Pw:
+                pw = np.asarray(Pw, np.float32).reshape(-1, 4)
+                P = pw[:, :3] / np.maximum(pw[:, 3:4], 1e-12)
+                wgt = pw[:, 3]
+            else:
+                P = np.asarray(Pn, np.float32).reshape(-1, 3)
+                wgt = None
+            V, F, UV = tessellate_nurbs(uo, uk, nu, vo, vk, nv, P, wgt)
+            b.add_triangle_mesh(
+                F, V, uvs=UV, material=gs.material, object_to_world=o2w,
+                area_light=al, reverse_orientation=gs.reverse_orientation,
+            )
         elif kind == "curve":
             P = np.asarray(ps.find_floats(st.params, "P"), np.float32).reshape(-1, 3)
             nrm = ps.find_floats(st.params, "N")
