@@ -34,13 +34,15 @@ def main():
     cfg = rdr.RenderCfg("path", spp=spp, max_depth=5, rr_threshold=1.0)
     scfg = smpl.make_sampler(smpl.SOBOL, spp, camera.resolution)
 
-    # compile + warm run with the SAME batch lane shape as the timed run
-    # (spp_per_batch = max_lanes // n_pix = 16 -> one 1M-lane batch)
-    warm_cfg = rdr.RenderCfg("path", spp=16, max_depth=5, rr_threshold=1.0)
-    jax.block_until_ready(rdr.render(scene, camera, warm_cfg, scfg, max_lanes=1 << 20))
+    # one 4.2M-lane batch covers the full 64 spp: a single dispatch, no
+    # film round-trip between batches (feeding a jitted output back as an
+    # input recompiles for its device-chosen layout).  Warm-up compiles the
+    # exact timed signature.
+    lanes = 1 << 23
+    jax.block_until_ready(rdr.render(scene, camera, cfg, scfg, max_lanes=lanes))
 
     t0 = time.time()
-    img = rdr.render(scene, camera, cfg, scfg, max_lanes=1 << 20)
+    img = rdr.render(scene, camera, cfg, scfg, max_lanes=lanes)
     jax.block_until_ready(img)
     dt = time.time() - t0
 

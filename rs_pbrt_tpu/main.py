@@ -52,9 +52,39 @@ def main(argv=None):
         overrides["samples"] = args.samples
 
     t0 = time.time()
-    scene, camera, cfg, sampler_cfg, filter_cfg, out_name = load_pbrt(
-        args.path, overrides
-    )
+    if str(args.path).endswith((".ass", ".blend")):
+        # Arnold / Blender importers (reference examples/parse_ass_file.rs,
+        # src/bin/parse_blend_file.rs) share the render pipeline
+        from rs_pbrt_tpu.models import cameras as cammod
+        from rs_pbrt_tpu.models import samplers as smplmod
+        from rs_pbrt_tpu.ops import film as filmmod
+        from rs_pbrt_tpu.utils import transform as trmod
+        import numpy as np
+
+        if str(args.path).endswith(".ass"):
+            from rs_pbrt_tpu.io.assfile import load_ass as _load
+
+        else:
+            from rs_pbrt_tpu.io.blendfile import load_blend as _load
+
+        builder, ci = _load(args.path)
+        scene = builder.finalize()
+        camera = cammod.make_perspective(
+            trmod.from_matrix(np.asarray(ci["cam_to_world"], np.float32)),
+            ci["resolution"], fov=ci["fov"],
+        )
+        cfg = rdr.RenderCfg(
+            args.integrator or "path", args.samples or 8, 5, 1.0
+        )
+        sampler_cfg = smplmod.make_sampler(
+            smplmod.SOBOL, cfg.spp, camera.resolution
+        )
+        filter_cfg = filmmod.make_filter(filmmod.FILTER_BOX)
+        out_name = "pbrt.png"
+    else:
+        scene, camera, cfg, sampler_cfg, filter_cfg, out_name = load_pbrt(
+            args.path, overrides
+        )
     print(f"Parsed + built scene in {time.time() - t0:.2f}s: "
           f"{scene.n_tris} triangles, {scene.n_spheres} spheres, "
           f"{scene.n_lights} lights")
@@ -74,7 +104,12 @@ def main(argv=None):
             scene, camera, cfg, sampler_cfg, filter_cfg, mesh=mesh, accel=accel
         )
     else:
-        img = rdr.render(scene, camera, cfg, sampler_cfg, filter_cfg, accel=accel)
+        crop = None
+        if (args.cropx0, args.cropx1, args.cropy0, args.cropy1) != (0.0, 1.0, 0.0, 1.0):
+            crop = (args.cropx0, args.cropx1, args.cropy0, args.cropy1)
+        img = rdr.render(
+            scene, camera, cfg, sampler_cfg, filter_cfg, accel=accel, crop=crop
+        )
     jax.block_until_ready(img)
     dt = time.time() - t0
     w, h = camera.resolution

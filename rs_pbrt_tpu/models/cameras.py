@@ -43,6 +43,9 @@ class Camera:
     pupil_bounds: tuple = struct.field(pytree_node=False, default=())
     film_diag: float = struct.field(pytree_node=False, default=0.035)
     simple_weighting: bool = struct.field(pytree_node=False, default=True)
+    # camera motion blur (reference AnimatedTransform transform.rs:894):
+    # decomposed endpoint transforms ((T,q,S) tuples) or () when static
+    anim: tuple = struct.field(pytree_node=False, default=())
 
 
 def _screen_window(resolution, frame_aspect=None, screen_window=None):
@@ -66,6 +69,17 @@ def _screen_to_raster(resolution, window):
     return tr.compose(s1, tr.compose(s2, t))
 
 
+def _anim_tuple(cam_to_world, cam_to_world_end):
+    if cam_to_world_end is None:
+        return ()
+    from ..utils import animated as anim
+
+    a = anim.decompose(np.asarray(cam_to_world.m))
+    b = anim.decompose(np.asarray(cam_to_world_end.m))
+    tt = lambda x: tuple(np.asarray(x).ravel().tolist())
+    return (tuple(map(tt, a)), tuple(map(tt, b)))
+
+
 def make_perspective(
     cam_to_world: tr.Transform,
     resolution,
@@ -76,8 +90,10 @@ def make_perspective(
     shutter_close=1.0,
     frame_aspect=None,
     screen_window=None,
+    cam_to_world_end: tr.Transform = None,
 ) -> Camera:
-    """reference cameras/perspective.rs:46-135."""
+    """reference cameras/perspective.rs:46-135.  cam_to_world_end enables
+    shutter motion blur (AnimatedTransform, transform.rs:894)."""
     cam_to_screen = tr.perspective(fov, 1e-2, 1000.0)
     s2r = _screen_to_raster(resolution, _screen_window(resolution, frame_aspect, screen_window))
     raster_to_camera = tr.compose(tr.inverse(cam_to_screen), tr.inverse(s2r))
@@ -90,6 +106,7 @@ def make_perspective(
         jnp.float32(shutter_close),
         cam_type=PERSPECTIVE,
         resolution=tuple(resolution),
+        anim=_anim_tuple(cam_to_world, cam_to_world_end),
     )
 
 
@@ -276,6 +293,20 @@ def generate_rays(cam: Camera, p_film, u_lens, u_time) -> CameraRays:
     o_cam = jnp.where(use_dof, o_dof, o_cam)
     d_cam = jnp.where(use_dof, d_dof, d_cam)
 
+    if cam.anim:
+        from ..utils import animated as anim
+
+        (T0, q0, S0), (T1, q1, S1) = cam.anim
+        m = anim.interpolate(
+            u_time,
+            np.asarray(T0, np.float32), np.asarray(q0, np.float32),
+            np.asarray(S0, np.float32).reshape(3, 3),
+            np.asarray(T1, np.float32), np.asarray(q1, np.float32),
+            np.asarray(S1, np.float32).reshape(3, 3),
+        )  # (N,4,4) per-lane camera-to-world at the lane's shutter time
+        o = tr.xform_point(m, o_cam)
+        d = vm.normalize(tr.xform_vector(m, d_cam))
+        return CameraRays(o, d, time, jnp.ones(n, jnp.float32))
     o = tr.xform_point(cam.cam_to_world, o_cam)
     d = vm.normalize(tr.xform_vector(cam.cam_to_world, d_cam))
     return CameraRays(o, d, time, jnp.ones(n, jnp.float32))

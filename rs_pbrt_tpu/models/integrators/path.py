@@ -108,6 +108,16 @@ def radiance(
             return light_dist
     dims_per_bounce = DIMS_PER_BOUNCE + (SSS_EXTRA_DIMS if scene.has_subsurface else 0)
 
+    # hoist ALL bounce dimensions into one Sobol launch (the per-bounce
+    # kernel setup — index scrambling etc. — dominated the sampler cost;
+    # one (N, total_dims) table + a dynamic slice per bounce is ~6x less)
+    total_dims = dims_per_bounce * (cfg.max_depth + 1)
+    all_dims = (
+        smpl.get_dims(sampler_cfg, ctx, DIM_CAMERA, total_dims)
+        if total_dims <= 128
+        else None
+    )
+
     def body(bounce, state):
         o, d, L, beta, alive, specular_bounce, prev_bsdf_pdf, eta_scale = state
         it = si.scene_intersect(scene, o, d, jnp.full(n, vm.INFINITY), accel)
@@ -148,7 +158,12 @@ def radiance(
 
         alive = alive & it.valid & (bounce < cfg.max_depth)
         dim0 = DIM_CAMERA + bounce * dims_per_bounce
-        dims = smpl.get_dims(sampler_cfg, ctx, dim0, dims_per_bounce)
+        if all_dims is not None:
+            dims = jax.lax.dynamic_slice_in_dim(
+                all_dims, bounce * dims_per_bounce, dims_per_bounce, axis=1
+            )
+        else:
+            dims = smpl.get_dims(sampler_cfg, ctx, dim0, dims_per_bounce)
         def u1(k):
             return dims[:, k] if dims is not None else smpl.get_1d_dyn(sampler_cfg, ctx, dim0 + k)
         def u2d(k):
@@ -158,6 +173,8 @@ def radiance(
         # --- build BSDF at hit ---
         b = bx.make_bsdf_at(scene, it)
         ss, ts = _shading_frame_du(it.ns, it.dpdu)
+        ns_sh, ss, ts = bx.apply_bump(scene, it, ss, ts)
+        it = it._replace(ns=ns_sh)
         wo_l = _to_local(it.wo, ss, ts, it.ns)
         non_spec = lambda k: (k != bx.LOBE_NONE) & (k != bx.LOBE_SPEC_REFL) & (
             k != bx.LOBE_FRESNEL_SPEC

@@ -77,7 +77,10 @@ def radiance_fn(integrator: str, max_depth: int, rr_threshold: float):
 
 @partial(
     jax.jit,
-    static_argnames=("integrator", "max_depth", "rr_threshold", "sampler_cfg", "filter_cfg"),
+    static_argnames=(
+        "integrator", "max_depth", "rr_threshold", "sampler_cfg", "filter_cfg",
+        "grid_spp", "grid_rect",
+    ),
 )
 def render_batch(
     scene: sa.Scene,
@@ -92,15 +95,24 @@ def render_batch(
     pixel: jnp.ndarray,  # (N,2) int32
     sample_num: jnp.ndarray,  # (N,) uint32
     light_distrib=None,
+    grid_spp: int = 0,
+    grid_rect=None,
 ):
     """One wavefront batch.  Static args exclude spp so different sample
-    counts share one compilation (only shapes + depth matter)."""
+    counts share one compilation (only shapes + depth matter).
+    grid_spp > 0 asserts the lanes are grid_spp ordered copies of the
+    (possibly cropped) pixel grid, enabling the scatter-free box-filter
+    film path; grid_rect = static (y0, h, x0, w) crop window."""
     ctx = smpl.make_ctx(sampler_cfg, pixel, sample_num)
     rays, p_film = _camera_rays(camera, sampler_cfg, ctx, pixel)
     L = radiance_fn(integrator, max_depth, rr_threshold)(
         scene, sampler_cfg, ctx, rays.o, rays.d, accel, light_distrib
     )
     L = L * rays.weight[..., None]
+    if grid_spp:
+        fast = filmmod.add_samples_grid(film, filter_cfg, L, grid_spp, grid_rect)
+        if fast is not None:
+            return fast
     return filmmod.add_samples(film, filter_cfg, p_film, L)
 
 
@@ -140,6 +152,8 @@ def render(
     checkpoint_path: Optional[str] = None,
     checkpoint_every: int = 0,
     stats: Optional[dict] = None,
+    crop=None,
+    profile_dir: Optional[str] = None,
 ):
     """Single-device render: loops spp batches over the full pixel grid.
 
@@ -153,8 +167,19 @@ def render(
     if filter_cfg is None:
         filter_cfg = filmmod.make_filter(filmmod.FILTER_BOX)
     w, h = camera.resolution
-    n_pix = w * h
-    xs, ys = np.meshgrid(np.arange(w, dtype=np.int32), np.arange(h, dtype=np.int32))
+    # crop window (reference film.rs:224-262: pMin = ceil(res*crop0))
+    if crop is not None:
+        x0, x1, y0, y1 = crop
+        px0, px1 = int(np.ceil(w * x0)), max(int(np.ceil(w * x1)), int(np.ceil(w * x0)) + 1)
+        py0, py1 = int(np.ceil(h * y0)), max(int(np.ceil(h * y1)), int(np.ceil(h * y0)) + 1)
+    else:
+        px0, px1, py0, py1 = 0, w, 0, h
+    cw, ch = px1 - px0, py1 - py0
+    grid_rect = (py0, ch, px0, cw)
+    n_pix = cw * ch
+    xs, ys = np.meshgrid(
+        np.arange(px0, px1, dtype=np.int32), np.arange(py0, py1, dtype=np.int32)
+    )
     pixels = jnp.asarray(np.stack([xs.ravel(), ys.ravel()], -1))
     film = filmmod.make_film((w, h))
     sample = 0
@@ -170,17 +195,27 @@ def render(
         light_distrib = ldist.build_spatial(scene)
 
     t0 = _time.time()
+    prof = None
+    if profile_dir is not None:
+        # device-level tracing (the reference's ProfilePhase instrumentation
+        # is TODO-stubbed, SURVEY §5; jax.profiler is our equivalent)
+        prof = jax.profiler.trace(profile_dir)
+        prof.__enter__()
     spp_per_batch = max(1, min(cfg.spp, max_lanes // n_pix))
     since_ck = 0
+    pix_cache = {}
     while sample < cfg.spp:
         nb = min(spp_per_batch, cfg.spp - sample)
-        pix = jnp.tile(pixels, (nb, 1))
+        if nb not in pix_cache:  # constant across batches of the same size
+            pix_cache[nb] = jnp.tile(pixels, (nb, 1))
+        pix = pix_cache[nb]
         snums = jnp.repeat(
             jnp.arange(sample, sample + nb, dtype=jnp.uint32), n_pix
         )
         film = render_batch(
             scene, accel, camera, cfg.integrator, cfg.max_depth, cfg.rr_threshold,
             sampler_cfg, film, filter_cfg, pix, snums, light_distrib,
+            grid_spp=nb, grid_rect=grid_rect,
         )
         sample += nb
         since_ck += nb
@@ -191,6 +226,9 @@ def render(
             save_checkpoint(checkpoint_path, film, sample)
             since_ck = 0
     img = filmmod.to_rgb(film)
+    if prof is not None:
+        img.block_until_ready()
+        prof.__exit__(None, None, None)
     if stats is not None:
         img.block_until_ready()
         dt = max(_time.time() - t0, 1e-9)

@@ -157,11 +157,25 @@ def radiance(
     n = ray_o.shape[0]
     light_dist = _light_select_dist(scene) if scene.n_lights > 0 else None
 
+    # one Sobol launch for all bounce dims (see path.py — launch setup
+    # dominated the sampler cost)
+    total_dims = DIMS_PER_BOUNCE * (cfg.max_depth + 1)
+    all_dims = (
+        smpl.get_dims(sampler_cfg, ctx, DIM_CAMERA, total_dims)
+        if total_dims <= 128
+        else None
+    )
+
     def body(bounce, state):
         (o, d, L, beta, alive, specular_bounce, prev_pdf, cur_med) = state
         it = si.scene_intersect(scene, o, d, jnp.full(n, vm.INFINITY), accel)
         dim0 = DIM_CAMERA + bounce * DIMS_PER_BOUNCE
-        dims = smpl.get_dims(sampler_cfg, ctx, dim0, DIMS_PER_BOUNCE)
+        if all_dims is not None:
+            dims = jax.lax.dynamic_slice_in_dim(
+                all_dims, bounce * DIMS_PER_BOUNCE, DIMS_PER_BOUNCE, axis=1
+            )
+        else:
+            dims = smpl.get_dims(sampler_cfg, ctx, dim0, DIMS_PER_BOUNCE)
         def u1(k):
             return dims[:, k] if dims is not None else smpl.get_1d_dyn(sampler_cfg, ctx, dim0 + k)
         def u2d(k):

@@ -218,7 +218,7 @@ def tr_pdf_wh(wo, wh, ax, ay):
 
 # ---- per-lane BSDF parameter block ----
 
-N_LOBE_KINDS = 12
+N_LOBE_KINDS = 13
 (
     LOBE_NONE,
     LOBE_LAMBERT,
@@ -232,6 +232,7 @@ N_LOBE_KINDS = 12
     LOBE_DISNEY_GLOSS,
     LOBE_HAIR,
     LOBE_FOURIER,
+    LOBE_LAMBERT_TRANS,
 ) = range(N_LOBE_KINDS)
 
 
@@ -618,6 +619,46 @@ def make_bsdf_at(scene, it):
     )
 
 
+def apply_bump(scene, it, ss, ts):
+    """Bump-map shading-normal perturbation (reference material.rs:118-220).
+
+    Finite differences of the displacement texture in uv (the reference's
+    du fallback 0.0005 — no ray differentials in the wavefront), displaced
+    tangents, new normal = normalize(cross(dpdu', dpdv')) kept on the
+    original side.  Statically gated on the scene's bump-slot bitmask.
+    Returns (ns, ss, ts)."""
+    from ..scene import arrays as sa
+    from . import gathers as gx
+    from . import texture as tx
+
+    if not (scene.tex_slot_mask & (1 << sa.TEX_SLOT_BUMP)):
+        return it.ns, ss, ts
+    ma = gx.take_rows(scene.mat_attr, it.mat)
+    tid = jnp.round(ma[..., sa.MA_TEX + sa.TEX_SLOT_BUMP]).astype(jnp.int32)
+    has = tid >= 0
+    tid_s = jnp.maximum(tid, 0)
+    du = 0.0005
+    d0 = tx.eval_texture(scene, tid_s, it.uv, it.p)[..., 0]
+    uv_u = it.uv + jnp.asarray([du, 0.0], jnp.float32)
+    uv_v = it.uv + jnp.asarray([0.0, du], jnp.float32)
+    d_u = tx.eval_texture(scene, tid_s, uv_u, it.p + ss * du)[..., 0]
+    d_v = tx.eval_texture(scene, tid_s, uv_v, it.p + ts * du)[..., 0]
+    dddu = (d_u - d0) / du
+    dddv = (d_v - d0) / du
+    dpdu_b = ss + dddu[..., None] * it.ns
+    dpdv_b = ts + dddv[..., None] * it.ns
+    ns_b = vm.normalize(vm.cross(dpdu_b, dpdv_b))
+    ns_b = jnp.where(vm.dot(ns_b, it.ns)[..., None] < 0.0, -ns_b, ns_b)
+    ss_b = vm.normalize(dpdu_b - ns_b * vm.dot(ns_b, dpdu_b)[..., None])
+    ts_b = vm.cross(ns_b, ss_b)
+    sel = has[..., None]
+    return (
+        jnp.where(sel, ns_b, it.ns),
+        jnp.where(sel, ss_b, ss),
+        jnp.where(sel, ts_b, ts),
+    )
+
+
 def make_bsdf(mat_type, params, uv=None, enable_hair=True, fou=None):
     """Material tag + parameter row -> per-lane Bsdf
     (replaces Material::compute_scattering_functions, material.rs:63).
@@ -709,10 +750,14 @@ def make_bsdf(mat_type, params, uv=None, enable_hair=True, fou=None):
     ay = jnp.where(m, jnp.maximum(jnp.where(rough_v > 0, rough_v, rough_u) ** 2, 1e-4), ay)
     sigma = jnp.where(m, rough_u, sigma)  # disney diffuse retro uses roughness
 
-    # TRANSLUCENT: lambertian refl scaled (transmission later)
+    # TRANSLUCENT (materials/translucent.rs): kd*reflect lambertian +
+    # kd*transmit LambertianTransmission; reflect/transmit colors ride the
+    # KR/KT param slots (builder defaults 0.5)
     m = mat_type == sa.TRANSLUCENT
     kind0 = jnp.where(m, LOBE_LAMBERT, kind0)
-    r0 = jnp.where(m[:, None], kd * 0.5, r0)
+    kind1 = jnp.where(m, LOBE_LAMBERT_TRANS, kind1)
+    r0 = jnp.where(m[:, None], kd * kr, r0)
+    r1 = jnp.where(m[:, None], kd * kt, r1)
 
     # FOURIER (materials/fourier.rs): tabulated single lobe; eval needs the
     # scene's FourierTable carried in the Bsdf
@@ -811,6 +856,12 @@ def _lobe_f(kind, color, b: Bsdf, wo, wi, reflect):
     out = jnp.where(reflect[..., None], out, 0.0)
     # and only when wo/wi are in the same shading hemisphere
     out = jnp.where(same_hemisphere(wo, wi)[..., None], out, 0.0)
+    # LambertianTransmission (reference reflection.rs): opposite hemisphere
+    out = jnp.where(
+        (kind == LOBE_LAMBERT_TRANS)[..., None],
+        jnp.where((~same_hemisphere(wo, wi) & ~reflect)[..., None], color * INV_PI, 0.0),
+        out,
+    )
     # hair scatters over the full sphere — bypasses both masks
     if b.enable_hair:
         is_hair = kind == LOBE_HAIR
@@ -840,6 +891,10 @@ def _lobe_pdf(kind, b: Bsdf, wo, wi):
     )
     out = jnp.where(kind == LOBE_FRESNEL_BLEND, pdf_fb, out)
     out = jnp.where(same, out, 0.0)
+    # transmission lobe: cosine pdf in the opposite hemisphere
+    out = jnp.where(
+        kind == LOBE_LAMBERT_TRANS, jnp.where(same, 0.0, pdf_cos), out
+    )
     # hair: full-sphere pdf, no hemisphere mask
     if b.enable_hair:
         out = jnp.where(kind == LOBE_HAIR, hair_pdf(b, wo, wi), out)
@@ -914,6 +969,7 @@ def bsdf_sample(b: Bsdf, wo, u2, uc) -> BsdfSample:
     is_diff = (kind == LOBE_LAMBERT) | (kind == LOBE_ORENNAYAR) | (
         kind == LOBE_DISNEY_DIFFUSE
     )
+    is_ltrans = kind == LOBE_LAMBERT_TRANS
 
     # fresnel-blend samples: half cosine, half wh (reference FresnelBlend::sample_f)
     fb_spec = u2[..., 0] >= 0.5
@@ -927,6 +983,7 @@ def bsdf_sample(b: Bsdf, wo, u2, uc) -> BsdfSample:
     wi_fb = jnp.where(fb_spec[..., None], reflect_dir(wo, wh_fb), wi_fb_cos)
 
     wi = wi_cos
+    wi = jnp.where(is_ltrans[..., None], -wi_cos, wi)
     wi = jnp.where(is_mf[..., None], wi_mf, wi)
     wi = jnp.where(is_spec_r[..., None], wi_spec, wi)
     wi = jnp.where(is_fs[..., None], wi_fs, wi)
@@ -943,7 +1000,7 @@ def bsdf_sample(b: Bsdf, wo, u2, uc) -> BsdfSample:
     wi = vm.normalize(wi)
 
     is_specular = is_fs | is_spec_r
-    is_transmission = is_fs & ~choose_refl
+    is_transmission = (is_fs & ~choose_refl) | is_ltrans
 
     # --- pdf ---
     pdf_smooth = bsdf_pdf_with_choice(b, wo, wi)

@@ -55,6 +55,12 @@ def filter_eval(cfg: FilterCfg, x, y):
     ax, ay = jnp.abs(x), jnp.abs(y)
     inside = (ax <= cfg.xwidth) & (ay <= cfg.ywidth)
     if cfg.kind == FILTER_BOX:
+        # half-open support: a sample exactly on a pixel corner (Sobol's
+        # first sample is (0,0)) belongs to its own pixel only.  The
+        # reference's inclusive edge splats such samples into the left/top
+        # neighbor too (film.rs:94-147) — a knife-edge artifact, not a
+        # semantic; half-open keeps the scatter and grid film paths equal.
+        inside = (x > -cfg.xwidth) & (x <= cfg.xwidth) & (y > -cfg.ywidth) & (y <= cfg.ywidth)
         w = jnp.ones_like(x)
     elif cfg.kind == FILTER_TRIANGLE:
         w = jnp.maximum(0.0, cfg.xwidth - ax) * jnp.maximum(0.0, cfg.ywidth - ay)
@@ -134,6 +140,25 @@ def add_samples(film: Film, cfg: FilterCfg, p_film, L) -> Film:
             pyc = jnp.clip(py, 0, h - 1)
             rgb = rgb.at[pyc, pxc].add(wgt[:, None] * L)
             weight = weight.at[pyc, pxc].add(wgt)
+    return Film(rgb, weight, film.splat)
+
+
+def add_samples_grid(film: Film, cfg: FilterCfg, L, nb: int, rect=None) -> Film:
+    """Scatter-free film update for the common render() layout: the lane
+    array is nb ordered copies of a (cropped) pixel grid and the filter is
+    a box of width <= 0.5 pixels (every sample lands in exactly its own
+    pixel).  The per-pixel scatter-add (slow on TPU) becomes a dense
+    reshape+sum.  rect: optional static (y0, h, x0, w) crop window
+    (reference film.rs:185,224-262).  Falls back to None when inapplicable."""
+    if not (cfg.kind == FILTER_BOX and cfg.xwidth <= 0.5 and cfg.ywidth <= 0.5):
+        return None
+    fh, fw = film.weight.shape
+    y0, h, x0, w = rect if rect is not None else (0, fh, 0, fw)
+    bad = ~jnp.all(jnp.isfinite(L), axis=-1)
+    L = jnp.where(bad[..., None], 0.0, L)
+    add = L.reshape(nb, h, w, 3).sum(0)
+    rgb = film.rgb.at[y0 : y0 + h, x0 : x0 + w].add(add)
+    weight = film.weight.at[y0 : y0 + h, x0 : x0 + w].add(float(nb))
     return Film(rgb, weight, film.splat)
 
 

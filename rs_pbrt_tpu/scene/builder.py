@@ -83,8 +83,10 @@ class SceneBuilder:
             opacity=opacity, remap_roughness=remap,
         )
 
-    def add_translucent(self, kd=(0.25,) * 3):
-        return self._add_material(sa.TRANSLUCENT, kd=kd)
+    def add_translucent(self, kd=(0.25,) * 3, reflect=(0.5,) * 3, transmit=(0.5,) * 3):
+        """materials/translucent.rs: diffuse reflection + diffuse
+        transmission scaled by reflect/transmit."""
+        return self._add_material(sa.TRANSLUCENT, kd=kd, kr=reflect, kt=transmit)
 
     def add_disney(self, color=(0.5,) * 3, metallic=0.0, roughness=0.5,
                    sheen=0.0, clearcoat=0.0, eta=1.5):
