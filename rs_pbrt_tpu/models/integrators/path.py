@@ -81,6 +81,194 @@ def _light_select_dist(scene: sa.Scene):
     return smp.make_distribution_1d(scene.light_power)
 
 
+
+
+def sss_transport(
+    scene, accel, it, bs, ss, ts, beta, L, alive, o, d,
+    specular_bounce, prev_bsdf_pdf, light_dist, u1, u2d, sss_dim0,
+    eligible=None,
+):
+    """BSSRDF subsurface transport after a transmissive surface bounce
+    (reference path.rs:191-249; shared by path and volpath).  uX(k) index
+    RELATIVE offsets: probe u1 at sss_dim0, probe u2 at sss_dim0+1,2, NEE
+    select/light at sss_dim0+3..5, continuation at sss_dim0+6,7.
+    Returns (L, beta, o, d, alive, specular_bounce, prev_bsdf_pdf)."""
+    from ...ops import bssrdf as bss
+    from ...ops import gathers as gx
+    from ...ops import scene_intersect as si
+
+    n = o.shape[0]
+
+    ma_row = gx.take_rows(scene.mat_attr, it.mat)
+    bss_id = jnp.round(ma_row[..., sa.MA_PARAMS + sa.MP_BSSRDF]).astype(jnp.int32)
+    do_sss = alive & (bss_id >= 0) & bs.is_transmission
+    if eligible is not None:
+        do_sss = do_sss & eligible
+    bid = jnp.maximum(bss_id, 0)
+    B = scene.bss_profile.shape[0]
+    K = scene.bss_profile.shape[-1]
+    flat = lambda a: gx.take_rows(a.reshape(B, -1), bid)
+    prof = flat(scene.bss_profile).reshape(n, 3, K)
+    cdfs = flat(scene.bss_cdf).reshape(n, 3, K)
+    rho_eff = flat(scene.bss_rho_eff)
+    sigma_t = flat(scene.bss_sigma_t)
+    eta_b = flat(scene.bss_eta[:, None])[:, 0]
+
+    # axis / channel / chain-pick decisions (bssrdf.rs:150-179)
+    u1s = u1(sss_dim0)
+    u2s = u2d(sss_dim0 + 1)
+    ax_tan = u1s < 0.5
+    ax_bi = (u1s >= 0.5) & (u1s < 0.75)
+    u1r = jnp.where(ax_tan, u1s * 2.0, jnp.where(ax_bi, (u1s - 0.5) * 4.0, (u1s - 0.75) * 4.0))
+    nsv = it.ns
+    pick3 = lambda a, b_, c: jnp.where(ax_tan[..., None], a, jnp.where(ax_bi[..., None], b_, c))
+    vx = pick3(ss, ts, nsv)
+    vy = pick3(ts, nsv, ss)
+    vz = pick3(nsv, ss, ts)
+    ch = jnp.clip((u1r * 3.0).astype(jnp.int32), 0, 2)
+    u1r = u1r * 3.0 - ch.astype(jnp.float32)
+    takec = lambda a: jnp.take_along_axis(a, ch[..., None], axis=1)[:, 0]
+    prof_ch = jnp.take_along_axis(prof, ch[..., None, None], axis=1)[:, 0]
+    cdf_ch = jnp.take_along_axis(cdfs, ch[..., None, None], axis=1)[:, 0]
+    sig_ch = takec(sigma_t)
+    r_s = bss.sample_sr_channel(prof_ch, cdf_ch, sig_ch, u2s[..., 0])
+    r_max = bss.sample_sr_channel(
+        prof_ch, cdf_ch, sig_ch, jnp.full_like(u1r, 0.999)
+    )
+    probe_ok = (r_s >= 0.0) & (r_s < r_max)
+    half_l = jnp.sqrt(jnp.maximum(r_max * r_max - r_s * r_s, 0.0))
+    phi_s = 2.0 * jnp.pi * u2s[..., 1]
+    base = (
+        it.p
+        + r_s[..., None] * (vx * jnp.cos(phi_s)[..., None] + vy * jnp.sin(phi_s)[..., None])
+        - vz * half_l[..., None]
+    )
+    total_l = 2.0 * half_l
+
+    # probe chain (bssrdf.rs:209-246): unrolled fixed-length walk
+    # collecting hits on the SAME material
+    cur_o = base
+    remaining = total_l
+    cand_valid, cand_p, cand_ns, cand_ng, cand_perr = [], [], [], [], []
+    for _ in range(SSS_PROBE_HITS):
+        pit = si.scene_intersect(scene, cur_o, vz, jnp.maximum(remaining, 0.0), accel)
+        good = pit.valid & (remaining > 1e-6) & probe_ok & do_sss
+        same = good & (pit.mat == it.mat)
+        cand_valid.append(same)
+        cand_p.append(pit.p)
+        cand_ns.append(pit.ns)
+        cand_ng.append(pit.ng)
+        cand_perr.append(pit.p_error)
+        adv = jnp.where(good, pit.t + 1e-4, remaining)
+        cur_o = cur_o + vz * adv[..., None]
+        remaining = remaining - adv
+    cvalid = jnp.stack(cand_valid, 1)  # (n, K)
+    n_found = jnp.sum(cvalid.astype(jnp.int32), axis=1)
+    sel = jnp.clip(
+        (u1r * n_found.astype(jnp.float32)).astype(jnp.int32), 0, jnp.maximum(n_found - 1, 0)
+    )
+    rank = jnp.cumsum(cvalid.astype(jnp.int32), axis=1) - 1
+    pick_mask = cvalid & (rank == sel[:, None])  # one-hot over probes
+    pickf = lambda xs: sum(
+        jnp.where(pick_mask[:, k : k + 1], xs[k], 0.0) for k in range(SSS_PROBE_HITS)
+    )
+    pi_p = pickf(cand_p)
+    pi_ns = pickf(cand_ns)
+    pi_ng = pickf(cand_ng)
+    pi_perr = pickf(cand_perr)
+    found = do_sss & probe_ok & (n_found > 0)
+
+    # Sp + pdf_sp (bssrdf.rs:102-138, 295-340)
+    r_hit = vm.length(pi_p - it.p)
+    sp = bss.sr_eval(prof, sigma_t, r_hit)
+    dvec = it.p - pi_p
+    d_local = jnp.stack(
+        [vm.dot(ss, dvec), vm.dot(ts, dvec), vm.dot(nsv, dvec)], axis=-1
+    )
+    n_local = jnp.stack(
+        [vm.dot(ss, pi_ns), vm.dot(ts, pi_ns), vm.dot(nsv, pi_ns)], axis=-1
+    )
+    r_proj = jnp.stack(
+        [
+            jnp.sqrt(d_local[..., 1] ** 2 + d_local[..., 2] ** 2),
+            jnp.sqrt(d_local[..., 2] ** 2 + d_local[..., 0] ** 2),
+            jnp.sqrt(d_local[..., 0] ** 2 + d_local[..., 1] ** 2),
+        ],
+        axis=-1,
+    )
+    axis_prob = jnp.asarray([0.25, 0.25, 0.5], jnp.float32)
+    pdf_sp = jnp.zeros_like(r_hit)
+    for axis in range(3):
+        for c in range(3):
+            pdf_sp = pdf_sp + (
+                bss.pdf_sr_channel(
+                    prof[:, c], rho_eff[:, c], sigma_t[:, c], r_proj[..., axis]
+                )
+                * jnp.abs(n_local[..., axis]) * (1.0 / 3.0) * axis_prob[axis]
+            )
+    pdf_sp = pdf_sp / jnp.maximum(n_found.astype(jnp.float32), 1.0)
+    ok_sss = found & (pdf_sp > 0.0) & jnp.any(sp > 0.0, axis=-1)
+    beta_sss = beta * sp / jax.lax.stop_gradient(jnp.maximum(pdf_sp, 1e-12))[..., None]
+
+    # adapter BxDF at the exit point (SeparableBssrdfAdapter,
+    # bssrdf.rs:489-514): f = Sw(wi)*eta^2, cosine-sampled
+    ss_pi, ts_pi = _shading_frame(pi_ns)
+    if scene.n_lights > 0:
+        u_sel2 = u1(sss_dim0 + 3)
+        u_li2 = u2d(sss_dim0 + 4)
+        li2, selp2, _ = smp.sample_distribution_1d_discrete(light_dist, u_sel2)
+        ls2 = lt.sample_li(scene, li2, pi_p, u_li2)
+        wi2_l = _to_local(ls2.wi, ss_pi, ts_pi, pi_ns)
+        f2 = bss.sw_factor(eta_b, wi2_l[..., 2]) * (eta_b * eta_b)
+        cos2 = jnp.abs(wi2_l[..., 2])
+        pdf_cos2 = cos2 * (1.0 / jnp.pi)
+        p_sh2 = vm.offset_ray_origin(pi_p, pi_perr, pi_ng, ls2.wi)
+        dsh2 = ls2.p_target - p_sh2
+        dist2_ = vm.length(dsh2)
+        occ2 = si.scene_intersect_p(
+            scene, p_sh2, dsh2 / jnp.maximum(dist2_, 1e-12)[..., None],
+            dist2_ * (1.0 - 1e-3), accel,
+        )
+        w_l2 = jnp.where(
+            ls2.is_delta, 1.0, smp.power_heuristic(1.0, ls2.pdf, 1.0, pdf_cos2)
+        )
+        contrib2 = (
+            beta_sss
+            * (f2 * cos2)[..., None]
+            * ls2.li
+            * jax.lax.stop_gradient(
+                w_l2 / jnp.maximum(ls2.pdf * selp2, 1e-12)
+            )[..., None]
+        )
+        good2 = ok_sss & ~occ2 & (ls2.pdf > 0.0) & (wi2_l[..., 2] > 0.0)
+        L = L + jnp.where(good2[..., None], contrib2, 0.0)
+
+    # continuation: cosine hemisphere about the exit normal
+    u_cont = u2d(sss_dim0 + 6)
+    wi_c_l = bx.cosine_sample_hemisphere(u_cont)
+    wi_c = _to_world(wi_c_l, ss_pi, ts_pi, pi_ns)
+    cos_c = jnp.maximum(wi_c_l[..., 2], 0.0)
+    pdf_c = cos_c * (1.0 / jnp.pi)
+    f_c = bss.sw_factor(eta_b, wi_c_l[..., 2]) * (eta_b * eta_b)
+    # beta *= f*|cos|/pdf = f*pi (cosine pdf cancels the cosine)
+    beta_sss = beta_sss * (f_c * jnp.pi)[..., None]
+    ok_sss = ok_sss & (pdf_c > 0.0)
+
+    # commit SSS lanes: replace ray/beta/MIS state; failed SSS dies
+    beta = jnp.where(ok_sss[..., None], beta_sss, beta)
+    o = jnp.where(
+        ok_sss[..., None],
+        vm.offset_ray_origin(pi_p, pi_perr, pi_ng, wi_c),
+        o,
+    )
+    d = jnp.where(ok_sss[..., None], wi_c, d)
+    specular_bounce = jnp.where(do_sss, False, specular_bounce)
+    prev_bsdf_pdf = jnp.where(do_sss, pdf_c, prev_bsdf_pdf)
+    alive = alive & (~do_sss | ok_sss)
+
+    return L, beta, o, d, alive, specular_bounce, prev_bsdf_pdf
+
+
 def radiance(
     scene: sa.Scene,
     cfg: PathCfg,
@@ -250,173 +438,10 @@ def radiance(
 
         # --- BSSRDF: subsurface transport (reference path.rs:191-249) ---
         if scene.has_subsurface:
-            from ...ops import bssrdf as bss
-            from ...ops import gathers as gx
-
-            ma_row = gx.take_rows(scene.mat_attr, it.mat)
-            bss_id = jnp.round(ma_row[..., sa.MA_PARAMS + sa.MP_BSSRDF]).astype(jnp.int32)
-            do_sss = alive & (bss_id >= 0) & bs.is_transmission
-            bid = jnp.maximum(bss_id, 0)
-            B = scene.bss_profile.shape[0]
-            K = scene.bss_profile.shape[-1]
-            flat = lambda a: gx.take_rows(a.reshape(B, -1), bid)
-            prof = flat(scene.bss_profile).reshape(n, 3, K)
-            cdfs = flat(scene.bss_cdf).reshape(n, 3, K)
-            rho_eff = flat(scene.bss_rho_eff)
-            sigma_t = flat(scene.bss_sigma_t)
-            eta_b = flat(scene.bss_eta[:, None])[:, 0]
-
-            # axis / channel / chain-pick decisions (bssrdf.rs:150-179)
-            u1s = u1(7)
-            u2s = u2d(8)
-            ax_tan = u1s < 0.5
-            ax_bi = (u1s >= 0.5) & (u1s < 0.75)
-            u1r = jnp.where(ax_tan, u1s * 2.0, jnp.where(ax_bi, (u1s - 0.5) * 4.0, (u1s - 0.75) * 4.0))
-            nsv = it.ns
-            pick3 = lambda a, b_, c: jnp.where(ax_tan[..., None], a, jnp.where(ax_bi[..., None], b_, c))
-            vx = pick3(ss, ts, nsv)
-            vy = pick3(ts, nsv, ss)
-            vz = pick3(nsv, ss, ts)
-            ch = jnp.clip((u1r * 3.0).astype(jnp.int32), 0, 2)
-            u1r = u1r * 3.0 - ch.astype(jnp.float32)
-            takec = lambda a: jnp.take_along_axis(a, ch[..., None], axis=1)[:, 0]
-            prof_ch = jnp.take_along_axis(prof, ch[..., None, None], axis=1)[:, 0]
-            cdf_ch = jnp.take_along_axis(cdfs, ch[..., None, None], axis=1)[:, 0]
-            sig_ch = takec(sigma_t)
-            r_s = bss.sample_sr_channel(prof_ch, cdf_ch, sig_ch, u2s[..., 0])
-            r_max = bss.sample_sr_channel(
-                prof_ch, cdf_ch, sig_ch, jnp.full_like(u1r, 0.999)
+            (L, beta, o, d, alive, specular_bounce, prev_bsdf_pdf) = sss_transport(
+                scene, accel, it, bs, ss, ts, beta, L, alive, o, d,
+                specular_bounce, prev_bsdf_pdf, light_dist, u1, u2d, 7,
             )
-            probe_ok = (r_s >= 0.0) & (r_s < r_max)
-            half_l = jnp.sqrt(jnp.maximum(r_max * r_max - r_s * r_s, 0.0))
-            phi_s = 2.0 * jnp.pi * u2s[..., 1]
-            base = (
-                it.p
-                + r_s[..., None] * (vx * jnp.cos(phi_s)[..., None] + vy * jnp.sin(phi_s)[..., None])
-                - vz * half_l[..., None]
-            )
-            total_l = 2.0 * half_l
-
-            # probe chain (bssrdf.rs:209-246): unrolled fixed-length walk
-            # collecting hits on the SAME material
-            cur_o = base
-            remaining = total_l
-            cand_valid, cand_p, cand_ns, cand_ng, cand_perr = [], [], [], [], []
-            for _ in range(SSS_PROBE_HITS):
-                pit = si.scene_intersect(scene, cur_o, vz, jnp.maximum(remaining, 0.0), accel)
-                good = pit.valid & (remaining > 1e-6) & probe_ok & do_sss
-                same = good & (pit.mat == it.mat)
-                cand_valid.append(same)
-                cand_p.append(pit.p)
-                cand_ns.append(pit.ns)
-                cand_ng.append(pit.ng)
-                cand_perr.append(pit.p_error)
-                adv = jnp.where(good, pit.t + 1e-4, remaining)
-                cur_o = cur_o + vz * adv[..., None]
-                remaining = remaining - adv
-            cvalid = jnp.stack(cand_valid, 1)  # (n, K)
-            n_found = jnp.sum(cvalid.astype(jnp.int32), axis=1)
-            sel = jnp.clip(
-                (u1r * n_found.astype(jnp.float32)).astype(jnp.int32), 0, jnp.maximum(n_found - 1, 0)
-            )
-            rank = jnp.cumsum(cvalid.astype(jnp.int32), axis=1) - 1
-            pick_mask = cvalid & (rank == sel[:, None])  # one-hot over probes
-            pickf = lambda xs: sum(
-                jnp.where(pick_mask[:, k : k + 1], xs[k], 0.0) for k in range(SSS_PROBE_HITS)
-            )
-            pi_p = pickf(cand_p)
-            pi_ns = pickf(cand_ns)
-            pi_ng = pickf(cand_ng)
-            pi_perr = pickf(cand_perr)
-            found = do_sss & probe_ok & (n_found > 0)
-
-            # Sp + pdf_sp (bssrdf.rs:102-138, 295-340)
-            r_hit = vm.length(pi_p - it.p)
-            sp = bss.sr_eval(prof, sigma_t, r_hit)
-            dvec = it.p - pi_p
-            d_local = jnp.stack(
-                [vm.dot(ss, dvec), vm.dot(ts, dvec), vm.dot(nsv, dvec)], axis=-1
-            )
-            n_local = jnp.stack(
-                [vm.dot(ss, pi_ns), vm.dot(ts, pi_ns), vm.dot(nsv, pi_ns)], axis=-1
-            )
-            r_proj = jnp.stack(
-                [
-                    jnp.sqrt(d_local[..., 1] ** 2 + d_local[..., 2] ** 2),
-                    jnp.sqrt(d_local[..., 2] ** 2 + d_local[..., 0] ** 2),
-                    jnp.sqrt(d_local[..., 0] ** 2 + d_local[..., 1] ** 2),
-                ],
-                axis=-1,
-            )
-            axis_prob = jnp.asarray([0.25, 0.25, 0.5], jnp.float32)
-            pdf_sp = jnp.zeros_like(r_hit)
-            for axis in range(3):
-                for c in range(3):
-                    pdf_sp = pdf_sp + (
-                        bss.pdf_sr_channel(
-                            prof[:, c], rho_eff[:, c], sigma_t[:, c], r_proj[..., axis]
-                        )
-                        * jnp.abs(n_local[..., axis]) * (1.0 / 3.0) * axis_prob[axis]
-                    )
-            pdf_sp = pdf_sp / jnp.maximum(n_found.astype(jnp.float32), 1.0)
-            ok_sss = found & (pdf_sp > 0.0) & jnp.any(sp > 0.0, axis=-1)
-            beta_sss = beta * sp / jax.lax.stop_gradient(jnp.maximum(pdf_sp, 1e-12))[..., None]
-
-            # adapter BxDF at the exit point (SeparableBssrdfAdapter,
-            # bssrdf.rs:489-514): f = Sw(wi)*eta^2, cosine-sampled
-            ss_pi, ts_pi = _shading_frame(pi_ns)
-            if scene.n_lights > 0:
-                u_sel2 = u1(10)
-                u_li2 = u2d(11)
-                li2, selp2, _ = smp.sample_distribution_1d_discrete(light_dist, u_sel2)
-                ls2 = lt.sample_li(scene, li2, pi_p, u_li2)
-                wi2_l = _to_local(ls2.wi, ss_pi, ts_pi, pi_ns)
-                f2 = bss.sw_factor(eta_b, wi2_l[..., 2]) * (eta_b * eta_b)
-                cos2 = jnp.abs(wi2_l[..., 2])
-                pdf_cos2 = cos2 * (1.0 / jnp.pi)
-                p_sh2 = vm.offset_ray_origin(pi_p, pi_perr, pi_ng, ls2.wi)
-                dsh2 = ls2.p_target - p_sh2
-                dist2_ = vm.length(dsh2)
-                occ2 = si.scene_intersect_p(
-                    scene, p_sh2, dsh2 / jnp.maximum(dist2_, 1e-12)[..., None],
-                    dist2_ * (1.0 - 1e-3), accel,
-                )
-                w_l2 = jnp.where(
-                    ls2.is_delta, 1.0, smp.power_heuristic(1.0, ls2.pdf, 1.0, pdf_cos2)
-                )
-                contrib2 = (
-                    beta_sss
-                    * (f2 * cos2)[..., None]
-                    * ls2.li
-                    * jax.lax.stop_gradient(
-                        w_l2 / jnp.maximum(ls2.pdf * selp2, 1e-12)
-                    )[..., None]
-                )
-                good2 = ok_sss & ~occ2 & (ls2.pdf > 0.0) & (wi2_l[..., 2] > 0.0)
-                L = L + jnp.where(good2[..., None], contrib2, 0.0)
-
-            # continuation: cosine hemisphere about the exit normal
-            u_cont = u2d(13)
-            wi_c_l = bx.cosine_sample_hemisphere(u_cont)
-            wi_c = _to_world(wi_c_l, ss_pi, ts_pi, pi_ns)
-            cos_c = jnp.maximum(wi_c_l[..., 2], 0.0)
-            pdf_c = cos_c * (1.0 / jnp.pi)
-            f_c = bss.sw_factor(eta_b, wi_c_l[..., 2]) * (eta_b * eta_b)
-            # beta *= f*|cos|/pdf = f*pi (cosine pdf cancels the cosine)
-            beta_sss = beta_sss * (f_c * jnp.pi)[..., None]
-            ok_sss = ok_sss & (pdf_c > 0.0)
-
-            # commit SSS lanes: replace ray/beta/MIS state; failed SSS dies
-            beta = jnp.where(ok_sss[..., None], beta_sss, beta)
-            o = jnp.where(
-                ok_sss[..., None],
-                vm.offset_ray_origin(pi_p, pi_perr, pi_ng, wi_c),
-                o,
-            )
-            d = jnp.where(ok_sss[..., None], wi_c, d)
-            specular_bounce = jnp.where(do_sss, False, specular_bounce)
-            prev_bsdf_pdf = jnp.where(do_sss, pdf_c, prev_bsdf_pdf)
-            alive = alive & (~do_sss | ok_sss)
 
         # --- Russian roulette after bounce 3 (reference path.rs:253-262) ---
         rr_active = bounce > 2

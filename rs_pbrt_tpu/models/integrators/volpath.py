@@ -37,6 +37,7 @@ from .path import (
 
 # dims per bounce: base path dims (7) + medium channel/dist/phase u (4)
 DIMS_PER_BOUNCE = 11
+SSS_EXTRA_DIMS = 8  # appended when the scene has subsurface materials
 TRACK_STEPS = 16  # bounded delta/ratio tracking steps (grid media)
 
 
@@ -159,7 +160,10 @@ def radiance(
 
     # one Sobol launch for all bounce dims (see path.py — launch setup
     # dominated the sampler cost)
-    total_dims = DIMS_PER_BOUNCE * (cfg.max_depth + 1)
+    dims_per_bounce = DIMS_PER_BOUNCE + (
+        SSS_EXTRA_DIMS if scene.has_subsurface else 0
+    )
+    total_dims = dims_per_bounce * (cfg.max_depth + 1)
     all_dims = (
         smpl.get_dims(sampler_cfg, ctx, DIM_CAMERA, total_dims)
         if total_dims <= 128
@@ -169,13 +173,13 @@ def radiance(
     def body(bounce, state):
         (o, d, L, beta, alive, specular_bounce, prev_pdf, cur_med) = state
         it = si.scene_intersect(scene, o, d, jnp.full(n, vm.INFINITY), accel)
-        dim0 = DIM_CAMERA + bounce * DIMS_PER_BOUNCE
+        dim0 = DIM_CAMERA + bounce * dims_per_bounce
         if all_dims is not None:
             dims = jax.lax.dynamic_slice_in_dim(
-                all_dims, bounce * DIMS_PER_BOUNCE, DIMS_PER_BOUNCE, axis=1
+                all_dims, bounce * dims_per_bounce, dims_per_bounce, axis=1
             )
         else:
-            dims = smpl.get_dims(sampler_cfg, ctx, dim0, DIMS_PER_BOUNCE)
+            dims = smpl.get_dims(sampler_cfg, ctx, dim0, dims_per_bounce)
         def u1(k):
             return dims[:, k] if dims is not None else smpl.get_1d_dyn(sampler_cfg, ctx, dim0 + k)
         def u2d(k):
@@ -302,6 +306,17 @@ def radiance(
         prev_pdf = jnp.where(
             alive, jnp.where(med_scatter, ph_pdf, jnp.where(bs.is_specular, 1.0, bs.pdf)), prev_pdf
         )
+
+        # --- BSSRDF at transmissive surface bounces (reference
+        # volpath.rs:191-249 hook; shared helper in path.py) ---
+        if scene.has_subsurface:
+            from .path import sss_transport
+
+            (L, beta, o, d, alive, specular_bounce, prev_pdf) = sss_transport(
+                scene, accel, it, bs, ss, ts, beta, L, alive, o, d,
+                specular_bounce, prev_pdf, light_dist, u1, u2d, 11,
+                eligible=~med_scatter,
+            )
 
         # --- medium transitions at surface crossings ---
         m_in, m_out = _prim_media(scene, it)

@@ -95,3 +95,10 @@ class TestSubsurfaceRender:
         # center pixels see the sphere; translucent milk must glow
         c = img[8:16, 8:16].mean()
         assert c > 1e-3, f"no subsurface transmission, center={c}"
+        # volpath shares the BSSRDF hook (reference volpath.rs)
+        cfg_v = rdr.RenderCfg("volpath", spp=8, max_depth=6, rr_threshold=1.0)
+        img_v = np.asarray(rdr.render(scene, camera, cfg_v, scfg))
+        assert np.all(np.isfinite(img_v))
+        cv = img_v[8:16, 8:16].mean()
+        assert cv > 1e-3, f"volpath lost subsurface transmission, center={cv}"
+        np.testing.assert_allclose(cv, c, rtol=0.5)
