@@ -218,6 +218,7 @@ def _vertex_f(scene, path: Subpath, slot: int, wi_world):
     b = bx.make_bsdf(
         gx.coli(ma, sa.MA_TYPE), ma[..., sa.MA_PARAMS : sa.MA_PARAMS + sa.N_MAT_PARAMS],
         enable_hair=scene.has_hair,
+        mat_mask=scene.mat_kind_mask,
     )
     ns = path.ns[:, slot]
     ss, ts = _shading_frame(ns)

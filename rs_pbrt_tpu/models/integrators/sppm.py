@@ -224,6 +224,7 @@ def _photon_pass(scene, vps: VisiblePoints, grid: Grid, radius, n_photons: int,
                     gx.coli(ma, sa.MA_TYPE),
                     ma[..., sa.MA_PARAMS : sa.MA_PARAMS + sa.N_MAT_PARAMS],
                     enable_hair=scene.has_hair,
+                    mat_mask=scene.mat_kind_mask,
                 )
                 ns_vp = vps.ns[vp_i]
                 ss, ts = _shading_frame(ns_vp)

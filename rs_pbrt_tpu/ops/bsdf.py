@@ -559,6 +559,9 @@ class Bsdf:
     h: jnp.ndarray  # (N,) hair fiber offset in [-1,1] (= -1 + 2*uv.y)
     enable_hair: bool = struct.field(pytree_node=False, default=True)
     fou: object = None
+    # STATIC bitmask of lobe kinds possibly present (from the scene's
+    # material-type mask) — absent families compile to nothing
+    lobe_mask: int = struct.field(pytree_node=False, default=-1)
 
 
 def make_bsdf_at(scene, it):
@@ -615,7 +618,8 @@ def make_bsdf_at(scene, it):
             scene.fou_a0, scene.fou_eta, jnp.int32(3),
         )
     return make_bsdf(
-        mat_type, params, uv=it.uv, enable_hair=scene.has_hair, fou=fou
+        mat_type, params, uv=it.uv, enable_hair=scene.has_hair, fou=fou,
+        mat_mask=scene.mat_kind_mask,
     )
 
 
@@ -659,11 +663,50 @@ def apply_bump(scene, it, ss, ts):
     )
 
 
-def make_bsdf(mat_type, params, uv=None, enable_hair=True, fou=None):
+_MAT_LOBES = None
+
+
+def _mat_lobes():
+    global _MAT_LOBES
+    if _MAT_LOBES is None:
+        _MAT_LOBES = {
+            sa.MATTE: (LOBE_LAMBERT, LOBE_ORENNAYAR),
+            sa.PLASTIC: (LOBE_LAMBERT, LOBE_MICROFACET_REFL),
+            sa.MIRROR: (LOBE_SPEC_REFL,),
+            sa.GLASS: (LOBE_FRESNEL_SPEC, LOBE_MICROFACET_REFL),
+            sa.SUBSURFACE: (LOBE_FRESNEL_SPEC, LOBE_MICROFACET_REFL),
+            sa.METAL: (LOBE_MICROFACET_REFL_COND,),
+            sa.SUBSTRATE: (LOBE_FRESNEL_BLEND,),
+            sa.UBER: (LOBE_LAMBERT, LOBE_MICROFACET_REFL),
+            sa.TRANSLUCENT: (LOBE_LAMBERT, LOBE_LAMBERT_TRANS),
+            sa.DISNEY: (LOBE_DISNEY_DIFFUSE, LOBE_DISNEY_GLOSS),
+            sa.HAIR: (LOBE_HAIR,),
+            sa.FOURIER: (LOBE_FOURIER,),
+            # mix blends params into the first material's type at build time
+            sa.MIXMAT: tuple(range(1, N_LOBE_KINDS)),
+        }
+    return _MAT_LOBES
+
+
+def lobe_mask_of(mat_mask: int) -> int:
+    if mat_mask < 0:
+        return -1
+    lm = 0
+    for mt, lobes in _mat_lobes().items():
+        if mat_mask & (1 << mt):
+            for l in lobes:
+                lm |= 1 << l
+    return lm if lm else -1
+
+
+def make_bsdf(mat_type, params, uv=None, enable_hair=True, fou=None, mat_mask=-1):
     """Material tag + parameter row -> per-lane Bsdf
     (replaces Material::compute_scattering_functions, material.rs:63).
     uv: optional (N,2) hit coordinates; uv.y gives the hair fiber offset.
-    enable_hair: STATIC — pass False for scenes with no hair material."""
+    enable_hair: STATIC — pass False for scenes with no hair material.
+    mat_mask: STATIC bitmask of material types present (absent families
+    compile to nothing; -1 = all)."""
+    hasm = lambda t: mat_mask < 0 or bool(mat_mask & (1 << t))
     n = mat_type.shape[0]
     kd = params[:, sa.MP_KD : sa.MP_KD + 3]
     ks = params[:, sa.MP_KS : sa.MP_KS + 3]
@@ -691,99 +734,110 @@ def make_bsdf(mat_type, params, uv=None, enable_hair=True, fou=None):
 
     is_black = lambda c: jnp.all(c == 0.0, axis=-1)
 
-    # MATTE (materials/matte.rs): lambertian or oren-nayar by sigma
-    m = mat_type == sa.MATTE
-    kind0 = jnp.where(m & ~is_black(kd), jnp.where(sigma == 0.0, LOBE_LAMBERT, LOBE_ORENNAYAR), kind0)
-    r0 = jnp.where(m[:, None], kd, r0)
+    if hasm(sa.MATTE) or hasm(sa.MIXMAT):
+        # MATTE (materials/matte.rs): lambertian or oren-nayar by sigma
+        m = mat_type == sa.MATTE
+        kind0 = jnp.where(m & ~is_black(kd), jnp.where(sigma == 0.0, LOBE_LAMBERT, LOBE_ORENNAYAR), kind0)
+        r0 = jnp.where(m[:, None], kd, r0)
 
-    # PLASTIC (materials/plastic.rs): lambertian + TR dielectric gloss
-    m = mat_type == sa.PLASTIC
-    kind0 = jnp.where(m & ~is_black(kd), LOBE_LAMBERT, kind0)
-    kind1 = jnp.where(m & ~is_black(ks), LOBE_MICROFACET_REFL, kind1)
-    r0 = jnp.where(m[:, None], kd, r0)
-    r1 = jnp.where(m[:, None], ks, r1)
-    eta = jnp.where(m, 1.5, eta)
+    if hasm(sa.PLASTIC) or hasm(sa.MIXMAT):
+        # PLASTIC (materials/plastic.rs): lambertian + TR dielectric gloss
+        m = mat_type == sa.PLASTIC
+        kind0 = jnp.where(m & ~is_black(kd), LOBE_LAMBERT, kind0)
+        kind1 = jnp.where(m & ~is_black(ks), LOBE_MICROFACET_REFL, kind1)
+        r0 = jnp.where(m[:, None], kd, r0)
+        r1 = jnp.where(m[:, None], ks, r1)
+        eta = jnp.where(m, 1.5, eta)
 
-    # MIRROR (materials/mirror.rs): perfect specular, fresnel no-op
-    m = mat_type == sa.MIRROR
-    kind0 = jnp.where(m & ~is_black(kr), LOBE_SPEC_REFL, kind0)
-    r0 = jnp.where(m[:, None], kr, r0)
+    if hasm(sa.MIRROR) or hasm(sa.MIXMAT):
+        # MIRROR (materials/mirror.rs): perfect specular, fresnel no-op
+        m = mat_type == sa.MIRROR
+        kind0 = jnp.where(m & ~is_black(kr), LOBE_SPEC_REFL, kind0)
+        r0 = jnp.where(m[:, None], kr, r0)
 
-    # GLASS (materials/glass.rs): smooth -> FresnelSpecular;
-    # rough -> TR reflection (+ transmission folded into fresnel-spec path).
-    # SUBSURFACE (materials/subsurface.rs) has the same glass-like surface
-    # BSDF; its BSSRDF is handled by the integrator on transmission.
-    m = (mat_type == sa.GLASS) | (mat_type == sa.SUBSURFACE)
-    kind0 = jnp.where(m, jnp.where(smooth, LOBE_FRESNEL_SPEC, LOBE_MICROFACET_REFL), kind0)
-    r0 = jnp.where(m[:, None], kr, r0)
+    if hasm(sa.GLASS) or hasm(sa.SUBSURFACE) or hasm(sa.MIXMAT):
+        # GLASS (materials/glass.rs): smooth -> FresnelSpecular;
+        # rough -> TR reflection (+ transmission folded into fresnel-spec path).
+        # SUBSURFACE (materials/subsurface.rs) has the same glass-like surface
+        # BSDF; its BSSRDF is handled by the integrator on transmission.
+        m = (mat_type == sa.GLASS) | (mat_type == sa.SUBSURFACE)
+        kind0 = jnp.where(m, jnp.where(smooth, LOBE_FRESNEL_SPEC, LOBE_MICROFACET_REFL), kind0)
+        r0 = jnp.where(m[:, None], kr, r0)
 
-    # METAL (materials/metal.rs): TR conductor
-    m = mat_type == sa.METAL
-    kind0 = jnp.where(m, LOBE_MICROFACET_REFL_COND, kind0)
-    r0 = jnp.where(m[:, None], jnp.ones_like(kr), r0)
+    if hasm(sa.METAL) or hasm(sa.MIXMAT):
+        # METAL (materials/metal.rs): TR conductor
+        m = mat_type == sa.METAL
+        kind0 = jnp.where(m, LOBE_MICROFACET_REFL_COND, kind0)
+        r0 = jnp.where(m[:, None], jnp.ones_like(kr), r0)
 
-    # SUBSTRATE (materials/substrate.rs): FresnelBlend
-    m = mat_type == sa.SUBSTRATE
-    kind0 = jnp.where(m, LOBE_FRESNEL_BLEND, kind0)
-    r0 = jnp.where(m[:, None], kd, r0)
-    r1 = jnp.where(m[:, None], ks, r1)
+    if hasm(sa.SUBSTRATE) or hasm(sa.MIXMAT):
+        # SUBSTRATE (materials/substrate.rs): FresnelBlend
+        m = mat_type == sa.SUBSTRATE
+        kind0 = jnp.where(m, LOBE_FRESNEL_BLEND, kind0)
+        r0 = jnp.where(m[:, None], kd, r0)
+        r1 = jnp.where(m[:, None], ks, r1)
 
-    # UBER (materials/uber.rs): kd lambert + ks gloss (+kr spec refl folded)
-    m = mat_type == sa.UBER
-    kind0 = jnp.where(m & ~is_black(kd), LOBE_LAMBERT, kind0)
-    kind1 = jnp.where(m & ~is_black(ks), LOBE_MICROFACET_REFL, kind1)
-    r0 = jnp.where(m[:, None], kd, r0)
-    r1 = jnp.where(m[:, None], ks, r1)
+    if hasm(sa.UBER) or hasm(sa.MIXMAT):
+        # UBER (materials/uber.rs): kd lambert + ks gloss (+kr spec refl folded)
+        m = mat_type == sa.UBER
+        kind0 = jnp.where(m & ~is_black(kd), LOBE_LAMBERT, kind0)
+        kind1 = jnp.where(m & ~is_black(ks), LOBE_MICROFACET_REFL, kind1)
+        r0 = jnp.where(m[:, None], kd, r0)
+        r1 = jnp.where(m[:, None], ks, r1)
 
-    # DISNEY (materials/disney.rs): base*(1-metallic) diffuse+retro lobe +
-    # metallic GGX with Schlick F0 = lerp(0.04, base, metallic).
-    # Param mapping: MP_KS slot = (metallic, sheen, clearcoat) scalars.
-    m = mat_type == sa.DISNEY
-    metallic = params[:, sa.MP_KS]
-    f0 = vm.lerp(metallic[:, None], 0.04 * jnp.ones_like(kd), kd)
-    kind0 = jnp.where(m, LOBE_DISNEY_DIFFUSE, kind0)
-    kind1 = jnp.where(m, LOBE_DISNEY_GLOSS, kind1)
-    r0 = jnp.where(m[:, None], kd * (1.0 - metallic)[:, None], r0)
-    r1 = jnp.where(m[:, None], f0, r1)
-    # disney roughness remaps alpha = rough^2 (not the TR fit)
-    ax = jnp.where(m, jnp.maximum(rough_u * rough_u, 1e-4), ax)
-    ay = jnp.where(m, jnp.maximum(jnp.where(rough_v > 0, rough_v, rough_u) ** 2, 1e-4), ay)
-    sigma = jnp.where(m, rough_u, sigma)  # disney diffuse retro uses roughness
+    if hasm(sa.DISNEY) or hasm(sa.MIXMAT):
+        # DISNEY (materials/disney.rs): base*(1-metallic) diffuse+retro lobe +
+        # metallic GGX with Schlick F0 = lerp(0.04, base, metallic).
+        # Param mapping: MP_KS slot = (metallic, sheen, clearcoat) scalars.
+        m = mat_type == sa.DISNEY
+        metallic = params[:, sa.MP_KS]
+        f0 = vm.lerp(metallic[:, None], 0.04 * jnp.ones_like(kd), kd)
+        kind0 = jnp.where(m, LOBE_DISNEY_DIFFUSE, kind0)
+        kind1 = jnp.where(m, LOBE_DISNEY_GLOSS, kind1)
+        r0 = jnp.where(m[:, None], kd * (1.0 - metallic)[:, None], r0)
+        r1 = jnp.where(m[:, None], f0, r1)
+        # disney roughness remaps alpha = rough^2 (not the TR fit)
+        ax = jnp.where(m, jnp.maximum(rough_u * rough_u, 1e-4), ax)
+        ay = jnp.where(m, jnp.maximum(jnp.where(rough_v > 0, rough_v, rough_u) ** 2, 1e-4), ay)
+        sigma = jnp.where(m, rough_u, sigma)  # disney diffuse retro uses roughness
 
-    # TRANSLUCENT (materials/translucent.rs): kd*reflect lambertian +
-    # kd*transmit LambertianTransmission; reflect/transmit colors ride the
-    # KR/KT param slots (builder defaults 0.5)
-    m = mat_type == sa.TRANSLUCENT
-    kind0 = jnp.where(m, LOBE_LAMBERT, kind0)
-    kind1 = jnp.where(m, LOBE_LAMBERT_TRANS, kind1)
-    r0 = jnp.where(m[:, None], kd * kr, r0)
-    r1 = jnp.where(m[:, None], kd * kt, r1)
+    if hasm(sa.TRANSLUCENT) or hasm(sa.MIXMAT):
+        # TRANSLUCENT (materials/translucent.rs): kd*reflect lambertian +
+        # kd*transmit LambertianTransmission; reflect/transmit colors ride the
+        # KR/KT param slots (builder defaults 0.5)
+        m = mat_type == sa.TRANSLUCENT
+        kind0 = jnp.where(m, LOBE_LAMBERT, kind0)
+        kind1 = jnp.where(m, LOBE_LAMBERT_TRANS, kind1)
+        r0 = jnp.where(m[:, None], kd * kr, r0)
+        r1 = jnp.where(m[:, None], kd * kt, r1)
 
-    # FOURIER (materials/fourier.rs): tabulated single lobe; eval needs the
-    # scene's FourierTable carried in the Bsdf
-    m = mat_type == sa.FOURIER
-    kind0 = jnp.where(m & (fou is not None), LOBE_FOURIER, kind0)
-    kind1 = jnp.where(m, LOBE_NONE, kind1)
+    if hasm(sa.FOURIER):
+        # FOURIER (materials/fourier.rs): tabulated single lobe; eval needs the
+        # scene's FourierTable carried in the Bsdf
+        m = mat_type == sa.FOURIER
+        kind0 = jnp.where(m & (fou is not None), LOBE_FOURIER, kind0)
+        kind1 = jnp.where(m, LOBE_NONE, kind1)
 
-    # HAIR (materials/hair.rs): single Marschner lobe.  Param mapping:
-    # MP_KD = sigma_a OR reflectance color (MP_OPACITY.x = 1 -> convert via
-    # sigma_a_from_reflectance at shade time so textured color works),
-    # MP_ROUGH_U/V = beta_m/beta_n (remap flag off), MP_SIGMA = alpha deg.
-    m = mat_type == sa.HAIR
-    kind0 = jnp.where(m, LOBE_HAIR, kind0)
-    kind1 = jnp.where(m, LOBE_NONE, kind1)
-    from_color = params[:, sa.MP_OPACITY] > 0.5
-    beta_n_h = rough_v
-    bn = jnp.clip(beta_n_h, 1e-3, 1.0)
-    denom_sa = (
-        5.969 - 0.215 * bn + 2.532 * bn**2 - 10.73 * bn**3 + 5.574 * bn**4
-        + 0.245 * bn**5
-    )
-    f_sa = jnp.log(jnp.clip(kd, 1e-5, 1.0)) / denom_sa[:, None]
-    sigma_a_hair = jnp.where(from_color[:, None], f_sa * f_sa, kd)
-    r0 = jnp.where(m[:, None], sigma_a_hair, r0)
-    ax = jnp.where(m, jnp.clip(rough_u, 1e-3, 1.0), ax)  # beta_m
-    ay = jnp.where(m, jnp.clip(rough_v, 1e-3, 1.0), ay)  # beta_n
+    if hasm(sa.HAIR):
+        # HAIR (materials/hair.rs): single Marschner lobe.  Param mapping:
+        # MP_KD = sigma_a OR reflectance color (MP_OPACITY.x = 1 -> convert via
+        # sigma_a_from_reflectance at shade time so textured color works),
+        # MP_ROUGH_U/V = beta_m/beta_n (remap flag off), MP_SIGMA = alpha deg.
+        m = mat_type == sa.HAIR
+        kind0 = jnp.where(m, LOBE_HAIR, kind0)
+        kind1 = jnp.where(m, LOBE_NONE, kind1)
+        from_color = params[:, sa.MP_OPACITY] > 0.5
+        beta_n_h = rough_v
+        bn = jnp.clip(beta_n_h, 1e-3, 1.0)
+        denom_sa = (
+            5.969 - 0.215 * bn + 2.532 * bn**2 - 10.73 * bn**3 + 5.574 * bn**4
+            + 0.245 * bn**5
+        )
+        f_sa = jnp.log(jnp.clip(kd, 1e-5, 1.0)) / denom_sa[:, None]
+        sigma_a_hair = jnp.where(from_color[:, None], f_sa * f_sa, kd)
+        r0 = jnp.where(m[:, None], sigma_a_hair, r0)
+        ax = jnp.where(m, jnp.clip(rough_u, 1e-3, 1.0), ax)  # beta_m
+        ay = jnp.where(m, jnp.clip(rough_v, 1e-3, 1.0), ay)  # beta_n
 
     if uv is None:
         h = jnp.zeros(n, jnp.float32)
@@ -791,7 +845,7 @@ def make_bsdf(mat_type, params, uv=None, enable_hair=True, fou=None):
         h = jnp.clip(-1.0 + 2.0 * uv[..., 1], -1.0, 1.0)
     return Bsdf(
         kind0, kind1, r0, r1, ax, ay, eta, sigma, eta3, k3, kt, h,
-        bool(enable_hair), fou,
+        bool(enable_hair), fou, lobe_mask_of(mat_mask),
     )
 
 
@@ -802,71 +856,85 @@ def num_components(b: Bsdf):
 
 
 def _lobe_f(kind, color, b: Bsdf, wo, wi, reflect):
-    """Evaluate one lobe slot for all lanes (specular lobes -> 0)."""
-    f_lam = color * INV_PI
-    f_on = oren_nayar_f(color, b.sigma, wo, wi)
-    # microfacet reflection (dielectric fresnel)
-    wh = wi + wo
-    wh_ok = jnp.any(wh != 0.0, axis=-1) & (abs_cos_theta(wi) > 0) & (abs_cos_theta(wo) > 0)
-    wh_n = vm.normalize(wh)
-    # fresnel with wh facing forward (reference microfacetreflection::f)
-    wh_f = wh_n * jnp.sign(wh_n[..., 2:3])
-    fr_d = fr_dielectric(vm.dot(wi, wh_f), 1.0, b.eta)
-    d_val = tr_d(wh_n, b.ax, b.ay)
-    g_val = tr_g(wo, wi, b.ax, b.ay)
-    denom = 4.0 * abs_cos_theta(wi) * abs_cos_theta(wo)
-    f_mf_base = jnp.where(
-        (wh_ok & (denom > 0))[..., None],
-        color * (d_val * g_val / jnp.maximum(denom, 1e-12))[..., None],
-        0.0,
-    )
-    f_mf = f_mf_base * fr_d[..., None]
-    # conductor variant
-    fr_c = fr_conductor(vm.dot(wi, wh_f), jnp.ones_like(b.eta3), b.eta3, b.k3)
-    f_mfc = f_mf_base * fr_c
-    # fresnel blend (reference reflection.rs FresnelBlend)
-    pow5 = lambda v: (v * v) * (v * v) * v
-    diffuse = (
-        (28.0 / (23.0 * vm.PI))
-        * b.r0
-        * (1.0 - b.r1)
-        * (1.0 - pow5(1.0 - 0.5 * abs_cos_theta(wi)))[..., None]
-        * (1.0 - pow5(1.0 - 0.5 * abs_cos_theta(wo)))[..., None]
-    )
-    schlick = b.r1 + pow5(1.0 - vm.absdot(wi, wh_f))[..., None] * (1.0 - b.r1)
-    spec_fb = jnp.where(
-        wh_ok[..., None],
-        (d_val / jnp.maximum(4.0 * vm.absdot(wi, wh_n)
-          * jnp.maximum(abs_cos_theta(wi), abs_cos_theta(wo)), 1e-12))[..., None] * schlick,
-        0.0,
-    )
-    f_fb = diffuse + spec_fb
+    """Evaluate one lobe slot for all lanes (specular lobes -> 0).
+    Families absent from b.lobe_mask (STATIC) compile to nothing."""
+    hasl = lambda k: b.lobe_mask < 0 or bool(b.lobe_mask & (1 << k))
+    need_mf = hasl(LOBE_MICROFACET_REFL) or hasl(LOBE_MICROFACET_REFL_COND) or hasl(LOBE_FRESNEL_BLEND)
 
     out = jnp.zeros_like(color)
-    out = jnp.where((kind == LOBE_LAMBERT)[..., None], f_lam, out)
-    out = jnp.where((kind == LOBE_ORENNAYAR)[..., None], f_on, out)
-    out = jnp.where((kind == LOBE_MICROFACET_REFL)[..., None], f_mf, out)
-    out = jnp.where((kind == LOBE_MICROFACET_REFL_COND)[..., None], f_mfc, out)
-    out = jnp.where((kind == LOBE_FRESNEL_BLEND)[..., None], f_fb, out)
-    f_dd = disney_diffuse_f(color, b.sigma, wo, wi)
-    out = jnp.where((kind == LOBE_DISNEY_DIFFUSE)[..., None], f_dd, out)
-    f_dg = disney_gloss_f(color, b.ax, b.ay, wo, wi)
-    out = jnp.where((kind == LOBE_DISNEY_GLOSS)[..., None], f_dg, out)
+    if hasl(LOBE_LAMBERT):
+        out = jnp.where((kind == LOBE_LAMBERT)[..., None], color * INV_PI, out)
+    if hasl(LOBE_ORENNAYAR):
+        out = jnp.where((kind == LOBE_ORENNAYAR)[..., None], oren_nayar_f(color, b.sigma, wo, wi), out)
+
+    if need_mf:
+        wh = wi + wo
+        wh_ok = jnp.any(wh != 0.0, axis=-1) & (abs_cos_theta(wi) > 0) & (abs_cos_theta(wo) > 0)
+        wh_n = vm.normalize(wh)
+        # fresnel with wh facing forward (reference microfacetreflection::f)
+        wh_f = wh_n * jnp.sign(wh_n[..., 2:3])
+        d_val = tr_d(wh_n, b.ax, b.ay)
+    if hasl(LOBE_MICROFACET_REFL) or hasl(LOBE_MICROFACET_REFL_COND):
+        g_val = tr_g(wo, wi, b.ax, b.ay)
+        denom = 4.0 * abs_cos_theta(wi) * abs_cos_theta(wo)
+        f_mf_base = jnp.where(
+            (wh_ok & (denom > 0))[..., None],
+            color * (d_val * g_val / jnp.maximum(denom, 1e-12))[..., None],
+            0.0,
+        )
+        if hasl(LOBE_MICROFACET_REFL):
+            fr_d = fr_dielectric(vm.dot(wi, wh_f), 1.0, b.eta)
+            out = jnp.where(
+                (kind == LOBE_MICROFACET_REFL)[..., None], f_mf_base * fr_d[..., None], out
+            )
+        if hasl(LOBE_MICROFACET_REFL_COND):
+            fr_c = fr_conductor(vm.dot(wi, wh_f), jnp.ones_like(b.eta3), b.eta3, b.k3)
+            out = jnp.where(
+                (kind == LOBE_MICROFACET_REFL_COND)[..., None], f_mf_base * fr_c, out
+            )
+    if hasl(LOBE_FRESNEL_BLEND):
+        # fresnel blend (reference reflection.rs FresnelBlend)
+        pow5 = lambda v: (v * v) * (v * v) * v
+        diffuse = (
+            (28.0 / (23.0 * vm.PI))
+            * b.r0
+            * (1.0 - b.r1)
+            * (1.0 - pow5(1.0 - 0.5 * abs_cos_theta(wi)))[..., None]
+            * (1.0 - pow5(1.0 - 0.5 * abs_cos_theta(wo)))[..., None]
+        )
+        schlick = b.r1 + pow5(1.0 - vm.absdot(wi, wh_f))[..., None] * (1.0 - b.r1)
+        spec_fb = jnp.where(
+            wh_ok[..., None],
+            (d_val / jnp.maximum(4.0 * vm.absdot(wi, wh_n)
+              * jnp.maximum(abs_cos_theta(wi), abs_cos_theta(wo)), 1e-12))[..., None] * schlick,
+            0.0,
+        )
+        out = jnp.where((kind == LOBE_FRESNEL_BLEND)[..., None], diffuse + spec_fb, out)
+    if hasl(LOBE_DISNEY_DIFFUSE):
+        out = jnp.where(
+            (kind == LOBE_DISNEY_DIFFUSE)[..., None],
+            disney_diffuse_f(color, b.sigma, wo, wi), out,
+        )
+    if hasl(LOBE_DISNEY_GLOSS):
+        out = jnp.where(
+            (kind == LOBE_DISNEY_GLOSS)[..., None],
+            disney_gloss_f(color, b.ax, b.ay, wo, wi), out,
+        )
     # reflective lobes contribute only when geometric sidedness says reflect
     out = jnp.where(reflect[..., None], out, 0.0)
     # and only when wo/wi are in the same shading hemisphere
     out = jnp.where(same_hemisphere(wo, wi)[..., None], out, 0.0)
-    # LambertianTransmission (reference reflection.rs): opposite hemisphere
-    out = jnp.where(
-        (kind == LOBE_LAMBERT_TRANS)[..., None],
-        jnp.where((~same_hemisphere(wo, wi) & ~reflect)[..., None], color * INV_PI, 0.0),
-        out,
-    )
+    if hasl(LOBE_LAMBERT_TRANS):
+        # LambertianTransmission: opposite hemisphere, bypasses both masks
+        out = jnp.where(
+            (kind == LOBE_LAMBERT_TRANS)[..., None],
+            jnp.where((~same_hemisphere(wo, wi) & ~reflect)[..., None], color * INV_PI, 0.0),
+            out,
+        )
     # hair scatters over the full sphere — bypasses both masks
-    if b.enable_hair:
-        is_hair = kind == LOBE_HAIR
-        out = jnp.where(is_hair[..., None], hair_f(b, wo, wi), out)
-    if b.fou is not None:
+    if b.enable_hair and hasl(LOBE_HAIR):
+        out = jnp.where((kind == LOBE_HAIR)[..., None], hair_f(b, wo, wi), out)
+    if b.fou is not None and hasl(LOBE_FOURIER):
         from .fourier_bsdf import fourier_f
 
         out = jnp.where((kind == LOBE_FOURIER)[..., None], fourier_f(b.fou, wo, wi), out)
@@ -874,31 +942,33 @@ def _lobe_f(kind, color, b: Bsdf, wo, wi, reflect):
 
 
 def _lobe_pdf(kind, b: Bsdf, wo, wi):
+    hasl = lambda k: b.lobe_mask < 0 or bool(b.lobe_mask & (1 << k))
     pdf_cos = abs_cos_theta(wi) * INV_PI
-    wh = vm.normalize(wi + wo)
-    pdf_mf = tr_pdf_wh(wo, wh, b.ax, b.ay) / jnp.maximum(4.0 * vm.dot(wo, wh), 1e-12)
-    pdf_fb = 0.5 * (pdf_cos + tr_pdf_wh(wo, wh, b.ax, b.ay) / jnp.maximum(4.0 * vm.dot(wo, wh), 1e-12))
+    need_mf = (hasl(LOBE_MICROFACET_REFL) or hasl(LOBE_MICROFACET_REFL_COND)
+               or hasl(LOBE_DISNEY_GLOSS) or hasl(LOBE_FRESNEL_BLEND))
     same = same_hemisphere(wo, wi)
     out = jnp.zeros_like(pdf_cos)
-    out = jnp.where(
-        (kind == LOBE_LAMBERT) | (kind == LOBE_ORENNAYAR) | (kind == LOBE_DISNEY_DIFFUSE),
-        pdf_cos, out,
-    )
-    out = jnp.where(
-        (kind == LOBE_MICROFACET_REFL) | (kind == LOBE_MICROFACET_REFL_COND)
-        | (kind == LOBE_DISNEY_GLOSS),
-        pdf_mf, out,
-    )
-    out = jnp.where(kind == LOBE_FRESNEL_BLEND, pdf_fb, out)
+    if hasl(LOBE_LAMBERT) or hasl(LOBE_ORENNAYAR) or hasl(LOBE_DISNEY_DIFFUSE):
+        out = jnp.where(
+            (kind == LOBE_LAMBERT) | (kind == LOBE_ORENNAYAR) | (kind == LOBE_DISNEY_DIFFUSE),
+            pdf_cos, out,
+        )
+    if need_mf:
+        wh = vm.normalize(wi + wo)
+        pdf_mf = tr_pdf_wh(wo, wh, b.ax, b.ay) / jnp.maximum(4.0 * vm.dot(wo, wh), 1e-12)
+        out = jnp.where(
+            (kind == LOBE_MICROFACET_REFL) | (kind == LOBE_MICROFACET_REFL_COND)
+            | (kind == LOBE_DISNEY_GLOSS),
+            pdf_mf, out,
+        )
+        if hasl(LOBE_FRESNEL_BLEND):
+            out = jnp.where(kind == LOBE_FRESNEL_BLEND, 0.5 * (pdf_cos + pdf_mf), out)
     out = jnp.where(same, out, 0.0)
-    # transmission lobe: cosine pdf in the opposite hemisphere
-    out = jnp.where(
-        kind == LOBE_LAMBERT_TRANS, jnp.where(same, 0.0, pdf_cos), out
-    )
-    # hair: full-sphere pdf, no hemisphere mask
-    if b.enable_hair:
+    if hasl(LOBE_LAMBERT_TRANS):
+        out = jnp.where(kind == LOBE_LAMBERT_TRANS, jnp.where(same, 0.0, pdf_cos), out)
+    if b.enable_hair and hasl(LOBE_HAIR):
         out = jnp.where(kind == LOBE_HAIR, hair_pdf(b, wo, wi), out)
-    if b.fou is not None:
+    if b.fou is not None and hasl(LOBE_FOURIER):
         from .fourier_bsdf import fourier_pdf
 
         out = jnp.where(kind == LOBE_FOURIER, fourier_pdf(b.fou, wo, wi), out)
@@ -934,7 +1004,9 @@ def bsdf_sample(b: Bsdf, wo, u2, uc) -> BsdfSample:
 
     Chooses a lobe slot uniformly among present components using uc, samples
     it, then computes combined f and averaged pdf over non-specular lobes.
+    Lobe families absent from b.lobe_mask (STATIC) compile to nothing.
     """
+    hasl = lambda k: b.lobe_mask < 0 or bool(b.lobe_mask & (1 << k))
     n_comp = num_components(b).astype(jnp.float32)
     pick1 = (uc * jnp.maximum(n_comp, 1.0)) >= 1.0  # true -> lobe slot 1
     kind = jnp.where(pick1, b.kind1, b.kind0)
@@ -943,56 +1015,59 @@ def bsdf_sample(b: Bsdf, wo, u2, uc) -> BsdfSample:
     # candidate wi per family
     wi_cos = cosine_sample_hemisphere(u2)
     wi_cos = wi_cos * jnp.sign(jnp.where(cos_theta(wo) == 0, 1.0, cos_theta(wo)))[..., None]
+    wi = wi_cos
 
-    wh = tr_sample_wh(wo, u2, b.ax, b.ay)
-    wi_mf = reflect_dir(wo, wh)
+    is_ltrans = kind == LOBE_LAMBERT_TRANS
+    if hasl(LOBE_LAMBERT_TRANS):
+        wi = jnp.where(is_ltrans[..., None], -wi_cos, wi)
 
-    n_up = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0], wo.dtype), wo.shape)
-    wi_spec = jnp.stack([-wo[..., 0], -wo[..., 1], wo[..., 2]], axis=-1)
-
-    # fresnel specular (smooth glass): choose R/T by fresnel using uc
-    # remapped within the component (reference FresnelSpecular::sample_f)
-    fr = fr_dielectric(cos_theta(wo), 1.0, b.eta)
-    choose_refl = u2[..., 0] < fr  # reuse u2.x as the R/T coin like reference
-    entering = cos_theta(wo) > 0.0
-    eta_ratio = jnp.where(entering, 1.0 / b.eta, b.eta)
-    n_facing = jnp.where(entering[..., None], n_up, -n_up)
-    ok_t, wi_t = refract_dir(wo, n_facing, eta_ratio)
-    wi_fs = jnp.where(choose_refl[..., None], wi_spec, wi_t)
-
-    is_fs = kind == LOBE_FRESNEL_SPEC
-    is_spec_r = kind == LOBE_SPEC_REFL
     is_mf = (kind == LOBE_MICROFACET_REFL) | (kind == LOBE_MICROFACET_REFL_COND) | (
         kind == LOBE_DISNEY_GLOSS
     )
+    if hasl(LOBE_MICROFACET_REFL) or hasl(LOBE_MICROFACET_REFL_COND) or hasl(LOBE_DISNEY_GLOSS):
+        wh = tr_sample_wh(wo, u2, b.ax, b.ay)
+        wi = jnp.where(is_mf[..., None], reflect_dir(wo, wh), wi)
+
+    n_up = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0], wo.dtype), wo.shape)
+    wi_spec = jnp.stack([-wo[..., 0], -wo[..., 1], wo[..., 2]], axis=-1)
+    is_spec_r = kind == LOBE_SPEC_REFL
+    if hasl(LOBE_SPEC_REFL):
+        wi = jnp.where(is_spec_r[..., None], wi_spec, wi)
+
+    # fresnel specular (smooth glass): choose R/T by fresnel using u2.x
+    # (reference FresnelSpecular::sample_f)
+    is_fs = kind == LOBE_FRESNEL_SPEC
+    fr = fr_dielectric(cos_theta(wo), 1.0, b.eta)
+    choose_refl = u2[..., 0] < fr
+    entering = cos_theta(wo) > 0.0
+    if hasl(LOBE_FRESNEL_SPEC):
+        eta_ratio = jnp.where(entering, 1.0 / b.eta, b.eta)
+        n_facing = jnp.where(entering[..., None], n_up, -n_up)
+        ok_t, wi_t = refract_dir(wo, n_facing, eta_ratio)
+        wi_fs = jnp.where(choose_refl[..., None], wi_spec, wi_t)
+        wi = jnp.where(is_fs[..., None], wi_fs, wi)
+    else:
+        ok_t = jnp.ones(wo.shape[:-1], bool)
+
     is_fb = kind == LOBE_FRESNEL_BLEND
-    is_diff = (kind == LOBE_LAMBERT) | (kind == LOBE_ORENNAYAR) | (
-        kind == LOBE_DISNEY_DIFFUSE
-    )
-    is_ltrans = kind == LOBE_LAMBERT_TRANS
+    if hasl(LOBE_FRESNEL_BLEND):
+        # half cosine, half wh (reference FresnelBlend::sample_f)
+        fb_spec = u2[..., 0] >= 0.5
+        u_fb = jnp.stack(
+            [jnp.where(fb_spec, 2.0 * (u2[..., 0] - 0.5), 2.0 * u2[..., 0]), u2[..., 1]],
+            axis=-1,
+        )
+        wh_fb = tr_sample_wh(wo, u_fb, b.ax, b.ay)
+        wi_fb_cos = cosine_sample_hemisphere(u_fb)
+        wi_fb_cos = wi_fb_cos * jnp.sign(jnp.where(cos_theta(wo) == 0, 1.0, cos_theta(wo)))[..., None]
+        wi_fb = jnp.where(fb_spec[..., None], reflect_dir(wo, wh_fb), wi_fb_cos)
+        wi = jnp.where(is_fb[..., None], wi_fb, wi)
 
-    # fresnel-blend samples: half cosine, half wh (reference FresnelBlend::sample_f)
-    fb_spec = u2[..., 0] >= 0.5
-    u_fb = jnp.stack(
-        [jnp.where(fb_spec, 2.0 * (u2[..., 0] - 0.5), 2.0 * u2[..., 0]), u2[..., 1]],
-        axis=-1,
-    )
-    wh_fb = tr_sample_wh(wo, u_fb, b.ax, b.ay)
-    wi_fb_cos = cosine_sample_hemisphere(u_fb)
-    wi_fb_cos = wi_fb_cos * jnp.sign(jnp.where(cos_theta(wo) == 0, 1.0, cos_theta(wo)))[..., None]
-    wi_fb = jnp.where(fb_spec[..., None], reflect_dir(wo, wh_fb), wi_fb_cos)
-
-    wi = wi_cos
-    wi = jnp.where(is_ltrans[..., None], -wi_cos, wi)
-    wi = jnp.where(is_mf[..., None], wi_mf, wi)
-    wi = jnp.where(is_spec_r[..., None], wi_spec, wi)
-    wi = jnp.where(is_fs[..., None], wi_fs, wi)
-    wi = jnp.where(is_fb[..., None], wi_fb, wi)
-    if b.enable_hair:
+    if b.enable_hair and hasl(LOBE_HAIR):
         is_hair = kind == LOBE_HAIR
         wi_hair, _ = hair_sample(b, wo, u2)
         wi = jnp.where(is_hair[..., None], wi_hair, wi)
-    if b.fou is not None:
+    if b.fou is not None and hasl(LOBE_FOURIER):
         from .fourier_bsdf import fourier_sample
 
         wi_fou, _, _ = fourier_sample(b.fou, wo, u2)
@@ -1012,20 +1087,19 @@ def bsdf_sample(b: Bsdf, wo, u2, uc) -> BsdfSample:
 
     # --- f ---
     reflect_same = same_hemisphere(wo, wi)
-    f_smooth = bsdf_f(b, wo, wi, reflect_same)
-    # specular f values (with the delta absorbed): f = F * R / |cos|
+    f = bsdf_f(b, wo, wi, reflect_same)
     aci = jnp.maximum(abs_cos_theta(wi), 1e-7)
-    f_specr = color / aci[..., None]  # mirror: fresnel no-op
-    f_fs_refl = (fr / aci)[..., None] * b.r0
-    # transmission scaling (radiance transport): (1-F) * T * (1/eta^2) ...
-    # reference FresnelSpecular::sample_f with mode=Radiance applies
-    # (eta_i/eta_t)^2 factor
-    scale_t = jnp.where(entering, 1.0 / (b.eta * b.eta), b.eta * b.eta)
-    f_fs_trans = ((1.0 - fr) * scale_t / aci)[..., None] * b.kt
-    f_fs = jnp.where(choose_refl[..., None], f_fs_refl, f_fs_trans)
-    # total-internal-reflection transmission failure -> zero
-    f_fs = jnp.where((is_fs & ~choose_refl & ~ok_t)[..., None], 0.0, f_fs)
-    f = jnp.where(is_specular[..., None], jnp.where(is_fs[..., None], f_fs, f_specr), f_smooth)
+    if hasl(LOBE_SPEC_REFL):
+        # mirror: f = R/|cos| with the delta absorbed (fresnel no-op)
+        f = jnp.where(is_spec_r[..., None], color / aci[..., None], f)
+    if hasl(LOBE_FRESNEL_SPEC):
+        f_fs_refl = (fr / aci)[..., None] * b.r0
+        # radiance transport applies (eta_i/eta_t)^2 on transmission
+        scale_t = jnp.where(entering, 1.0 / (b.eta * b.eta), b.eta * b.eta)
+        f_fs_trans = ((1.0 - fr) * scale_t / aci)[..., None] * b.kt
+        f_fs = jnp.where(choose_refl[..., None], f_fs_refl, f_fs_trans)
+        f_fs = jnp.where((is_fs & ~choose_refl & ~ok_t)[..., None], 0.0, f_fs)
+        f = jnp.where(is_fs[..., None], f_fs, f)
 
     # microfacet sample below horizon -> invalid
     bad_mf = is_mf & ~same_hemisphere(wo, wi)

@@ -288,6 +288,18 @@ class PbrtAPI:
                 clearcoat=ps.find_one(params, "clearcoat", 0.0),
                 eta=ps.find_one(params, "eta", 1.5),
             )
+        if mtype == "subsurface":
+            return b.add_subsurface(
+                sigma_a=ps.find_spectrum(params, "sigma_a", None),
+                sigma_s=ps.find_spectrum(params, "sigma_s", None),
+                name=ps.find_string(params, "name", None),
+                scale=ps.find_one(params, "scale", 1.0),
+                eta=ps.find_one(params, "eta", 1.33),
+                g=ps.find_one(params, "g", 0.0),
+                kr=self._texture_or_const(params, "Kr", (1.0,) * 3),
+                kt=self._texture_or_const(params, "Kt", (1.0,) * 3),
+                roughness=ps.find_one(params, "uroughness", ps.find_one(params, "roughness", 0.0)),
+            )
         if mtype == "fourier":
             bf = ps.find_string(params, "bsdffile", "")
             fp = Path(bf)

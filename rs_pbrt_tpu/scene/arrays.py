@@ -237,9 +237,11 @@ class Scene(NamedTuple):
 
     # shape-encoded static bitmasks (jitted code prunes absent branches):
     # tex_kind_flag.shape[0] = bitmask of texture TYPE tags present;
-    # tex_slot_flag.shape[0] = bitmask of material texture SLOTS bound
+    # tex_slot_flag.shape[0] = bitmask of material texture SLOTS bound;
+    # mat_kind_flag.shape[0] = bitmask of MATERIAL type tags present
     tex_kind_flag: jnp.ndarray  # (kind_mask, 0)
     tex_slot_flag: jnp.ndarray  # (slot_mask, 0)
+    mat_kind_flag: jnp.ndarray  # (mat_mask, 0)
 
     # --- subsurface (BSSRDF) per-material folded profile tables
     # (ops/bssrdf.py); B rows, 0 when no subsurface material ---
@@ -297,6 +299,10 @@ class Scene(NamedTuple):
     @property
     def tex_slot_mask(self):
         return self.tex_slot_flag.shape[0]
+
+    @property
+    def mat_kind_mask(self):
+        return self.mat_kind_flag.shape[0]
 
 
 def empty_scene_arrays(n_tris=0, n_sph=0, n_mat=1, n_lights=0, alight_pad=1):
@@ -367,6 +373,7 @@ def empty_scene_arrays(n_tris=0, n_sph=0, n_mat=1, n_lights=0, alight_pad=1):
         fou_eta=np.float32(1.0),
         tex_kind_flag=np.zeros((0, 0), np.float32),
         tex_slot_flag=np.zeros((0, 0), np.float32),
+        mat_kind_flag=np.zeros((0, 0), np.float32),
     )
 
 
@@ -483,5 +490,9 @@ def finalize_scene(arrs: dict) -> Scene:
             slot_mask |= 1 << s_
     arrs["tex_kind_flag"] = np.zeros((kind_mask, 0), np.float32)
     arrs["tex_slot_flag"] = np.zeros((slot_mask, 0), np.float32)
+    mat_mask = 0
+    for t in np.unique(np.asarray(arrs["mat_type"], np.int64)):
+        mat_mask |= 1 << int(t)
+    arrs["mat_kind_flag"] = np.zeros((mat_mask, 0), np.float32)
     dev = {k: jnp.asarray(v) for k, v in arrs.items()}
     return Scene(inf_dist=inf_dist, **dev)
