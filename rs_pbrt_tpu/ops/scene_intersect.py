@@ -200,10 +200,83 @@ def _curve_hit(scene: sa.Scene, o, d, t_max, accel: Accel):
     return crv.intersect_curves_brute(o, d, t_max, scene.crv_attr)
 
 
+def _alpha_masked(scene: sa.Scene, it: Interaction, shadow: bool):
+    """Lanes whose hit lands on a zero-alpha texel and must be skipped
+    (reference triangle.rs:313-327 for primary rays; :593-650 additionally
+    applies the shadow-alpha mask for intersect_p)."""
+    from . import gathers as gx
+    from . import texture as tx
+
+    is_tri = it.valid & (it.prim >= 0) & (it.prim < scene.n_tris)
+    tri = jnp.clip(it.prim, 0, scene.n_tris - 1)
+    at = gx.take_rows(scene.tri_attr, tri)
+
+    def zero_at(tid):
+        a = tx.eval_texture(scene, jnp.maximum(tid, 0), it.uv, it.p)[..., 0]
+        return is_tri & (tid >= 0) & (a == 0.0)
+
+    masked = zero_at(gx.coli(at, sa.TA_ALPHA))
+    if shadow:
+        masked = masked | zero_at(gx.coli(at, sa.TA_SALPHA))
+    return masked
+
+
+_MAX_ALPHA_RECASTS = 16
+
+
+def _alpha_recast_loop(scene, o, d, t_max, accel, it: Interaction, shadow: bool):
+    """Re-cast rays whose closest hit was alpha-masked from just past the
+    hit until they find a surviving hit or escape.  The reference skips
+    masked hits inline during traversal; the wavefront equivalent is this
+    recast loop (gated statically on scene.has_alpha)."""
+    import jax
+
+    d_arr = jnp.asarray(d, jnp.float32)
+
+    def step(state):
+        it, o_cur, t_rem, t_base, k = state
+        masked = _alpha_masked(scene, it, shadow)
+        # advance masked lanes just past their hit (t is total; convert to
+        # the current segment's parameterization via t - t_base)
+        t_seg = it.t - t_base
+        t_eps = t_seg + jnp.maximum(1e-4 * jnp.abs(t_seg), 1e-5)
+        o_new = jnp.where(masked[:, None], o_cur + d_arr * t_eps[:, None], o_cur)
+        base_new = jnp.where(masked, t_base + t_eps, t_base)
+        rem_new = jnp.where(masked, jnp.maximum(t_rem - t_eps, 0.0), t_rem)
+        it2 = _scene_intersect_once(scene, o_new, d_arr, rem_new, accel)
+        it2 = it2._replace(t=it2.t + base_new)
+        sel = lambda a, b: jnp.where(
+            masked.reshape(masked.shape + (1,) * (a.ndim - 1)), a, b
+        )
+        merged = Interaction(*(sel(a, b) for a, b in zip(it2, it)))
+        return merged, o_new, rem_new, base_new, k + 1
+
+    def cond(state):
+        it, _, _, _, k = state
+        return jnp.any(_alpha_masked(scene, it, shadow)) & (k < _MAX_ALPHA_RECASTS)
+
+    n = o.shape[0]
+    state0 = (it, jnp.asarray(o, jnp.float32), jnp.asarray(t_max, jnp.float32),
+              jnp.zeros(n, jnp.float32), jnp.int32(0))
+    it, _, _, _, _ = jax.lax.while_loop(cond, step, state0)
+    # any lane still masked after the recast budget: treat as a miss
+    left = _alpha_masked(scene, it, shadow)
+    return it._replace(valid=it.valid & ~left)
+
+
 def scene_intersect(
     scene: sa.Scene, o, d, t_max, accel=None
 ) -> Interaction:
     accel = _as_accel(accel)
+    it = _scene_intersect_once(scene, o, d, t_max, accel)
+    if getattr(scene, "has_alpha", False):
+        it = _alpha_recast_loop(scene, o, d, t_max, accel, it, shadow=False)
+    return it
+
+
+def _scene_intersect_once(
+    scene: sa.Scene, o, d, t_max, accel: Accel
+) -> Interaction:
     n = o.shape[0]
     t_best = jnp.asarray(t_max, jnp.float32)
 
@@ -297,8 +370,15 @@ def scene_intersect(
 
 
 def scene_intersect_p(scene: sa.Scene, o, d, t_max, accel=None):
-    """Any-hit (shadow) query (reference scene.rs:67)."""
+    """Any-hit (shadow) query (reference scene.rs:67).  When alpha or
+    shadow-alpha masks exist the any-hit shortcut is invalid (a masked-out
+    hit must not occlude, triangle.rs:593-650): fall back to the closest-hit
+    recast loop applying BOTH masks."""
     accel = _as_accel(accel)
+    if getattr(scene, "has_alpha", False):
+        it = _scene_intersect_once(scene, o, d, t_max, accel)
+        it = _alpha_recast_loop(scene, o, d, t_max, accel, it, shadow=True)
+        return it.valid
     n = o.shape[0]
     occ = jnp.zeros(n, bool)
     if scene.n_tris > 0:

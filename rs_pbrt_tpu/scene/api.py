@@ -512,6 +512,22 @@ class PbrtAPI:
             return
         self._create_shape(st, self.ctm, self.gs)
 
+    def _alpha_tex_id(self, params, name):
+        """Resolve an alpha/shadowalpha parameter to a float-texture id
+        (reference api.rs:1920-1940: a named texture, or a literal float 0
+        which becomes a constant-0 texture; any other float means no mask)."""
+        from ..ops import texture as tx
+
+        if name in params and params[name][0] == "texture":
+            tid = self.textures.get(str(params[name][1][0]))
+            if tid is None:
+                print(f"WARNING: couldn't find float texture for {name!r}")
+                return -1
+            return tid
+        if ps.find_one(params, name, 1.0) == 0.0:
+            return self.builder.add_texture(tx.TEX_CONSTANT, {tx.TP_VALUE: (0.0, 0.0, 0.0)})
+        return -1
+
     def _create_shape(self, st, ctm, gs):
         kind = st.args[0]
         b = self.builder
@@ -531,6 +547,8 @@ class PbrtAPI:
                 object_to_world=o2w,
                 area_light=al,
                 reverse_orientation=gs.reverse_orientation,
+                alpha_tex=self._alpha_tex_id(st.params, "alpha"),
+                shadow_alpha_tex=self._alpha_tex_id(st.params, "shadowalpha"),
             )
         elif kind == "plymesh":
             from ..io.plyloader import load_ply
@@ -544,6 +562,8 @@ class PbrtAPI:
                 F, V, normals=N, uvs=UV, material=gs.material,
                 object_to_world=o2w, area_light=al,
                 reverse_orientation=gs.reverse_orientation,
+                alpha_tex=self._alpha_tex_id(st.params, "alpha"),
+                shadow_alpha_tex=self._alpha_tex_id(st.params, "shadowalpha"),
             )
         elif kind == "sphere":
             b.add_sphere(

@@ -119,7 +119,9 @@ TA_LIGHT = 26
 TA_REVERSE = 27
 TA_MED_IN = 28
 TA_MED_OUT = 29
-N_TRI_ATTR = 30
+TA_ALPHA = 30  # float-texture id for alpha cutout mask, -1 = none
+TA_SALPHA = 31  # shadow-alpha mask texture id, -1 = none
+N_TRI_ATTR = 32
 
 # mat_attr columns
 MA_TYPE = 0
@@ -163,6 +165,10 @@ class Scene(NamedTuple):
     tri_mat: jnp.ndarray  # (T,) i32
     tri_light: jnp.ndarray  # (T,) i32 area-light id or -1
     tri_reverse: jnp.ndarray  # (T,) bool ReverseOrientation^transform-swap
+    tri_alpha: jnp.ndarray  # (T,) i32 alpha-mask texture id, -1 = none
+    #   (reference triangle.rs:39,313-327: alpha==0 at the hit uv -> the hit
+    #    is skipped entirely; api.rs:1920-1940 binds the "alpha" parameter)
+    tri_salpha: jnp.ndarray  # (T,) i32 shadow-alpha texture id, -1 = none
 
     # --- spheres (object space + transform) ---
     sph_o2w: jnp.ndarray  # (S,4,4)
@@ -235,6 +241,10 @@ class Scene(NamedTuple):
     # (lets jitted code skip the hair-lobe math without a traced branch)
     hair_flag: jnp.ndarray
 
+    # shape-encoded static flag: (1,) if any triangle carries an alpha or
+    # shadow-alpha mask (gates the recast loop in scene_intersect)
+    alpha_flag: jnp.ndarray
+
     # shape-encoded static bitmasks (jitted code prunes absent branches):
     # tex_kind_flag.shape[0] = bitmask of texture TYPE tags present;
     # tex_slot_flag.shape[0] = bitmask of material texture SLOTS bound;
@@ -285,6 +295,10 @@ class Scene(NamedTuple):
         return self.hair_flag.shape[0] > 0
 
     @property
+    def has_alpha(self):
+        return self.alpha_flag.shape[0] > 0
+
+    @property
     def has_subsurface(self):
         return self.bss_profile.shape[0] > 0
 
@@ -318,6 +332,8 @@ def empty_scene_arrays(n_tris=0, n_sph=0, n_mat=1, n_lights=0, alight_pad=1):
         tri_mat=np.zeros(T, np.int32),
         tri_light=np.full(T, -1, np.int32),
         tri_reverse=np.zeros(T, bool),
+        tri_alpha=np.full(T, -1, np.int32),
+        tri_salpha=np.full(T, -1, np.int32),
         sph_o2w=np.tile(np.eye(4, dtype=np.float32), (S, 1, 1)),
         sph_w2o=np.tile(np.eye(4, dtype=np.float32), (S, 1, 1)),
         sph_params=np.zeros((S, 4), np.float32),
@@ -441,6 +457,8 @@ def finalize_scene(arrs: dict) -> Scene:
         tri_attr[:, TA_REVERSE] = arrs["tri_reverse"]
         tri_attr[:, TA_MED_IN] = arrs["tri_med"][:, 0]
         tri_attr[:, TA_MED_OUT] = arrs["tri_med"][:, 1]
+        tri_attr[:, TA_ALPHA] = arrs["tri_alpha"]
+        tri_attr[:, TA_SALPHA] = arrs["tri_salpha"]
     arrs["tri_attr"] = tri_attr
 
     M = len(arrs["mat_type"])
@@ -477,6 +495,13 @@ def finalize_scene(arrs: dict) -> Scene:
 
     arrs["hair_flag"] = np.zeros(
         1 if np.any(np.asarray(arrs["mat_type"]) == HAIR) else 0, np.float32
+    )
+    arrs["alpha_flag"] = np.zeros(
+        1
+        if (np.any(np.asarray(arrs["tri_alpha"]) >= 0)
+            or np.any(np.asarray(arrs["tri_salpha"]) >= 0))
+        else 0,
+        np.float32,
     )
     kind_mask = 0
     for t in np.unique(np.asarray(arrs["tex_type"], np.int64)):

@@ -236,6 +236,8 @@ class SceneBuilder:
         area_light=None,  # dict(L=(r,g,b), two_sided=bool, scale=(r,g,b))
         reverse_orientation: bool = False,
         medium_interface=(-1, -1),
+        alpha_tex: int = -1,
+        shadow_alpha_tex: int = -1,
     ):
         idx = np.asarray(indices, np.int32).reshape(-1, 3)
         P = np.asarray(positions, np.float32).reshape(-1, 3)
@@ -276,6 +278,8 @@ class SceneBuilder:
             t["light"].append(light_id)
             t["reverse"].append(reverse_orientation)
             t.setdefault("med", []).append(medium_interface)
+            t.setdefault("alpha", []).append(alpha_tex)
+            t.setdefault("salpha", []).append(shadow_alpha_tex)
         return light_id
 
     def add_sphere(
@@ -491,6 +495,9 @@ class SceneBuilder:
             arrs["tri_mat"] = np.asarray(self.tris["mat"], np.int32)
             arrs["tri_light"] = np.asarray(self.tris["light"], np.int32)
             arrs["tri_reverse"] = np.asarray(self.tris["reverse"], bool)
+            if self.tris.get("alpha"):
+                arrs["tri_alpha"] = np.asarray(self.tris["alpha"], np.int32)
+                arrs["tri_salpha"] = np.asarray(self.tris["salpha"], np.int32)
         if n_sph:
             arrs["sph_o2w"] = np.stack(self.sphs["o2w"])
             arrs["sph_w2o"] = np.stack(self.sphs["w2o"])
