@@ -92,7 +92,7 @@ def main(argv=None):
 
     from rs_pbrt_tpu.ops.scene_intersect import build_accel
 
-    accel = build_accel(scene)
+    accel = build_accel(scene, kind=getattr(cfg, "accelerator", "bvh"))
 
     n_dev = args.ndevices or len(devices)
     t0 = time.time()

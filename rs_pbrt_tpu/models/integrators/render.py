@@ -30,6 +30,10 @@ class RenderCfg(NamedTuple):
     rr_threshold: float  # static
     light_strategy: str = "power"  # "uniform" | "power" | "spatial"
     #   (reference lightdistrib.rs create_light_sample_distribution :393)
+    crop: Optional[tuple] = None  # scene-file film "cropwindow" (x0,x1,y0,y1)
+    extra: Optional[dict] = None  # integrator-specific params (bdpt/mlt/
+    #   sppm factories, reference api.rs make_integrator :205-473)
+    accelerator: str = "bvh"  # "bvh" | "kdtree" (reference api.rs:528)
 
 
 def _camera_rays(camera: cam.Camera, sampler_cfg, ctx, pixel):
@@ -41,10 +45,14 @@ def _camera_rays(camera: cam.Camera, sampler_cfg, ctx, pixel):
     return rays, p_film
 
 
-def radiance_fn(integrator: str, max_depth: int, rr_threshold: float):
-    """Integrator dispatch (reference Integrator enum integrator.rs:31)."""
+def radiance_fn(integrator: str, max_depth: int, rr_threshold: float,
+                extra: tuple = ()):
+    """Integrator dispatch (reference Integrator enum integrator.rs:31).
+    extra: hashable tuple of integrator-specific (name, value) params
+    (RenderCfg.extra) — static under jit."""
     from . import direct as directmod
 
+    e = dict(extra)
     if integrator == "path":
         pcfg = pathmod.PathCfg(max_depth, rr_threshold)
         return lambda scene, cfg_s, ctx, o, d, accel, ld=None: pathmod.radiance(
@@ -58,7 +66,10 @@ def radiance_fn(integrator: str, max_depth: int, rr_threshold: float):
             scene, pcfg, cfg_s, ctx, o, d, accel
         )
     if integrator == "ao":
-        acfg = directmod.AOCfg(n_samples=8, cos_sample=True)
+        acfg = directmod.AOCfg(
+            n_samples=int(e.get("n_samples", 8)),
+            cos_sample=bool(e.get("cos_sample", True)),
+        )
         return lambda scene, cfg_s, ctx, o, d, accel, ld=None: directmod.ao_radiance(
             scene, acfg, cfg_s, ctx, o, d, accel
         )
@@ -68,7 +79,9 @@ def radiance_fn(integrator: str, max_depth: int, rr_threshold: float):
             scene, wcfg, cfg_s, ctx, o, d, accel
         )
     if integrator == "directlighting":
-        dcfg = directmod.DirectLightingCfg(max_depth, sample_all=False)
+        dcfg = directmod.DirectLightingCfg(
+            max_depth, sample_all=(e.get("strategy", "all") == "all")
+        )
         return lambda scene, cfg_s, ctx, o, d, accel, ld=None: directmod.directlighting_radiance(
             scene, dcfg, cfg_s, ctx, o, d, accel
         )
@@ -79,7 +92,7 @@ def radiance_fn(integrator: str, max_depth: int, rr_threshold: float):
     jax.jit,
     static_argnames=(
         "integrator", "max_depth", "rr_threshold", "sampler_cfg", "filter_cfg",
-        "grid_spp", "grid_rect",
+        "grid_spp", "grid_rect", "extra",
     ),
 )
 def render_batch(
@@ -97,6 +110,7 @@ def render_batch(
     light_distrib=None,
     grid_spp: int = 0,
     grid_rect=None,
+    extra: tuple = (),
 ):
     """One wavefront batch.  Static args exclude spp so different sample
     counts share one compilation (only shapes + depth matter).
@@ -105,7 +119,7 @@ def render_batch(
     film path; grid_rect = static (y0, h, x0, w) crop window."""
     ctx = smpl.make_ctx(sampler_cfg, pixel, sample_num)
     rays, p_film = _camera_rays(camera, sampler_cfg, ctx, pixel)
-    L = radiance_fn(integrator, max_depth, rr_threshold)(
+    L = radiance_fn(integrator, max_depth, rr_threshold, extra)(
         scene, sampler_cfg, ctx, rays.o, rays.d, accel, light_distrib
     )
     L = L * rays.weight[..., None]
@@ -164,9 +178,43 @@ def render(
     """
     import time as _time
 
+    ex = cfg.extra or {}
+    if cfg.integrator == "bdpt":
+        from .bdpt import render_bdpt
+
+        return render_bdpt(
+            scene, camera, cfg.spp, cfg.max_depth,
+            sampler_cfg=sampler_cfg, accel=accel,
+        )
+    if cfg.integrator == "mlt":
+        from .mlt import render_mlt
+
+        return render_mlt(
+            scene, camera,
+            mutations_per_pixel=int(ex.get("mutations_per_pixel", 16)),
+            max_depth=cfg.max_depth,
+            n_chains=int(ex.get("chains", 4096)),
+            n_bootstrap=int(ex.get("bootstrap_samples", 16384)),
+            accel=accel,
+        )
+    if cfg.integrator == "sppm":
+        from .sppm import render_sppm
+
+        return render_sppm(
+            scene, camera, sampler_cfg,
+            n_iterations=int(ex.get("n_iterations", 16)),
+            photons_per_iter=int(ex.get("photons_per_iteration", 0)),
+            max_depth=cfg.max_depth,
+            initial_radius=float(ex.get("initial_radius", 0.0)),
+            accel=accel,
+        )
+    extra_t = tuple(sorted(ex.items()))
+
     if filter_cfg is None:
         filter_cfg = filmmod.make_filter(filmmod.FILTER_BOX)
     w, h = camera.resolution
+    if crop is None:
+        crop = cfg.crop  # scene-file film cropwindow
     # crop window (reference film.rs:224-262: pMin = ceil(res*crop0))
     if crop is not None:
         x0, x1, y0, y1 = crop
@@ -215,7 +263,7 @@ def render(
         film = render_batch(
             scene, accel, camera, cfg.integrator, cfg.max_depth, cfg.rr_threshold,
             sampler_cfg, film, filter_cfg, pix, snums, light_distrib,
-            grid_spp=nb, grid_rect=grid_rect,
+            grid_spp=nb, grid_rect=grid_rect, extra=extra_t,
         )
         sample += nb
         since_ck += nb

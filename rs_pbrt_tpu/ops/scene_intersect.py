@@ -47,6 +47,16 @@ def _use_pallas():
     return jax.default_backend() in ("tpu", "axon")
 
 
+def _tri_accel_hit(o, d, t_max, tree, p0, p1, p2, any_hit: bool = False):
+    """Dispatch on accelerator family: LBVH (default, api.rs:528) or SAH
+    kd-tree (Accelerator "kdtree", accelerators/kdtreeaccel.rs)."""
+    from . import kdtree as kdmod
+
+    if isinstance(tree, kdmod.KdTree):
+        return kdmod.kdtree_intersect_tris(o, d, t_max, tree, p0, p1, p2, any_hit=any_hit)
+    return bvhmod.bvh_intersect_tris(o, d, t_max, tree, p0, p1, p2, any_hit=any_hit)
+
+
 def _dense_tri_hit(scene, o, d, t_max):
     if _use_pallas():
         from .pallas_intersect import pallas_intersect_tris
@@ -282,7 +292,7 @@ def _scene_intersect_once(
 
     if scene.n_tris > 0:
         if accel.tri is not None and scene.n_tris > BRUTE_FORCE_MAX_TRIS:
-            th = bvhmod.bvh_intersect_tris(
+            th = _tri_accel_hit(
                 o, d, t_best, accel.tri, scene.tri_p0, scene.tri_p1, scene.tri_p2
             )
         else:
@@ -383,7 +393,7 @@ def scene_intersect_p(scene: sa.Scene, o, d, t_max, accel=None):
     occ = jnp.zeros(n, bool)
     if scene.n_tris > 0:
         if accel.tri is not None and scene.n_tris > BRUTE_FORCE_MAX_TRIS:
-            occ = occ | bvhmod.bvh_intersect_tris(
+            occ = occ | _tri_accel_hit(
                 o, d, t_max, accel.tri, scene.tri_p0, scene.tri_p1, scene.tri_p2, any_hit=True
             ).valid
         else:
@@ -411,9 +421,10 @@ def _build_lbvh_pref_native(bmin, bmax):
     return bvhmod.build_lbvh(bmin, bmax)
 
 
-def build_accel(scene: sa.Scene) -> Accel:
+def build_accel(scene: sa.Scene, kind: str = "bvh") -> Accel:
     """Host-side accelerator build; families below the brute-force
-    threshold get no tree."""
+    threshold get no tree.  kind: "bvh" (LBVH, default api.rs:528) or
+    "kdtree" (SAH kd-tree, kdtreeaccel.rs) for the triangle family."""
     tri_bvh = None
     crv_bvh = None
     if scene.n_tris > BRUTE_FORCE_MAX_TRIS:
@@ -422,7 +433,12 @@ def build_accel(scene: sa.Scene) -> Accel:
         p2 = np.asarray(scene.tri_p2)
         bmin = np.minimum(np.minimum(p0, p1), p2)
         bmax = np.maximum(np.maximum(p0, p1), p2)
-        tri_bvh = _build_lbvh_pref_native(bmin, bmax)
+        if kind == "kdtree":
+            from . import kdtree as kdmod
+
+            tri_bvh = kdmod.build_kdtree(bmin, bmax)
+        else:
+            tri_bvh = _build_lbvh_pref_native(bmin, bmax)
     if scene.n_curve_segs > BRUTE_FORCE_MAX_CURVES:
         at = np.asarray(scene.crv_attr)
         cp = at[:, crv.CV_CP : crv.CV_CP + 12].reshape(-1, 4, 3)

@@ -39,6 +39,9 @@ class GraphicsState:
     reverse_orientation: bool = False
     material_params: Optional[dict] = None
     material_type: str = "matte"
+    # (inside, outside) named-medium ids; -1 = vacuum (reference
+    # api.rs pbrt_medium_interface + GraphicsState current media)
+    medium_interface: tuple = (-1, -1)
 
 
 def _mat4(vals):
@@ -52,6 +55,11 @@ class PbrtAPI:
     def __init__(self, search_dir: Optional[Path] = None):
         self.builder = SceneBuilder()
         self.ctm = np.eye(4, dtype=np.float32)
+        # end-of-shutter CTM (reference TransformSet api.rs:163 keeps a
+        # start/end pair; ActiveTransform selects which ops update)
+        self.ctm_end = np.eye(4, dtype=np.float32)
+        self.active = "all"  # "all" | "start" | "end"
+        self.transform_times = (0.0, 1.0)
         self.transform_stack = []
         self.gs = GraphicsState()
         self.gs_stack = []
@@ -65,12 +73,15 @@ class PbrtAPI:
         self.camera_name = "perspective"
         self.camera_params = {}
         self.camera_to_world = np.eye(4, dtype=np.float32)
+        self.camera_to_world_end = np.eye(4, dtype=np.float32)
+        self.accelerator_name = "bvh"
         self.sampler_name = "halton"
         self.sampler_params = {}
         self.filter_name = "box"
         self.filter_params = {}
         self.film_params = {}
         self.textures = {}  # name -> ("constant"/"imagemap"..., value)
+        self.named_media = {}  # name -> medium id (MakeNamedMedium)
         self.objects = {}  # ObjectBegin name -> list of deferred shape stmts
         self.current_object = None
         self.output_name = "pbrt.png"
@@ -78,7 +89,10 @@ class PbrtAPI:
     # ---- transforms ----
 
     def _apply(self, m):
-        self.ctm = self.ctm @ m
+        if self.active in ("all", "start"):
+            self.ctm = self.ctm @ m
+        if self.active in ("all", "end"):
+            self.ctm_end = self.ctm_end @ m
 
     def do_statement(self, st: ps.Statement):
         name = st.name
@@ -104,13 +118,19 @@ class PbrtAPI:
         self._apply(np.asarray(tr.rotate(st.args[0], st.args[1:4]).m))
 
     def _st_transform(self, st):
-        self.ctm = _mat4(st.args)
+        if self.active in ("all", "start"):
+            self.ctm = _mat4(st.args)
+        if self.active in ("all", "end"):
+            self.ctm_end = _mat4(st.args)
 
     def _st_concattransform(self, st):
         self._apply(_mat4(st.args))
 
     def _st_identity(self, st):
-        self.ctm = np.eye(4, dtype=np.float32)
+        if self.active in ("all", "start"):
+            self.ctm = np.eye(4, dtype=np.float32)
+        if self.active in ("all", "end"):
+            self.ctm_end = np.eye(4, dtype=np.float32)
 
     def _st_coordinatesystem(self, st):
         self.named_coord_systems[st.args[0]] = self.ctm.copy()
@@ -118,18 +138,20 @@ class PbrtAPI:
     def _st_coordsystransform(self, st):
         if st.args[0] in self.named_coord_systems:
             self.ctm = self.named_coord_systems[st.args[0]].copy()
+            self.ctm_end = self.ctm.copy()
 
     def _st_transformbegin(self, st):
-        self.transform_stack.append(self.ctm.copy())
+        self.transform_stack.append((self.ctm.copy(), self.ctm_end.copy()))
 
     def _st_transformend(self, st):
-        self.ctm = self.transform_stack.pop()
+        self.ctm, self.ctm_end = self.transform_stack.pop()
 
     def _st_activetransform(self, st):
-        pass  # animated CTM pairs: motion blur support pending
+        which = st.args[0] if st.args else "All"
+        self.active = {"StartTime": "start", "EndTime": "end"}.get(which, "all")
 
     def _st_transformtimes(self, st):
-        pass
+        self.transform_times = (float(st.args[0]), float(st.args[1]))
 
     # ---- pre-world config ----
 
@@ -140,6 +162,12 @@ class PbrtAPI:
         self.camera_to_world = np.linalg.inv(self.ctm.astype(np.float64)).astype(
             np.float32
         )
+        self.camera_to_world_end = np.linalg.inv(
+            self.ctm_end.astype(np.float64)
+        ).astype(np.float32)
+        # the camera sits in the current exterior medium (reference
+        # api.rs pbrt_camera: camera_medium = current outside medium)
+        self.builder.camera_medium = self.gs.medium_interface[1]
         self.named_coord_systems["camera"] = self.ctm.copy()
 
     def _st_sampler(self, st):
@@ -159,13 +187,17 @@ class PbrtAPI:
         self.integrator_params = st.params
 
     def _st_accelerator(self, st):
-        pass  # accelerator choice is automatic (brute/LBVH by size)
+        # "bvh" (default, api.rs:528) or "kdtree"; consumed by
+        # build_accel(scene, kind=cfg.accelerator)
+        self.accelerator_name = st.args[0]
 
     # ---- world ----
 
     def _st_worldbegin(self, st):
         self.in_world = True
         self.ctm = np.eye(4, dtype=np.float32)
+        self.ctm_end = np.eye(4, dtype=np.float32)
+        self.active = "all"
         self.named_coord_systems["world"] = self.ctm.copy()
 
     def _st_worldend(self, st):
@@ -173,11 +205,11 @@ class PbrtAPI:
 
     def _st_attributebegin(self, st):
         self.gs_stack.append(copy.deepcopy(self.gs))
-        self.transform_stack.append(self.ctm.copy())
+        self.transform_stack.append((self.ctm.copy(), self.ctm_end.copy()))
 
     def _st_attributeend(self, st):
         self.gs = self.gs_stack.pop()
-        self.ctm = self.transform_stack.pop()
+        self.ctm, self.ctm_end = self.transform_stack.pop()
 
     def _st_reverseorientation(self, st):
         self.gs.reverse_orientation = not self.gs.reverse_orientation
@@ -443,6 +475,23 @@ class PbrtAPI:
 
     # ---- lights ----
 
+    def _light_map(self, params):
+        """Load a light's "mapname" image, or None (reference
+        lights/projection.rs + lights/gonio.rs constructors)."""
+        fname = ps.find_string(params, "mapname")
+        if not fname:
+            return None
+        try:
+            from ..io.image import read_image
+
+            p = Path(fname)
+            if self.search_dir and not p.is_absolute():
+                p = self.search_dir / p
+            return read_image(p)
+        except Exception as e:
+            print(f"WARNING: light map {fname!r} load failed ({e})")
+            return None
+
     def _st_lightsource(self, st):
         kind = st.args[0]
         b = self.builder
@@ -476,6 +525,20 @@ class PbrtAPI:
             b.add_distant_light(
                 from_p=fr_w, to=to_w, L=ps.find_spectrum(st.params, "L", (1, 1, 1)), scale=scale
             )
+        elif kind in ("projection", "goniometric"):
+            img = self._light_map(st.params)
+            p = ps.find_floats(st.params, "from", [0, 0, 0])
+            to = ps.find_floats(st.params, "to", [0, 0, 1])
+            p_w = (self.ctm @ np.asarray([*p, 1.0], np.float32))[:3]
+            to_w = (self.ctm @ np.asarray([*to, 1.0], np.float32))[:3]
+            I = ps.find_spectrum(st.params, "I", (1, 1, 1))
+            if kind == "projection":
+                b.add_projection_light(
+                    p=p_w, to=to_w, I=I, scale=scale, image=img,
+                    fov=ps.find_one(st.params, "fov", 45.0),
+                )
+            else:
+                b.add_gonio_light(p=p_w, to=to_w, I=I, scale=scale, image=img)
         elif kind == "infinite":
             fname = ps.find_string(st.params, "mapname")
             rad = None
@@ -547,6 +610,7 @@ class PbrtAPI:
                 object_to_world=o2w,
                 area_light=al,
                 reverse_orientation=gs.reverse_orientation,
+                medium_interface=gs.medium_interface,
                 alpha_tex=self._alpha_tex_id(st.params, "alpha"),
                 shadow_alpha_tex=self._alpha_tex_id(st.params, "shadowalpha"),
             )
@@ -562,6 +626,7 @@ class PbrtAPI:
                 F, V, normals=N, uvs=UV, material=gs.material,
                 object_to_world=o2w, area_light=al,
                 reverse_orientation=gs.reverse_orientation,
+                medium_interface=gs.medium_interface,
                 alpha_tex=self._alpha_tex_id(st.params, "alpha"),
                 shadow_alpha_tex=self._alpha_tex_id(st.params, "shadowalpha"),
             )
@@ -575,6 +640,7 @@ class PbrtAPI:
                 material=gs.material,
                 area_light=al,
                 reverse_orientation=gs.reverse_orientation,
+                medium_interface=gs.medium_interface,
             )
         elif kind in ("disk", "cylinder", "paraboloid", "cone", "hyperboloid"):
             tris = _tessellate_quadric(kind, st.params)
@@ -583,6 +649,7 @@ class PbrtAPI:
                 b.add_triangle_mesh(
                     F, V, material=gs.material, object_to_world=o2w,
                     area_light=al, reverse_orientation=gs.reverse_orientation,
+                    medium_interface=gs.medium_interface,
                 )
         elif kind == "loopsubdiv":
             from ..io.subdiv import loop_subdivide
@@ -618,16 +685,55 @@ class PbrtAPI:
                 F, V, uvs=UV, material=gs.material, object_to_world=o2w,
                 area_light=al, reverse_orientation=gs.reverse_orientation,
             )
+        elif kind == "heightfield":
+            # nu x nv z-grid over [0,1]^2 -> triangle mesh (reference
+            # api.rs:2016 heightfield stub; pbrt-v3 heightfield.cpp semantics)
+            nu = int(ps.find_one(st.params, "nu", 0))
+            nv = int(ps.find_one(st.params, "nv", 0))
+            Pz = ps.find_floats(st.params, "Pz")
+            if nu < 2 or nv < 2 or len(Pz) != nu * nv:
+                print("WARNING: heightfield with bad nu/nv/Pz, skipped")
+                return
+            z = np.asarray(Pz, np.float32).reshape(nv, nu)
+            xs = np.linspace(0.0, 1.0, nu, dtype=np.float32)
+            ys = np.linspace(0.0, 1.0, nv, dtype=np.float32)
+            X, Y = np.meshgrid(xs, ys)
+            V = np.stack([X.ravel(), Y.ravel(), z.ravel()], -1)
+            UVg = np.stack([X.ravel(), Y.ravel()], -1)
+            F = []
+            for j in range(nv - 1):
+                for i in range(nu - 1):
+                    a = j * nu + i
+                    F += [[a, a + 1, a + nu], [a + 1, a + nu + 1, a + nu]]
+            b.add_triangle_mesh(
+                np.asarray(F, np.int32), V, uvs=UVg, material=gs.material,
+                object_to_world=o2w, area_light=al,
+                reverse_orientation=gs.reverse_orientation,
+                medium_interface=gs.medium_interface,
+            )
         elif kind == "curve":
             P = np.asarray(ps.find_floats(st.params, "P"), np.float32).reshape(-1, 3)
             nrm = ps.find_floats(st.params, "N")
             width = ps.find_one(st.params, "width", 1.0)
+            # multi-segment Bézier: 4 + 3*(n-1) control points -> n segments
+            # (reference shapes/curve.rs create_curve_shape :556)
+            n_seg = max(1, (len(P) - 1) // 3)
+            cps = np.stack([P[3 * i: 3 * i + 4] for i in range(n_seg)])
             b.add_curve(
-                P[:4],
+                cps,
                 width0=ps.find_one(st.params, "width0", width),
                 width1=ps.find_one(st.params, "width1", width),
                 curve_type=ps.find_string(st.params, "type", "flat"),
-                normals=np.asarray(nrm, np.float32).reshape(1, 2, 3) if nrm else None,
+                normals=(
+                    np.stack(
+                        [
+                            np.asarray(nrm, np.float32).reshape(-1, 3)[[i, i + 1]]
+                            for i in range(n_seg)
+                        ]
+                    )
+                    if nrm
+                    else None
+                ),
                 splitdepth=int(ps.find_one(st.params, "splitdepth", 3)),
                 material=gs.material,
                 object_to_world=o2w,
@@ -652,14 +758,65 @@ class PbrtAPI:
             # flatten: instance CTM * shape CTM
             self._create_shape(shape_st, self.ctm @ shape_ctm, shape_gs)
 
-    def _st_medium_interface(self, st):
-        pass  # media attachment pending volpath front-end
+    def _st_makenamedmedium(self, st):
+        """MakeNamedMedium (reference api.rs pbrt_make_named_medium +
+        make_medium :953): homogeneous or heterogeneous density-grid."""
+        name = st.args[0]
+        mtype = ps.find_string(st.params, "type", "homogeneous")
+        g = ps.find_one(st.params, "g", 0.0)
+        scale = ps.find_one(st.params, "scale", 1.0)
+        sigma_a = ps.find_spectrum(st.params, "sigma_a", (0.0011, 0.0024, 0.014))
+        sigma_s = ps.find_spectrum(st.params, "sigma_s", (2.55, 3.21, 3.77))
+        preset = ps.find_string(st.params, "preset", "")
+        if preset:
+            from ..io.measured_ss import get_medium_scattering_properties
+
+            props = get_medium_scattering_properties(preset)
+            if props is None:
+                print(f"WARNING: material {preset!r} not recognized")
+            else:
+                sigma_a, sigma_s = props
+        grid = None
+        m2w = None
+        if mtype == "heterogeneous":
+            dens = ps.find_floats(st.params, "density")
+            nx = int(ps.find_one(st.params, "nx", 1))
+            ny = int(ps.find_one(st.params, "ny", 1))
+            nz = int(ps.find_one(st.params, "nz", 1))
+            if not dens or len(dens) != nx * ny * nz:
+                print("WARNING: heterogeneous medium with bad density grid")
+                dens = [1.0] * (nx * ny * nz)
+            p0 = np.asarray(ps.find_floats(st.params, "p0", [0, 0, 0]), np.float64)
+            p1 = np.asarray(ps.find_floats(st.params, "p1", [1, 1, 1]), np.float64)
+            # density index order is (z*ny + y)*nx + x -> (D,H,W)
+            grid = np.asarray(dens, np.float32).reshape(nz, ny, nx)
+            unit_to_grid = np.eye(4, dtype=np.float64)
+            unit_to_grid[:3, :3] = np.diag(p1 - p0)
+            unit_to_grid[:3, 3] = p0
+            m2w = tr.from_matrix(
+                (self.ctm.astype(np.float64) @ unit_to_grid).astype(np.float32)
+            )
+        mid = self.builder.add_medium(
+            sigma_a, sigma_s, g=g, scale=scale, density_grid=grid,
+            medium_to_world=m2w,
+        )
+        self.named_media[name] = mid
 
     def _st_mediuminterface(self, st):
-        pass
+        """MediumInterface "inside" "outside" ("" = vacuum)."""
+        inside = st.args[0] if len(st.args) > 0 else ""
+        outside = st.args[1] if len(st.args) > 1 else ""
 
-    def _st_makenamedmedium(self, st):
-        pass
+        def _resolve(nm):
+            if not nm:
+                return -1
+            mid = self.named_media.get(nm)
+            if mid is None:
+                print(f"WARNING: named medium {nm!r} undefined")
+                return -1
+            return mid
+
+        self.gs.medium_interface = (_resolve(inside), _resolve(outside))
 
     def _st_include(self, st):
         pass  # handled by the parser
@@ -676,16 +833,56 @@ class PbrtAPI:
         sampler_kinds = {
             "sobol": smpl.SOBOL, "random": smpl.RANDOM,
             "lowdiscrepancy": smpl.ZEROTWO, "02sequence": smpl.ZEROTWO,
-            "stratified": smpl.STRATIFIED, "halton": smpl.SOBOL,
-            "maxmindist": smpl.ZEROTWO,
+            "stratified": smpl.STRATIFIED, "halton": smpl.HALTON,
+            "maxmindist": smpl.MAXMIN,
         }
         sampler_cfg = smpl.make_sampler(
             sampler_kinds.get(self.sampler_name, smpl.SOBOL), spp, resolution
         )
 
         integrator = overrides.get("integrator") or self.integrator_name
-        max_depth = int(ps.find_one(self.integrator_params, "maxdepth", 5))
-        cfg = rdr.RenderCfg(integrator, sampler_cfg.spp, max_depth, 1.0)
+        ip = self.integrator_params
+        max_depth = int(ps.find_one(ip, "maxdepth", 5))
+        rr_threshold = float(ps.find_one(ip, "rrthreshold", 1.0))
+        light_strategy = {
+            "uniform": "uniform", "power": "power", "spatial": "spatial",
+        }.get(ps.find_string(ip, "lightsamplestrategy", "spatial"), "spatial")
+        # scene-file crop window (reference film.rs:185,224-262); CLI crop
+        # overrides it in main
+        cw = ps.find_floats(self.film_params, "cropwindow", None)
+        crop = tuple(cw) if cw and len(cw) == 4 and tuple(cw) != (0, 1, 0, 1) else None
+        # integrator-specific factory params (reference api.rs :205-473)
+        extra = {}
+        if integrator == "bdpt":
+            extra["visualize_strategies"] = bool(ps.find_one(ip, "visualizestrategies", False))
+        elif integrator == "mlt":
+            extra.update(
+                bootstrap_samples=int(ps.find_one(ip, "bootstrapsamples", 100000)),
+                chains=int(ps.find_one(ip, "chains", 1000)),
+                mutations_per_pixel=int(ps.find_one(ip, "mutationsperpixel", 100)),
+                sigma=float(ps.find_one(ip, "sigma", 0.01)),
+                large_step_probability=float(ps.find_one(ip, "largestepprobability", 0.3)),
+            )
+        elif integrator == "sppm":
+            extra.update(
+                n_iterations=int(ps.find_one(ip, "numiterations",
+                                             ps.find_one(ip, "iterations", 64))),
+                photons_per_iteration=int(ps.find_one(ip, "photonsperiteration", -1)),
+                initial_radius=float(ps.find_one(ip, "radius", 1.0)),
+                max_depth=int(ps.find_one(ip, "maxdepth", 5)),
+            )
+        elif integrator == "ao":
+            extra.update(
+                n_samples=int(ps.find_one(ip, "nsamples", 64)),
+                cos_sample=bool(ps.find_one(ip, "cossample", True)),
+            )
+        elif integrator == "directlighting":
+            extra["strategy"] = ps.find_string(ip, "strategy", "all")
+        cfg = rdr.RenderCfg(
+            integrator, sampler_cfg.spp, max_depth, rr_threshold,
+            light_strategy=light_strategy, crop=crop, extra=extra,
+            accelerator=self.accelerator_name,
+        )
 
         filter_kinds = {
             "box": filmmod.FILTER_BOX, "triangle": filmmod.FILTER_TRIANGLE,
@@ -701,8 +898,14 @@ class PbrtAPI:
 
         fov = float(ps.find_one(self.camera_params, "fov", 90.0))
         c2w = tr.from_matrix(self.camera_to_world)
+        sh_open = float(ps.find_one(self.camera_params, "shutteropen", 0.0))
+        sh_close = float(ps.find_one(self.camera_params, "shutterclose", 1.0))
+        sh = dict(shutter_open=sh_open, shutter_close=sh_close)
+        c2w_end = None
+        if not np.allclose(self.camera_to_world, self.camera_to_world_end):
+            c2w_end = tr.from_matrix(self.camera_to_world_end)
         if self.camera_name == "orthographic":
-            camera = cam.make_orthographic(c2w, resolution)
+            camera = cam.make_orthographic(c2w, resolution, **sh)
         elif self.camera_name == "environment":
             camera = cam.make_environment(c2w, resolution)
         elif self.camera_name == "realistic":
@@ -725,6 +928,7 @@ class PbrtAPI:
                 c2w, resolution, fov=fov,
                 lens_radius=ps.find_one(self.camera_params, "lensradius", 0.0),
                 focal_distance=ps.find_one(self.camera_params, "focaldistance", 1e6),
+                cam_to_world_end=c2w_end, **sh,
             )
 
         scene = self.builder.finalize()

@@ -161,7 +161,10 @@ def parse_statements(text: str, search_dir: Path = None):
         elif name in _NAMED_STATEMENTS:
             n_args = _NAMED_STATEMENTS[name]
             args = []
-            while len(args) < n_args and i < n and toks[i][0] == "str":
+            # ActiveTransform's operand is a bare keyword (All/StartTime/
+            # EndTime), not a quoted string
+            ok_kinds = ("str", "ident") if name == "ActiveTransform" else ("str",)
+            while len(args) < n_args and i < n and toks[i][0] in ok_kinds:
                 args.append(toks[i][1])
                 i += 1
             params, i = _parse_params(toks, i)
