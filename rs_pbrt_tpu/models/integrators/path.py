@@ -298,20 +298,21 @@ def radiance(
 
     # hoist ALL bounce dimensions into one Sobol launch (the per-bounce
     # kernel setup — index scrambling etc. — dominated the sampler cost;
-    # one (N, total_dims) table + a dynamic slice per bounce is ~6x less)
-    total_dims = dims_per_bounce * (cfg.max_depth + 1)
+    # one (N, total_dims) table + a dynamic slice per bounce is ~6x less).
+    # The final emit-only pass consumes no dims, hence max_depth bounces.
+    total_dims = dims_per_bounce * cfg.max_depth
     all_dims = (
         smpl.get_dims(sampler_cfg, ctx, DIM_CAMERA, total_dims)
-        if total_dims <= 128
+        if 0 < total_dims <= 128
         else None
     )
 
-    def body(bounce, state):
-        o, d, L, beta, alive, specular_bounce, prev_bsdf_pdf, eta_scale = state
-        it = si.scene_intersect(scene, o, d, jnp.full(n, vm.INFINITY), accel)
+    def add_emitted(it, o, d, L, beta, alive, specular_bounce, prev_bsdf_pdf):
+        """Emitted radiance at a hit + env radiance for escaped rays
+        (reference path.rs:97-116).  Shared by the bounce body and the
+        final pass (the last path vertex only collects emission — running
+        the full NEE/BSDF body there would be dead masked work)."""
         hit = it.valid & alive
-
-        # --- emitted radiance at hit (reference path.rs:97-116) ---
         if scene.n_lights > 0:
             hit_light = jnp.where(hit, it.light, -1)
             is_emitter = hit_light >= 0
@@ -330,8 +331,6 @@ def radiance(
             # detached-sampling AD: MIS weights are sampling artifacts
             w_bsdf = jax.lax.stop_gradient(w_bsdf)
             L = L + beta * le * w_bsdf[..., None]
-
-        # --- escaped rays: env light (reference path.rs:102-115) ---
         if scene.has_env:
             esc = alive & ~it.valid
             le_env = lt.env_le(scene, d)
@@ -343,8 +342,13 @@ def radiance(
                 specular_bounce, 1.0, smp.power_heuristic(1.0, prev_bsdf_pdf, 1.0, env_pdf)
             )
             L = L + jnp.where(esc[..., None], beta * le_env * w_env[..., None], 0.0)
+        return L
 
-        alive = alive & it.valid & (bounce < cfg.max_depth)
+    def body(bounce, state):
+        o, d, L, beta, alive, specular_bounce, prev_bsdf_pdf, eta_scale = state
+        it = si.scene_intersect(scene, o, d, jnp.full(n, vm.INFINITY), accel)
+        L = add_emitted(it, o, d, L, beta, alive, specular_bounce, prev_bsdf_pdf)
+        alive = alive & it.valid
         dim0 = DIM_CAMERA + bounce * dims_per_bounce
         if all_dims is not None:
             dims = jax.lax.dynamic_slice_in_dim(
@@ -472,5 +476,10 @@ def radiance(
         zero1 + 1.0,
         zero1 + 1.0,
     )
-    state = jax.lax.fori_loop(0, cfg.max_depth + 1, body, state)
-    return state[2]
+    if cfg.max_depth > 0:
+        state = jax.lax.fori_loop(0, cfg.max_depth, body, state)
+    # final pass: the path's last vertex only collects emission (no NEE,
+    # no extension) — ~1/3 of a full bounce body's cost
+    o, d, L, beta, alive, specular_bounce, prev_bsdf_pdf, _ = state
+    it = si.scene_intersect(scene, o, d, jnp.full(n, vm.INFINITY), accel)
+    return add_emitted(it, o, d, L, beta, alive, specular_bounce, prev_bsdf_pdf)

@@ -227,6 +227,118 @@ def pallas_intersect_tris(o, d, t_max, p0, p1, p2, tris_packed=None):
     return TriHit(valid, jnp.where(valid, bt, t_max), bi, b0, b1)
 
 
+def _watertight_tri_any(rc, p0x, p0y, p0z, p1x, p1y, p1z, p2x, p2y, p2z, t_lim):
+    """Occlusion-only variant of _watertight_tri: same edge/range tests but
+    division-free (the t <= delta_t epsilon test is rescaled by |det|:
+    t_scaled/det <= C|1/det|  <=>  t_scaled*sign(det) <= C), and no
+    barycentrics.  ~30% fewer ops and no divide per ray-triangle pair."""
+    Sx, Sy, Sz, cx, cy, cz, inv_dz = rc
+
+    def xform(px, py, pz):
+        x = Sx[0] * px + Sx[1] * py + Sx[2] * pz - cx
+        y = Sy[0] * px + Sy[1] * py + Sy[2] * pz - cy
+        z = Sz[0] * px + Sz[1] * py + Sz[2] * pz - cz
+        return x, y, z
+
+    x0, y0, z0 = xform(p0x, p0y, p0z)
+    x1, y1, z1 = xform(p1x, p1y, p1z)
+    x2, y2, z2 = xform(p2x, p2y, p2z)
+
+    e0 = x1 * y2 - y1 * x2
+    e1 = x2 * y0 - y2 * x0
+    e2 = x0 * y1 - y0 * x1
+    neg = (e0 < 0) | (e1 < 0) | (e2 < 0)
+    pos = (e0 > 0) | (e1 > 0) | (e2 > 0)
+    det = e0 + e1 + e2
+
+    z0s = inv_dz * z0
+    z1s = inv_dz * z1
+    z2s = inv_dz * z2
+    t_scaled = e0 * z0s + e1 * z1s + e2 * z2s
+    neg_det = det < 0.0
+    miss_range = (neg_det & ((t_scaled >= 0.0) | (t_scaled < t_lim * det))) | (
+        (~neg_det) & ((t_scaled <= 0.0) | (t_scaled > t_lim * det))
+    )
+
+    max_zt = jnp.maximum(jnp.maximum(jnp.abs(z0s), jnp.abs(z1s)), jnp.abs(z2s))
+    delta_z = vm.gamma(3.0) * max_zt
+    max_xt = jnp.maximum(jnp.maximum(jnp.abs(x0), jnp.abs(x1)), jnp.abs(x2))
+    max_yt = jnp.maximum(jnp.maximum(jnp.abs(y0), jnp.abs(y1)), jnp.abs(y2))
+    delta_x = vm.gamma(5.0) * (max_xt + max_zt)
+    delta_y = vm.gamma(5.0) * (max_yt + max_zt)
+    delta_e = 2.0 * (vm.gamma(2.0) * max_xt * max_yt + delta_y * max_xt + delta_x * max_yt)
+    max_e = jnp.maximum(jnp.maximum(jnp.abs(e0), jnp.abs(e1)), jnp.abs(e2))
+    c_eps = 3.0 * (vm.gamma(3.0) * max_e * max_zt + delta_e * max_zt + delta_z * max_e)
+    t_signed = jnp.where(neg_det, -t_scaled, t_scaled)
+    return ~((neg & pos) | (det == 0.0) | miss_range | (t_signed <= c_eps))
+
+
+def _any_kernel(n_tri: int, ox, oy, oz, dx, dy, dz, tmax, tris, hit_o):
+    oxv, oyv, ozv = ox[...], oy[...], oz[...]
+    dxv, dyv, dzv = dx[...], dy[...], dz[...]
+    tmv = tmax[...]
+    rc = _ray_constants(oxv, oyv, ozv, dxv, dyv, dzv)
+
+    def one(t, occ):
+        hit = _watertight_tri_any(
+            rc,
+            tris[t, 0], tris[t, 1], tris[t, 2],
+            tris[t, 3], tris[t, 4], tris[t, 5],
+            tris[t, 6], tris[t, 7], tris[t, 8],
+            tmv,
+        )
+        # i32 carry: Mosaic can't thread i1 vectors through scf.for
+        return occ | hit.astype(jnp.int32)
+
+    occ = jnp.zeros(oxv.shape, jnp.int32)
+    n_pad = -(-n_tri // UNROLL) * UNROLL
+    if n_pad <= 64:
+        for t in range(n_tri):
+            occ = one(t, occ)
+    else:
+        def body(i, occ):
+            base = i * UNROLL
+            for k in range(UNROLL):
+                occ = one(base + k, occ)
+            return occ
+
+        occ = jax.lax.fori_loop(0, n_pad // UNROLL, body, occ)
+    hit_o[...] = occ
+
+
+@partial(jax.jit, static_argnames=("n_tri",))
+def _sweep_any(ox, oy, oz, dx, dy, dz, tmax, tris, n_tri: int):
+    rows = ox.shape[0]
+    grid = (rows // SUB,)
+    ray_spec = pl.BlockSpec((SUB, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    tri_spec = pl.BlockSpec(
+        (tris.shape[0], tris.shape[1]), lambda i: (0, 0), memory_space=pltpu.VMEM
+    )
+    out_spec = pl.BlockSpec((SUB, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    shp_i = jax.ShapeDtypeStruct((rows, LANE), jnp.int32)
+    return pl.pallas_call(
+        partial(_any_kernel, n_tri),
+        grid=grid,
+        in_specs=[ray_spec] * 7 + [tri_spec],
+        out_specs=[out_spec],
+        out_shape=[shp_i],
+    )(ox, oy, oz, dx, dy, dz, tmax, tris)[0]
+
+
 def pallas_intersect_tris_p(o, d, t_max, p0, p1, p2, tris_packed=None):
-    h = pallas_intersect_tris(o, d, t_max, p0, p1, p2, tris_packed)
-    return h.valid
+    """Occlusion query (reference triangle.rs intersect_p :450): same
+    watertight test, no hit record."""
+    r = o.shape[0]
+    n_tri = p0.shape[0]
+    r_pad = -(-r // TILE) * TILE
+    rows = r_pad // LANE
+
+    def prep(v):
+        return jnp.pad(v, (0, r_pad - r)).reshape(rows, LANE)
+
+    ox, oy, oz = prep(o[:, 0]), prep(o[:, 1]), prep(o[:, 2])
+    dx, dy, dz = prep(d[:, 0]), prep(d[:, 1]), prep(d[:, 2])
+    tm = prep(jnp.asarray(t_max, jnp.float32))
+    tris = tris_packed if tris_packed is not None else pack_tris(p0, p1, p2)
+    occ = _sweep_any(ox, oy, oz, dx, dy, dz, tm, tris, n_tri)
+    return occ.reshape(-1)[:r] != 0
