@@ -215,7 +215,7 @@ def load_blend(path, builder=None):
 
     bf = BlendFile.open(path)
     b = builder or SceneBuilder()
-    cam_info = dict(fov=50.0, cam_to_world=np.eye(4, dtype=np.float32),
+    cam_info = dict(fov=50.0, clipping_start=0.0, cam_to_world=np.eye(4, dtype=np.float32),
                     resolution=(640, 480))
 
     # material blocks (MA): base color; keyed by old pointer
@@ -279,6 +279,10 @@ def load_blend(path, builder=None):
             sensor = bf.f32(target, "sensor_x") if "sensor_x" in bf._layout(target[1]) else 32.0
             cam_info["fov"] = float(np.degrees(2.0 * np.arctan(sensor / (2.0 * lens_mm))))
             cam_info["cam_to_world"] = np.asarray(m, np.float32)
+            # near-clip start (reference parse_blend_file.rs:182 clipsta ->
+            # perspective camera clipping_start, camera.rs:102-118)
+            if "clipsta" in bf._layout(target[1]):
+                cam_info["clipping_start"] = float(bf.f32(target, "clipsta"))
         elif kind in ("Lamp", "Light"):
             la_type = bf.i16(target, "type")
             rgb = np.asarray(

@@ -72,6 +72,7 @@ def main(argv=None):
         camera = cammod.make_perspective(
             trmod.from_matrix(np.asarray(ci["cam_to_world"], np.float32)),
             ci["resolution"], fov=ci["fov"],
+            clipping_start=ci.get("clipping_start", 0.0),
         )
         cfg = rdr.RenderCfg(
             args.integrator or "path", args.samples or 8, 5, 1.0

@@ -46,6 +46,11 @@ class Camera:
     # camera motion blur (reference AnimatedTransform transform.rs:894):
     # decomposed endpoint transforms ((T,q,S) tuples) or () when static
     anim: tuple = struct.field(pytree_node=False, default=())
+    # near-clip extension (reference camera.rs:102-118 get_clipping_start /
+    # adjust_to_clipping_start; perspective only, set by the .blend importer
+    # from the Blender camera's clipsta): ray origins are pushed forward to
+    # the z = clipping_start plane along the film-point direction
+    clipping_start: float = struct.field(pytree_node=False, default=0.0)
 
 
 def _screen_window(resolution, frame_aspect=None, screen_window=None):
@@ -91,9 +96,12 @@ def make_perspective(
     frame_aspect=None,
     screen_window=None,
     cam_to_world_end: tr.Transform = None,
+    clipping_start=0.0,
 ) -> Camera:
     """reference cameras/perspective.rs:46-135.  cam_to_world_end enables
-    shutter motion blur (AnimatedTransform, transform.rs:894)."""
+    shutter motion blur (AnimatedTransform, transform.rs:894).
+    clipping_start: near-clip ray-origin offset (rs_pbrt extension,
+    camera.rs:102-118; set from the Blender camera's clipsta)."""
     cam_to_screen = tr.perspective(fov, 1e-2, 1000.0)
     s2r = _screen_to_raster(resolution, _screen_window(resolution, frame_aspect, screen_window))
     raster_to_camera = tr.compose(tr.inverse(cam_to_screen), tr.inverse(s2r))
@@ -107,6 +115,7 @@ def make_perspective(
         cam_type=PERSPECTIVE,
         resolution=tuple(resolution),
         anim=_anim_tuple(cam_to_world, cam_to_world_end),
+        clipping_start=float(clipping_start),
     )
 
 
@@ -292,6 +301,12 @@ def generate_rays(cam: Camera, p_film, u_lens, u_time) -> CameraRays:
     o_dof, d_dof = with_dof(o_cam, d_cam)
     o_cam = jnp.where(use_dof, o_dof, o_cam)
     d_cam = jnp.where(use_dof, d_dof, d_cam)
+
+    if cam.cam_type == PERSPECTIVE and cam.clipping_start > 0.0:
+        # adjust_to_clipping_start (reference perspective.rs:450-469): the
+        # origin moves to the near-clip plane along the film-point direction
+        dir0 = vm.normalize(p_cam)
+        o_cam = dir0 * (cam.clipping_start / jnp.maximum(dir0[..., 2:3], 1e-9))
 
     if cam.anim:
         from ..utils import animated as anim

@@ -101,3 +101,36 @@ class TestRealisticCamera:
         scfg = smpl.make_sampler(smpl.SOBOL, 4, (16, 16))
         img = np.asarray(rdr.render(scene, c, cfg, scfg))
         assert np.all(np.isfinite(img)) and img.max() > 0
+
+
+class TestClippingStart:
+    """Near-clip extension (reference camera.rs:102-118 get_clipping_start /
+    adjust_to_clipping_start; perspective.rs:450-469): ray origins move to
+    the z=clipping_start camera plane along the film-point direction."""
+
+    def test_origin_on_clip_plane_direction_unchanged(self):
+        c2w = tr.translate([1.0, 2.0, 3.0])
+        base = cam.make_perspective(c2w, (8, 8), fov=60.0)
+        clip = cam.make_perspective(c2w, (8, 8), fov=60.0, clipping_start=0.5)
+        p_film = jnp.asarray([[4.0, 4.0], [1.0, 6.5]], jnp.float32)
+        u2 = jnp.zeros((2, 2), jnp.float32)
+        u1 = jnp.zeros((2,), jnp.float32)
+        r0 = cam.generate_rays(base, p_film, u2, u1)
+        r1 = cam.generate_rays(clip, p_film, u2, u1)
+        assert np.allclose(np.asarray(r1.d), np.asarray(r0.d), atol=1e-6)
+        # origin in camera space lands on z = clipping_start along d
+        w2c = np.linalg.inv(np.asarray(c2w.m))
+        o_cam = (w2c[:3, :3] @ np.asarray(r1.o).T).T + w2c[:3, 3]
+        assert np.allclose(o_cam[:, 2], 0.5, atol=1e-5)
+        d_cam = (w2c[:3, :3] @ np.asarray(r1.d).T).T
+        cross = np.cross(o_cam, d_cam)
+        assert np.allclose(cross, 0.0, atol=1e-5)  # origin along the ray dir
+
+    def test_zero_clip_is_identity(self):
+        c2w = tr.translate([0.0, 0.0, 0.0])
+        a = cam.make_perspective(c2w, (4, 4), fov=45.0)
+        b = cam.make_perspective(c2w, (4, 4), fov=45.0, clipping_start=0.0)
+        p_film = jnp.asarray([[2.0, 2.0]], jnp.float32)
+        ra = cam.generate_rays(a, p_film, jnp.zeros((1, 2)), jnp.zeros((1,)))
+        rb = cam.generate_rays(b, p_film, jnp.zeros((1, 2)), jnp.zeros((1,)))
+        assert np.allclose(np.asarray(ra.o), np.asarray(rb.o))
