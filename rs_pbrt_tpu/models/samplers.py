@@ -189,7 +189,14 @@ def get_dims(cfg: SamplerCfg, ctx: SampleCtx, dim0, n_dims: int):
         if jax.default_backend() in ("tpu", "axon"):
             from ..ops.pallas_sobol import sobol_dims
 
-            return sobol_dims(ctx.global_index.hi, ctx.global_index.lo, dim0, n_dims)
+            # static index-width bound: sobol_interval_to_index yields
+            # index < spp << 2*log2res (lowdiscrepancy.rs:1014) — when that
+            # fits u32 the kernel skips the high-word XOR chain
+            bits = 32 if cfg.spp * (4 ** cfg.log2_resolution) <= (1 << 32) else 52
+            return sobol_dims(
+                ctx.global_index.hi, ctx.global_index.lo, dim0, n_dims,
+                index_bits=bits,
+            )
         return jnp.stack(
             [get_1d_dyn(cfg, ctx, dim0 + k) for k in range(n_dims)], axis=-1
         )

@@ -13,6 +13,7 @@ watertight algorithm with conservative error bounds).
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -28,6 +29,10 @@ LANE = 128
 SUB = 64
 TILE = SUB * LANE  # rays per grid step
 BIG = np.float32(3e38)
+
+# CPU interpret mode so the kernels are unit-testable off-chip
+# (tests/test_pallas.py); real runs never set this
+INTERPRET = os.environ.get("RS_PBRT_PALLAS_INTERPRET", "") not in ("", "0")
 
 
 def _ray_constants(ox, oy, oz, dx, dy, dz):
@@ -183,6 +188,7 @@ def _sweep(ox, oy, oz, dx, dy, dz, tmax, tris, n_tri: int):
     shp_i = jax.ShapeDtypeStruct((rows, LANE), jnp.int32)
     return pl.pallas_call(
         partial(_sweep_kernel, n_tri),
+        interpret=INTERPRET,
         grid=grid,
         in_specs=[ray_spec] * 7 + [tri_spec],
         out_specs=[out_spec] * 4,
@@ -318,6 +324,7 @@ def _sweep_any(ox, oy, oz, dx, dy, dz, tmax, tris, n_tri: int):
     shp_i = jax.ShapeDtypeStruct((rows, LANE), jnp.int32)
     return pl.pallas_call(
         partial(_any_kernel, n_tri),
+        interpret=INTERPRET,
         grid=grid,
         in_specs=[ray_spec] * 7 + [tri_spec],
         out_specs=[out_spec],
@@ -342,3 +349,233 @@ def pallas_intersect_tris_p(o, d, t_max, p0, p1, p2, tris_packed=None):
     tris = tris_packed if tris_packed is not None else pack_tris(p0, p1, p2)
     occ = _sweep_any(ox, oy, oz, dx, dy, dz, tm, tris, n_tri)
     return occ.reshape(-1)[:r] != 0
+
+
+# ---------------------------------------------------------------------------
+# Fused sweep + hit-record kernel
+# ---------------------------------------------------------------------------
+# The two-step path (sweep kernel -> one-hot-gather record build in XLA)
+# costs ~8ms/bounce of HBM traffic at 4M lanes: the (N,T) one-hot tensor and
+# ~30 (N,3) elementwise intermediates round-trip through HBM.  Fusing the
+# record build into the sweep keeps barycentrics and the winning triangle's
+# attribute row in registers: HBM traffic drops to rays-in + records-out.
+# Record math mirrors scene_intersect._tri_interaction exactly (reference
+# triangle.rs:300-420 interaction construction).
+
+_GAMMA7 = np.float32((7.0 * vm.MACHINE_EPSILON) / (1.0 - 7.0 * vm.MACHINE_EPSILON))
+
+# tri_attr column indices the kernel consumes (scene/arrays.py TA_*):
+# 0:9 p0 p1 p2, 9:18 n0 n1 n2, 18:24 uv0 uv1 uv2, 24 has_n, 25 mat,
+# 26 light, 27 reverse
+_N_REC_COLS = 28
+
+
+def _full_kernel(n_tri: int, ox, oy, oz, dx, dy, dz, tmax, tris,
+                 t_o, prim_o, px_o, py_o, pz_o, pex_o, pey_o, pez_o,
+                 ngx_o, ngy_o, ngz_o, nsx_o, nsy_o, nsz_o,
+                 u_o, v_o, dux_o, duy_o, duz_o, mat_o, light_o):
+    oxv, oyv, ozv = ox[...], oy[...], oz[...]
+    dxv, dyv, dzv = dx[...], dy[...], dz[...]
+    tmv = tmax[...]
+    rc = _ray_constants(oxv, oyv, ozv, dxv, dyv, dzv)
+
+    def one(t, bt, bi, b0, b1):
+        hit, tval, tb0, tb1 = _watertight_tri(
+            rc,
+            tris[t, 0], tris[t, 1], tris[t, 2],
+            tris[t, 3], tris[t, 4], tris[t, 5],
+            tris[t, 6], tris[t, 7], tris[t, 8],
+            tmv,
+        )
+        upd = hit & (tval < bt)
+        return (
+            jnp.where(upd, tval, bt),
+            jnp.where(upd, t, bi),
+            jnp.where(upd, tb0, b0),
+            jnp.where(upd, tb1, b1),
+        )
+
+    init = (
+        jnp.full(oxv.shape, BIG, jnp.float32),
+        jnp.full(oxv.shape, -1, jnp.int32),
+        jnp.zeros(oxv.shape, jnp.float32),
+        jnp.zeros(oxv.shape, jnp.float32),
+    )
+    n_pad = -(-n_tri // UNROLL) * UNROLL
+    if n_pad <= 64:
+        bt, bi, b0, b1 = init
+        for t in range(n_tri):
+            bt, bi, b0, b1 = one(t, bt, bi, b0, b1)
+    else:
+        def body(i, state):
+            bt, bi, b0, b1 = state
+            base = i * UNROLL
+            for k in range(UNROLL):
+                bt, bi, b0, b1 = one(base + k, bt, bi, b0, b1)
+            return bt, bi, b0, b1
+
+        bt, bi, b0, b1 = jax.lax.fori_loop(0, n_pad // UNROLL, body, init)
+
+    # ---- fetch the winning triangle's attribute row (select-accumulate:
+    # per-lane dynamic gathers don't vectorize on TPU; a masked sweep over
+    # the (small) table does) ----
+    zero = jnp.zeros(oxv.shape, jnp.float32)
+    if n_tri <= 64:
+        at = [zero] * _N_REC_COLS
+        for t in range(n_tri):
+            m = bi == t
+            for c in range(_N_REC_COLS):
+                at[c] = jnp.where(m, tris[t, c], at[c])
+        at = tuple(at)
+    else:
+        def fetch(i, at):
+            t = i  # one triangle per step (attr fetch is cheap vs the sweep)
+            m = bi == t
+            return tuple(
+                jnp.where(m, tris[t, c], at[c]) for c in range(_N_REC_COLS)
+            )
+
+        at = jax.lax.fori_loop(0, n_tri, fetch, tuple([zero] * _N_REC_COLS))
+
+    p0 = at[0:3]; p1 = at[3:6]; p2 = at[6:9]
+    n0 = at[9:12]; n1 = at[12:15]; n2 = at[15:18]
+    uv0 = at[18:20]; uv1 = at[20:22]; uv2 = at[22:24]
+    has_n_f, mat_f, light_f, rev_f = at[24], at[25], at[26], at[27]
+
+    b2 = 1.0 - b0 - b1
+    p = tuple(b0 * p0[k] + b1 * p1[k] + b2 * p2[k] for k in range(3))
+    p_err = tuple(
+        _GAMMA7 * (jnp.abs(b0 * p0[k]) + jnp.abs(b1 * p1[k]) + jnp.abs(b2 * p2[k]))
+        for k in range(3)
+    )
+    # geometric normal = normalize(cross(p0-p2, p1-p2))
+    e02 = tuple(p0[k] - p2[k] for k in range(3))
+    e12 = tuple(p1[k] - p2[k] for k in range(3))
+    ngx = e02[1] * e12[2] - e02[2] * e12[1]
+    ngy = e02[2] * e12[0] - e02[0] * e12[2]
+    ngz = e02[0] * e12[1] - e02[1] * e12[0]
+    ng_len = jnp.sqrt(jnp.maximum(ngx * ngx + ngy * ngy + ngz * ngz, 1e-30))
+    ngx, ngy, ngz = ngx / ng_len, ngy / ng_len, ngz / ng_len
+    # shading normal: interpolated vertex normals when present
+    nsx = b0 * n0[0] + b1 * n1[0] + b2 * n2[0]
+    nsy = b0 * n0[1] + b1 * n1[1] + b2 * n2[1]
+    nsz = b0 * n0[2] + b1 * n1[2] + b2 * n2[2]
+    ns_len = jnp.sqrt(nsx * nsx + nsy * nsy + nsz * nsz)
+    has_n = (has_n_f > 0.5) & (ns_len > 1e-8)
+    inv_nsl = 1.0 / jnp.maximum(ns_len, 1e-8)
+    nsx = jnp.where(has_n, nsx * inv_nsl, ngx)
+    nsy = jnp.where(has_n, nsy * inv_nsl, ngy)
+    nsz = jnp.where(has_n, nsz * inv_nsl, ngz)
+    rev = rev_f > 0.5
+    nsx = jnp.where(rev, -nsx, nsx)
+    nsy = jnp.where(rev, -nsy, nsy)
+    nsz = jnp.where(rev, -nsz, nsz)
+    # ng: face-forward to ns when vertex normals exist, else reverse flip
+    ff = (ngx * nsx + ngy * nsy + ngz * nsz) < 0.0
+    flip_ng = (has_n & ff) | ((~has_n) & rev)
+    ngx = jnp.where(flip_ng, -ngx, ngx)
+    ngy = jnp.where(flip_ng, -ngy, ngy)
+    ngz = jnp.where(flip_ng, -ngz, ngz)
+    # uv + dpdu from the uv parameterization (triangle.rs:300-330)
+    u = b0 * uv0[0] + b1 * uv1[0] + b2 * uv2[0]
+    v = b0 * uv0[1] + b1 * uv1[1] + b2 * uv2[1]
+    duv02 = (uv0[0] - uv2[0], uv0[1] - uv2[1])
+    duv12 = (uv1[0] - uv2[0], uv1[1] - uv2[1])
+    det_uv = duv02[0] * duv12[1] - duv02[1] * duv12[0]
+    inv_det_uv = jnp.where(
+        jnp.abs(det_uv) < 1e-12, 0.0, 1.0 / jnp.where(det_uv == 0.0, 1.0, det_uv)
+    )
+    dux = (duv12[1] * e02[0] - duv02[1] * e12[0]) * inv_det_uv
+    duy = (duv12[1] * e02[1] - duv02[1] * e12[1]) * inv_det_uv
+    duz = (duv12[1] * e02[2] - duv02[1] * e12[2]) * inv_det_uv
+    degen = dux * dux + duy * duy + duz * duz < 1e-16
+    # coordinate_system(ng) fallback (geometry.rs branch on |x|>|y|)
+    use_a = jnp.abs(ngx) > jnp.abs(ngy)
+    inv_fa = 1.0 / jnp.sqrt(jnp.maximum(ngx * ngx + ngz * ngz, 1e-20))
+    inv_fb = 1.0 / jnp.sqrt(jnp.maximum(ngy * ngy + ngz * ngz, 1e-20))
+    fbx = jnp.where(use_a, -ngz * inv_fa, 0.0)
+    fby = jnp.where(use_a, 0.0, ngz * inv_fb)
+    fbz = jnp.where(use_a, ngx * inv_fa, -ngy * inv_fb)
+    dux = jnp.where(degen, fbx, dux)
+    duy = jnp.where(degen, fby, duy)
+    duz = jnp.where(degen, fbz, duz)
+
+    miss = bi < 0
+    t_o[...] = jnp.where(miss, tmv, bt)
+    prim_o[...] = bi
+    px_o[...] = p[0]; py_o[...] = p[1]; pz_o[...] = p[2]
+    pex_o[...] = p_err[0]; pey_o[...] = p_err[1]; pez_o[...] = p_err[2]
+    ngx_o[...] = ngx; ngy_o[...] = ngy; ngz_o[...] = ngz
+    nsx_o[...] = nsx; nsy_o[...] = nsy; nsz_o[...] = nsz
+    u_o[...] = u; v_o[...] = v
+    dux_o[...] = dux; duy_o[...] = duy; duz_o[...] = duz
+    mat_o[...] = jnp.where(miss, 0, (mat_f + 0.5).astype(jnp.int32))
+    light_o[...] = jnp.where(
+        miss, -1, (light_f + jnp.where(light_f < 0.0, -0.5, 0.5)).astype(jnp.int32)
+    )
+
+
+@partial(jax.jit, static_argnames=("n_tri",))
+def _sweep_full(ox, oy, oz, dx, dy, dz, tmax, tris, n_tri: int):
+    rows = ox.shape[0]
+    grid = (rows // SUB,)
+    ray_spec = pl.BlockSpec((SUB, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    tri_spec = pl.BlockSpec(
+        (tris.shape[0], tris.shape[1]), lambda i: (0, 0), memory_space=pltpu.VMEM
+    )
+    out_spec = pl.BlockSpec((SUB, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    f = jax.ShapeDtypeStruct((rows, LANE), jnp.float32)
+    i = jax.ShapeDtypeStruct((rows, LANE), jnp.int32)
+    outs = [f, i] + [f] * 17 + [i, i]
+    return pl.pallas_call(
+        partial(_full_kernel, n_tri),
+        interpret=INTERPRET,
+        grid=grid,
+        in_specs=[ray_spec] * 7 + [tri_spec],
+        out_specs=[out_spec] * len(outs),
+        out_shape=outs,
+    )(ox, oy, oz, dx, dy, dz, tmax, tris)
+
+
+def pack_tri_attr(tri_attr):
+    """Pad the scene's (T, 32) tri_attr table to the kernel row multiple.
+    Padding rows are all-zero: degenerate triangles (det==0 for every ray)
+    that can never win the sweep."""
+    t = tri_attr.shape[0]
+    t_pad = -(-t // UNROLL) * UNROLL
+    return jnp.pad(jnp.asarray(tri_attr, jnp.float32), ((0, t_pad - t), (0, 0)))
+
+
+def pallas_intersect_tris_full(o, d, t_max, tri_attr, n_tri: int):
+    """Fused closest-hit + interaction record.  Returns a dict of flat
+    (N,...) arrays matching scene_intersect._tri_interaction's outputs plus
+    (valid, t, prim)."""
+    r = o.shape[0]
+    r_pad = -(-r // TILE) * TILE
+    rows = r_pad // LANE
+
+    def prep(vv):
+        return jnp.pad(vv, (0, r_pad - r)).reshape(rows, LANE)
+
+    ox, oy, oz = prep(o[:, 0]), prep(o[:, 1]), prep(o[:, 2])
+    dx, dy, dz = prep(d[:, 0]), prep(d[:, 1]), prep(d[:, 2])
+    tm = prep(jnp.asarray(t_max, jnp.float32))
+    tris = pack_tri_attr(tri_attr)
+    outs = _sweep_full(ox, oy, oz, dx, dy, dz, tm, tris, n_tri)
+    flat = [x.reshape(-1)[:r] for x in outs]
+    (t, prim, px, py, pz, pex, pey, pez, ngx, ngy, ngz, nsx, nsy, nsz,
+     u, v, dux, duy, duz, mat, light) = flat
+    pack3 = lambda a, b, c: jnp.stack([a, b, c], axis=-1)
+    return dict(
+        valid=prim >= 0,
+        t=t,
+        prim=prim,
+        p=pack3(px, py, pz),
+        p_err=pack3(pex, pey, pez),
+        ng=pack3(ngx, ngy, ngz),
+        ns=pack3(nsx, nsy, nsz),
+        uv=jnp.stack([u, v], axis=-1),
+        dpdu=pack3(dux, duy, duz),
+        mat=mat,
+        light=light,
+    )

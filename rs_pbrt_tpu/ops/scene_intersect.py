@@ -290,10 +290,21 @@ def _scene_intersect_once(
     n = o.shape[0]
     t_best = jnp.asarray(t_max, jnp.float32)
 
+    tri_rec = None  # fused-kernel interaction record (replaces _tri_interaction)
     if scene.n_tris > 0:
         if accel.tri is not None and scene.n_tris > BRUTE_FORCE_MAX_TRIS:
             th = _tri_accel_hit(
                 o, d, t_best, accel.tri, scene.tri_p0, scene.tri_p1, scene.tri_p2
+            )
+        elif _use_pallas():
+            from .pallas_intersect import pallas_intersect_tris_full
+
+            tri_rec = pallas_intersect_tris_full(
+                o, d, t_best, scene.tri_attr, scene.n_tris
+            )
+            th = isect.TriHit(
+                tri_rec["valid"], tri_rec["t"], tri_rec["prim"],
+                jnp.zeros(n, jnp.float32), jnp.zeros(n, jnp.float32),
             )
         else:
             th = _dense_tri_hit(scene, o, d, t_best)
@@ -329,7 +340,10 @@ def _scene_intersect_once(
     t = jnp.where(use_crv, ct, t_ts)
 
     zero3 = jnp.zeros((n, 3), jnp.float32)
-    if scene.n_tris > 0:
+    if tri_rec is not None:
+        tp, tperr, tng, tns = tri_rec["p"], tri_rec["p_err"], tri_rec["ng"], tri_rec["ns"]
+        tuv, tmat, tlight, tdpdu = tri_rec["uv"], tri_rec["mat"], tri_rec["light"], tri_rec["dpdu"]
+    elif scene.n_tris > 0:
         tp, tperr, tng, tns, tuv, tmat, tlight, tdpdu = _tri_interaction(scene, o, d, th)
     else:
         tp = tperr = tng = tns = tdpdu = zero3

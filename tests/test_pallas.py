@@ -1,0 +1,108 @@
+"""Pallas kernel unit tests (CPU interpret mode).
+
+The intersect kernels normally execute only on real TPUs; interpret mode
+runs the same kernel logic off-chip so correctness is covered by CI.
+Oracle: the plain-XLA brute-force sweep (ops/intersect.py) and the
+unfused interaction builder (scene_intersect._tri_interaction), both
+independently tested against the reference's watertight algorithm.
+"""
+
+import os
+
+os.environ["RS_PBRT_PALLAS_INTERPRET"] = "1"
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from rs_pbrt_tpu.ops import intersect as isect
+from rs_pbrt_tpu.ops import pallas_intersect as pin
+from rs_pbrt_tpu.ops import scene_intersect as si
+from rs_pbrt_tpu.scene import presets
+
+
+@pytest.fixture(scope="module")
+def cornell_rays():
+    scene, _ = presets.cornell_box(resolution=(8, 8))
+    rng = np.random.default_rng(7)
+    n = 512
+    o = rng.uniform(50.0, 500.0, (n, 3)).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    t_max = np.where(rng.uniform(size=n) < 0.2, 300.0, 3e38).astype(np.float32)
+    return scene, jnp.asarray(o), jnp.asarray(d), jnp.asarray(t_max)
+
+
+class TestSweepKernels:
+    def test_closest_matches_brute(self, cornell_rays):
+        scene, o, d, t_max = cornell_rays
+        ph = pin.pallas_intersect_tris(
+            o, d, t_max, scene.tri_p0, scene.tri_p1, scene.tri_p2
+        )
+        bh = isect.intersect_tris_brute(
+            o, d, t_max, scene.tri_p0, scene.tri_p1, scene.tri_p2
+        )
+        assert np.array_equal(np.asarray(ph.valid), np.asarray(bh.valid))
+        v = np.asarray(bh.valid)
+        assert np.array_equal(np.asarray(ph.tri)[v], np.asarray(bh.tri)[v])
+        assert np.allclose(np.asarray(ph.t)[v], np.asarray(bh.t)[v], rtol=1e-5)
+        assert np.allclose(np.asarray(ph.b0)[v], np.asarray(bh.b0)[v], atol=1e-5)
+        assert np.allclose(np.asarray(ph.b1)[v], np.asarray(bh.b1)[v], atol=1e-5)
+
+    def test_anyhit_matches_brute(self, cornell_rays):
+        scene, o, d, t_max = cornell_rays
+        po = pin.pallas_intersect_tris_p(
+            o, d, t_max, scene.tri_p0, scene.tri_p1, scene.tri_p2
+        )
+        bo = isect.intersect_tris_brute_p(
+            o, d, t_max, scene.tri_p0, scene.tri_p1, scene.tri_p2
+        )
+        assert np.array_equal(np.asarray(po), np.asarray(bo))
+
+    def test_fused_record_matches_unfused(self, cornell_rays):
+        scene, o, d, t_max = cornell_rays
+        rec = pin.pallas_intersect_tris_full(o, d, t_max, scene.tri_attr, scene.n_tris)
+        bh = isect.intersect_tris_brute(
+            o, d, t_max, scene.tri_p0, scene.tri_p1, scene.tri_p2
+        )
+        tp, tperr, tng, tns, tuv, tmat, tlight, tdpdu = si._tri_interaction(
+            scene, o, d, bh
+        )
+        v = np.asarray(bh.valid)
+        assert np.array_equal(np.asarray(rec["valid"]), v)
+        assert np.array_equal(np.asarray(rec["prim"])[v], np.asarray(bh.tri)[v])
+        assert np.allclose(np.asarray(rec["t"])[v], np.asarray(bh.t)[v], rtol=1e-5)
+        for key, ref in (
+            ("p", tp), ("p_err", tperr), ("ng", tng), ("ns", tns),
+            ("uv", tuv), ("dpdu", tdpdu),
+        ):
+            got = np.asarray(rec[key])[v]
+            want = np.asarray(ref)[v]
+            assert np.allclose(got, want, rtol=1e-4, atol=1e-4), key
+        assert np.array_equal(np.asarray(rec["mat"])[v], np.asarray(tmat)[v])
+        assert np.array_equal(np.asarray(rec["light"])[v], np.asarray(tlight)[v])
+
+
+class TestSobolKernel:
+    def test_sobol_dims_bitmatch(self):
+        """Kernel output must match ops/lowdiscrepancy.sobol_sample to
+        1 ulp (the kernel's u32->f32 split-halves conversion — a Mosaic
+        workaround — can round differently from the direct cast) on both
+        the 52- and 32-bit index paths."""
+        from rs_pbrt_tpu.ops import lowdiscrepancy as ld
+        from rs_pbrt_tpu.ops import pallas_sobol as ps
+        from rs_pbrt_tpu.utils import u64
+
+        rng = np.random.default_rng(3)
+        n = 300
+        lo = jnp.asarray(rng.integers(0, 1 << 31, n, dtype=np.uint32))
+        hi32 = jnp.zeros(n, jnp.uint32)
+        hi52 = jnp.asarray(rng.integers(0, 1 << 20, n, dtype=np.uint32))
+        for hi, bits in ((hi32, 32), (hi52, 52)):
+            got = ps.sobol_dims(hi, lo, 2, 5, index_bits=bits)
+            want = jnp.stack(
+                [ld.sobol_sample(u64.U64(hi, lo), 2 + k) for k in range(5)],
+                axis=-1,
+            )
+            g, w = np.asarray(got), np.asarray(want)
+            assert np.abs(g - w).max() <= 2.0 ** -24, bits  # <= 1 ulp in [0,1)
