@@ -46,17 +46,18 @@ def _camera_rays(camera: cam.Camera, sampler_cfg, ctx, pixel):
 
 
 def radiance_fn(integrator: str, max_depth: int, rr_threshold: float,
-                extra: tuple = ()):
+                extra: tuple = (), mega=None):
     """Integrator dispatch (reference Integrator enum integrator.rs:31).
     extra: hashable tuple of integrator-specific (name, value) params
-    (RenderCfg.extra) — static under jit."""
+    (RenderCfg.extra) — static under jit.  mega: optional static
+    ops/pallas_path.MegaCfg routing "path" through the bounce megakernel."""
     from . import direct as directmod
 
     e = dict(extra)
     if integrator == "path":
         pcfg = pathmod.PathCfg(max_depth, rr_threshold)
         return lambda scene, cfg_s, ctx, o, d, accel, ld=None: pathmod.radiance(
-            scene, pcfg, cfg_s, ctx, o, d, accel, light_distrib=ld
+            scene, pcfg, cfg_s, ctx, o, d, accel, light_distrib=ld, mega=mega
         )
     if integrator == "volpath":
         from . import volpath as volmod
@@ -92,7 +93,7 @@ def radiance_fn(integrator: str, max_depth: int, rr_threshold: float,
     jax.jit,
     static_argnames=(
         "integrator", "max_depth", "rr_threshold", "sampler_cfg", "filter_cfg",
-        "grid_spp", "grid_rect", "extra",
+        "grid_spp", "grid_rect", "extra", "mega",
     ),
 )
 def render_batch(
@@ -111,6 +112,7 @@ def render_batch(
     grid_spp: int = 0,
     grid_rect=None,
     extra: tuple = (),
+    mega=None,
 ):
     """One wavefront batch.  Static args exclude spp so different sample
     counts share one compilation (only shapes + depth matter).
@@ -119,7 +121,7 @@ def render_batch(
     film path; grid_rect = static (y0, h, x0, w) crop window."""
     ctx = smpl.make_ctx(sampler_cfg, pixel, sample_num)
     rays, p_film = _camera_rays(camera, sampler_cfg, ctx, pixel)
-    L = radiance_fn(integrator, max_depth, rr_threshold, extra)(
+    L = radiance_fn(integrator, max_depth, rr_threshold, extra, mega)(
         scene, sampler_cfg, ctx, rays.o, rays.d, accel, light_distrib
     )
     L = L * rays.weight[..., None]
@@ -242,6 +244,14 @@ def render(
 
         light_distrib = ldist.build_spatial(scene)
 
+    # single-kernel Pallas bounce loop for statically-simple scenes
+    # (host-side eligibility; None falls back to the general wavefront)
+    mega = None
+    if cfg.integrator == "path":
+        from ...ops import pallas_path as pp
+
+        mega = pp.mega_cfg(scene, accel, light_distrib)
+
     t0 = _time.time()
     prof = None
     if profile_dir is not None:
@@ -263,7 +273,7 @@ def render(
         film = render_batch(
             scene, accel, camera, cfg.integrator, cfg.max_depth, cfg.rr_threshold,
             sampler_cfg, film, filter_cfg, pix, snums, light_distrib,
-            grid_spp=nb, grid_rect=grid_rect, extra=extra_t,
+            grid_spp=nb, grid_rect=grid_rect, extra=extra_t, mega=mega,
         )
         sample += nb
         since_ck += nb

@@ -30,9 +30,12 @@ SUB = 64
 TILE = SUB * LANE  # rays per grid step
 BIG = np.float32(3e38)
 
-# CPU interpret mode so the kernels are unit-testable off-chip
-# (tests/test_pallas.py); real runs never set this
-INTERPRET = os.environ.get("RS_PBRT_PALLAS_INTERPRET", "") not in ("", "0")
+def interpret_enabled() -> bool:
+    """CPU interpret mode so the kernels are unit-testable off-chip
+    (tests/test_pallas.py scopes this env var via a fixture); real runs
+    never set it.  Read at call time and threaded as a STATIC jit arg so
+    flipping the env cannot alias a stale compiled executable."""
+    return os.environ.get("RS_PBRT_PALLAS_INTERPRET", "") not in ("", "0")
 
 
 def _ray_constants(ox, oy, oz, dx, dy, dz):
@@ -177,8 +180,8 @@ def _sweep_kernel(n_tri: int, ox, oy, oz, dx, dy, dz, tmax, tris, bt_o, bi_o, b0
     b1_o[...] = b1
 
 
-@partial(jax.jit, static_argnames=("n_tri",))
-def _sweep(ox, oy, oz, dx, dy, dz, tmax, tris, n_tri: int):
+@partial(jax.jit, static_argnames=("n_tri", "interpret"))
+def _sweep(ox, oy, oz, dx, dy, dz, tmax, tris, n_tri: int, interpret: bool = False):
     rows = ox.shape[0]
     grid = (rows // SUB,)
     ray_spec = pl.BlockSpec((SUB, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM)
@@ -188,7 +191,7 @@ def _sweep(ox, oy, oz, dx, dy, dz, tmax, tris, n_tri: int):
     shp_i = jax.ShapeDtypeStruct((rows, LANE), jnp.int32)
     return pl.pallas_call(
         partial(_sweep_kernel, n_tri),
-        interpret=INTERPRET,
+        interpret=interpret,
         grid=grid,
         in_specs=[ray_spec] * 7 + [tri_spec],
         out_specs=[out_spec] * 4,
@@ -223,7 +226,7 @@ def pallas_intersect_tris(o, d, t_max, p0, p1, p2, tris_packed=None):
     tm = prep(jnp.asarray(t_max, jnp.float32))
 
     tris = tris_packed if tris_packed is not None else pack_tris(p0, p1, p2)
-    bt, bi, b0, b1 = _sweep(ox, oy, oz, dx, dy, dz, tm, tris, n_tri)
+    bt, bi, b0, b1 = _sweep(ox, oy, oz, dx, dy, dz, tm, tris, n_tri, interpret_enabled())
 
     bt = bt.reshape(-1)[:r]
     bi = bi.reshape(-1)[:r]
@@ -312,8 +315,8 @@ def _any_kernel(n_tri: int, ox, oy, oz, dx, dy, dz, tmax, tris, hit_o):
     hit_o[...] = occ
 
 
-@partial(jax.jit, static_argnames=("n_tri",))
-def _sweep_any(ox, oy, oz, dx, dy, dz, tmax, tris, n_tri: int):
+@partial(jax.jit, static_argnames=("n_tri", "interpret"))
+def _sweep_any(ox, oy, oz, dx, dy, dz, tmax, tris, n_tri: int, interpret: bool = False):
     rows = ox.shape[0]
     grid = (rows // SUB,)
     ray_spec = pl.BlockSpec((SUB, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM)
@@ -324,7 +327,7 @@ def _sweep_any(ox, oy, oz, dx, dy, dz, tmax, tris, n_tri: int):
     shp_i = jax.ShapeDtypeStruct((rows, LANE), jnp.int32)
     return pl.pallas_call(
         partial(_any_kernel, n_tri),
-        interpret=INTERPRET,
+        interpret=interpret,
         grid=grid,
         in_specs=[ray_spec] * 7 + [tri_spec],
         out_specs=[out_spec],
@@ -347,7 +350,7 @@ def pallas_intersect_tris_p(o, d, t_max, p0, p1, p2, tris_packed=None):
     dx, dy, dz = prep(d[:, 0]), prep(d[:, 1]), prep(d[:, 2])
     tm = prep(jnp.asarray(t_max, jnp.float32))
     tris = tris_packed if tris_packed is not None else pack_tris(p0, p1, p2)
-    occ = _sweep_any(ox, oy, oz, dx, dy, dz, tm, tris, n_tri)
+    occ = _sweep_any(ox, oy, oz, dx, dy, dz, tm, tris, n_tri, interpret_enabled())
     return occ.reshape(-1)[:r] != 0
 
 
@@ -515,8 +518,8 @@ def _full_kernel(n_tri: int, ox, oy, oz, dx, dy, dz, tmax, tris,
     )
 
 
-@partial(jax.jit, static_argnames=("n_tri",))
-def _sweep_full(ox, oy, oz, dx, dy, dz, tmax, tris, n_tri: int):
+@partial(jax.jit, static_argnames=("n_tri", "interpret"))
+def _sweep_full(ox, oy, oz, dx, dy, dz, tmax, tris, n_tri: int, interpret: bool = False):
     rows = ox.shape[0]
     grid = (rows // SUB,)
     ray_spec = pl.BlockSpec((SUB, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM)
@@ -529,7 +532,7 @@ def _sweep_full(ox, oy, oz, dx, dy, dz, tmax, tris, n_tri: int):
     outs = [f, i] + [f] * 17 + [i, i]
     return pl.pallas_call(
         partial(_full_kernel, n_tri),
-        interpret=INTERPRET,
+        interpret=interpret,
         grid=grid,
         in_specs=[ray_spec] * 7 + [tri_spec],
         out_specs=[out_spec] * len(outs),
@@ -561,7 +564,7 @@ def pallas_intersect_tris_full(o, d, t_max, tri_attr, n_tri: int):
     dx, dy, dz = prep(d[:, 0]), prep(d[:, 1]), prep(d[:, 2])
     tm = prep(jnp.asarray(t_max, jnp.float32))
     tris = pack_tri_attr(tri_attr)
-    outs = _sweep_full(ox, oy, oz, dx, dy, dz, tm, tris, n_tri)
+    outs = _sweep_full(ox, oy, oz, dx, dy, dz, tm, tris, n_tri, interpret_enabled())
     flat = [x.reshape(-1)[:r] for x in outs]
     (t, prim, px, py, pz, pex, pey, pez, ngx, ngy, ngz, nsx, nsy, nsz,
      u, v, dux, duy, duz, mat, light) = flat

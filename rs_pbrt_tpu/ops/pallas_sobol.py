@@ -29,8 +29,7 @@ SUB = 64
 TILE = SUB * LANE
 _INV_2_32 = np.float32(2.3283064365386963e-10)
 
-# CPU interpret mode for unit tests (tests/test_pallas.py)
-INTERPRET = os.environ.get("RS_PBRT_PALLAS_INTERPRET", "") not in ("", "0")
+from .pallas_intersect import interpret_enabled
 
 
 def _sobol_kernel(n_dims: int, n_bits: int, hi, lo, dim0, mats, *outs):
@@ -60,8 +59,8 @@ def _sobol_kernel(n_dims: int, n_bits: int, hi, lo, dim0, mats, *outs):
         outs[k][...] = jnp.minimum(vf * _INV_2_32, FLOAT_ONE_MINUS_EPSILON)
 
 
-@partial(jax.jit, static_argnames=("n_dims", "n_bits"))
-def _sobol_call(hi, lo, dim0_arr, mats, n_dims: int, n_bits: int):
+@partial(jax.jit, static_argnames=("n_dims", "n_bits", "interpret"))
+def _sobol_call(hi, lo, dim0_arr, mats, n_dims: int, n_bits: int, interpret: bool = False):
     rows = hi.shape[0]
     spec = pl.BlockSpec((SUB, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM)
     mat_spec = pl.BlockSpec(mats.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
@@ -69,7 +68,7 @@ def _sobol_call(hi, lo, dim0_arr, mats, n_dims: int, n_bits: int):
     shp = jax.ShapeDtypeStruct((rows, LANE), jnp.float32)
     return pl.pallas_call(
         partial(_sobol_kernel, n_dims, n_bits),
-        interpret=INTERPRET,
+        interpret=interpret,
         grid=(rows // SUB,),
         in_specs=[spec, spec, dim_spec, mat_spec],
         out_specs=[spec] * n_dims,
@@ -88,5 +87,8 @@ def sobol_dims(index_hi, index_lo, dim0, n_dims: int, index_bits: int = 52):
     hi = jnp.pad(index_hi, (0, n_pad - n)).reshape(rows, LANE)
     lo = jnp.pad(index_lo, (0, n_pad - n)).reshape(rows, LANE)
     dim0_arr = jnp.asarray(dim0, jnp.int32).reshape(1)
-    outs = _sobol_call(hi, lo, dim0_arr, ld.SOBOL_MATRICES_32, n_dims, int(index_bits))
+    outs = _sobol_call(
+        hi, lo, dim0_arr, ld.SOBOL_MATRICES_32, n_dims, int(index_bits),
+        interpret=interpret_enabled(),
+    )
     return jnp.stack([o.reshape(-1)[:n] for o in outs], axis=-1)

@@ -9,13 +9,19 @@ independently tested against the reference's watertight algorithm.
 
 import os
 
-os.environ["RS_PBRT_PALLAS_INTERPRET"] = "1"
-
 import numpy as np
 import jax.numpy as jnp
 import pytest
 
 from rs_pbrt_tpu.ops import intersect as isect
+
+
+@pytest.fixture(autouse=True)
+def _interpret_mode(monkeypatch):
+    """Scope interpret mode to THIS module's tests: a process-wide env set
+    at import time would reroute every CPU render test in the suite
+    through the (slow) interpreted megakernel."""
+    monkeypatch.setenv("RS_PBRT_PALLAS_INTERPRET", "1")
 from rs_pbrt_tpu.ops import pallas_intersect as pin
 from rs_pbrt_tpu.ops import scene_intersect as si
 from rs_pbrt_tpu.scene import presets
@@ -106,3 +112,54 @@ class TestSobolKernel:
             )
             g, w = np.asarray(got), np.asarray(want)
             assert np.abs(g - w).max() <= 2.0 ** -24, bits  # <= 1 ulp in [0,1)
+
+
+class TestMegakernel:
+    def test_bounce_megakernel_matches_general_path(self):
+        """The single-kernel bounce loop (ops/pallas_path.py) must agree
+        with the general wavefront integrator on an eligible scene — same
+        formulas, same sampler dims, so differences are float-association
+        only."""
+        import jax
+        from rs_pbrt_tpu.models import cameras as cam
+        from rs_pbrt_tpu.models import samplers as smpl
+        from rs_pbrt_tpu.models.integrators import path as pathmod
+        from rs_pbrt_tpu.ops import pallas_path as pp
+
+        scene, camera = presets.cornell_box(resolution=(16, 16))
+        mega = pp.mega_cfg(scene)
+        assert mega is not None, "cornell box must be megakernel-eligible"
+
+        spp = 4
+        scfg = smpl.make_sampler(smpl.SOBOL, spp, camera.resolution)
+        w, h = camera.resolution
+        xs, ys = np.meshgrid(np.arange(w, dtype=np.int32), np.arange(h, dtype=np.int32))
+        pixels = np.stack([xs.ravel(), ys.ravel()], -1)
+        pix = jnp.asarray(np.tile(pixels, (spp, 1)))
+        snums = jnp.repeat(jnp.arange(spp, dtype=np.uint32), w * h)
+        ctx = smpl.make_ctx(scfg, pix, snums)
+        u_film = smpl.get_2d(scfg, ctx, 0)
+        p_film = pix.astype(jnp.float32) + u_film
+        rays = cam.generate_rays(
+            camera, p_film, smpl.get_2d(scfg, ctx, 3), smpl.get_1d(scfg, ctx, 2)
+        )
+        pcfg = pathmod.PathCfg(max_depth=4, rr_threshold=1.0)
+        L_gen = pathmod.radiance(scene, pcfg, scfg, ctx, rays.o, rays.d, None)
+        L_mega = pathmod.radiance(
+            scene, pcfg, scfg, ctx, rays.o, rays.d, None, mega=mega
+        )
+        g = np.asarray(L_gen)
+        m = np.asarray(L_mega)
+        assert np.isfinite(m).all()
+        # identical estimator + identical samples -> tight agreement
+        assert np.allclose(m, g, rtol=2e-3, atol=2e-3), (
+            np.abs(m - g).max(), np.abs(g).max()
+        )
+        assert abs(m.mean() - g.mean()) < 1e-4 * max(g.mean(), 1e-6)
+
+    def test_mega_cfg_rejects_ineligible(self):
+        from rs_pbrt_tpu.ops import pallas_path as pp
+
+        scene, _ = presets.cornell_box(resolution=(8, 8))
+        assert pp.mega_cfg(scene, accel=object()) is None
+        assert pp.mega_cfg(scene, light_distrib=object()) is None
