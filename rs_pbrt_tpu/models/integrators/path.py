@@ -304,19 +304,34 @@ def radiance(
     # kernel setup — index scrambling etc. — dominated the sampler cost;
     # one (N, total_dims) table + a dynamic slice per bounce is ~6x less).
     # The final emit-only pass consumes no dims, hence max_depth bounces.
+    if (
+        mega is not None
+        and cfg.max_depth > 0
+        and sampler_cfg.kind == smpl.SOBOL
+        and ctx.pss is None
+    ):
+        from ...ops import pallas_path as pp
+        from ...ops.scene_intersect import _use_pallas
+
+        if _use_pallas() or pp.interpret_enabled():
+            # the megakernel generates its own bounce dims in-kernel from
+            # the Sobol global index — no hoisted dim table needed
+            bits = (
+                32
+                if sampler_cfg.spp * (4 ** sampler_cfg.log2_resolution) <= (1 << 32)
+                else 52
+            )
+            return pp.mega_radiance(
+                scene, mega, cfg, ctx.global_index.hi, ctx.global_index.lo,
+                DIM_CAMERA, bits, ray_o, ray_d,
+            )
+
     total_dims = dims_per_bounce * cfg.max_depth
     all_dims = (
         smpl.get_dims(sampler_cfg, ctx, DIM_CAMERA, total_dims)
         if 0 < total_dims <= 128
         else None
     )
-
-    if mega is not None and all_dims is not None:
-        from ...ops import pallas_path as pp
-        from ...ops.scene_intersect import _use_pallas
-
-        if _use_pallas() or pp.interpret_enabled():
-            return pp.mega_radiance(scene, mega, cfg, all_dims, DIM_CAMERA, ray_o, ray_d)
 
     def add_emitted(it, o, d, L, beta, alive, specular_bounce, prev_bsdf_pdf):
         """Emitted radiance at a hit + env radiance for escaped rays

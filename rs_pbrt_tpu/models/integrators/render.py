@@ -37,9 +37,7 @@ class RenderCfg(NamedTuple):
 
 
 def _camera_rays(camera: cam.Camera, sampler_cfg, ctx, pixel):
-    u_film = smpl.get_2d(sampler_cfg, ctx, 0)
-    u_time = smpl.get_1d(sampler_cfg, ctx, 2)
-    u_lens = smpl.get_2d(sampler_cfg, ctx, 3)
+    u_film, u_time, u_lens = smpl.get_camera_dims(sampler_cfg, ctx, pixel)
     p_film = pixel.astype(jnp.float32) + u_film
     rays = cam.generate_rays(camera, p_film, u_lens, u_time)
     return rays, p_film
@@ -119,7 +117,7 @@ def render_batch(
     grid_spp > 0 asserts the lanes are grid_spp ordered copies of the
     (possibly cropped) pixel grid, enabling the scatter-free box-filter
     film path; grid_rect = static (y0, h, x0, w) crop window."""
-    ctx = smpl.make_ctx(sampler_cfg, pixel, sample_num)
+    ctx = smpl.make_ctx(sampler_cfg, pixel, sample_num, frame_lt_spp=True)
     rays, p_film = _camera_rays(camera, sampler_cfg, ctx, pixel)
     L = radiance_fn(integrator, max_depth, rr_threshold, extra, mega)(
         scene, sampler_cfg, ctx, rays.o, rays.d, accel, light_distrib
@@ -227,10 +225,12 @@ def render(
     cw, ch = px1 - px0, py1 - py0
     grid_rect = (py0, ch, px0, cw)
     n_pix = cw * ch
-    xs, ys = np.meshgrid(
-        np.arange(px0, px1, dtype=np.int32), np.arange(py0, py1, dtype=np.int32)
-    )
-    pixels = jnp.asarray(np.stack([xs.ravel(), ys.ravel()], -1))
+    # build the pixel list ON DEVICE (iota ops) — materializing it on the
+    # host and transferring ~50MB per render through the axon tunnel was
+    # ~25ms of fixed cost per call
+    xs = jnp.arange(px0, px1, dtype=jnp.int32)
+    ys = jnp.arange(py0, py1, dtype=jnp.int32)
+    pixels = jnp.stack([jnp.tile(xs, ch), jnp.repeat(ys, cw)], axis=-1)
     film = filmmod.make_film((w, h))
     sample = 0
     if checkpoint_path is not None:

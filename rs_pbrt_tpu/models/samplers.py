@@ -63,11 +63,20 @@ class SampleCtx(NamedTuple):
     pss: jnp.ndarray | None = None
 
 
-def make_ctx(cfg: SamplerCfg, pixel, sample_num) -> SampleCtx:
+def make_ctx(cfg: SamplerCfg, pixel, sample_num, frame_lt_spp: bool = False) -> SampleCtx:
+    """frame_lt_spp: STATIC promise that sample_num < cfg.spp for every
+    lane (true for the spp-batched render loops) — prunes the 32-iteration
+    frame-bit loop of sobol_interval_to_index to ceil(log2(spp)).  SPPM
+    passes iteration numbers that can exceed spp, so it stays at 32."""
     pixel = jnp.asarray(pixel, jnp.int32)
     sample_num = jnp.asarray(sample_num, U32)
     if cfg.kind == SOBOL:
-        idx = ld.sobol_interval_to_index(cfg.log2_resolution, sample_num, pixel)
+        fbits = (
+            max(1, int(np.ceil(np.log2(max(cfg.spp, 2))))) if frame_lt_spp else 32
+        )
+        idx = ld.sobol_interval_to_index(
+            cfg.log2_resolution, sample_num, pixel, max_frame_bits=fbits
+        )
     else:
         z = jnp.zeros_like(sample_num)
         idx = u64.U64(z, z)
@@ -201,6 +210,24 @@ def get_dims(cfg: SamplerCfg, ctx: SampleCtx, dim0, n_dims: int):
             [get_1d_dyn(cfg, ctx, dim0 + k) for k in range(n_dims)], axis=-1
         )
     return None
+
+
+def get_camera_dims(cfg: SamplerCfg, ctx: SampleCtx, pixel):
+    """(u_film, u_time, u_lens) for camera-ray generation in ONE sampler
+    pass.  On the Sobol' TPU path, dims 0-4 come from a single Pallas
+    launch instead of five per-dim XLA XOR chains (the per-dim chains were
+    ~7ms of the raygen cost at 4M lanes); the film-dim pixel remap of
+    get_1d (dims 0,1) is applied here."""
+    if cfg.kind == SOBOL and ctx.pss is None:
+        dims5 = get_dims(cfg, ctx, 0, 5)
+        if dims5 is not None:
+            res = jnp.float32(1 << cfg.log2_resolution)
+            pf = pixel.astype(jnp.float32)
+            u_film = jnp.clip(
+                dims5[:, 0:2] * res - pf, 0.0, rngmod.FLOAT_ONE_MINUS_EPSILON
+            )
+            return u_film, dims5[:, 2], dims5[:, 3:5]
+    return get_2d(cfg, ctx, 0), get_1d(cfg, ctx, 2), get_2d(cfg, ctx, 3)
 
 
 def _permute(i, n: int, key):

@@ -349,14 +349,40 @@ def _fetch_record(n_tri, tris, bi, b0, b1):
     return p, p_err, ng, ns, dpdu, mat, light
 
 
+_INV_2_32 = np.float32(2.3283064365386963e-10)
+_ONE_MINUS_EPS = np.float32(1.0 - np.finfo(np.float32).epsneg)
+
+
+def _sobol_dims7(smats, row0: int, hi, lo, n_bits: int):
+    """Seven Sobol' dimensions for one bounce, in-kernel (same bit-matrix
+    math as ops/pallas_sobol._sobol_kernel; row0 is the STATIC matrix-row
+    offset of this bounce's first dimension)."""
+    vs = [jnp.zeros(lo.shape, jnp.uint32) for _ in range(7)]
+    for i in range(min(n_bits, 32)):
+        b = ((lo >> jnp.uint32(i)) & jnp.uint32(1)) > 0
+        for k in range(7):
+            vs[k] = vs[k] ^ jnp.where(b, smats[row0 + k, i], jnp.uint32(0))
+    for i in range(max(n_bits - 32, 0)):
+        b = ((hi >> jnp.uint32(i)) & jnp.uint32(1)) > 0
+        for k in range(7):
+            vs[k] = vs[k] ^ jnp.where(b, smats[row0 + k, 32 + i], jnp.uint32(0))
+    outs = []
+    for v in vs:
+        vf = (v >> jnp.uint32(1)).astype(jnp.int32).astype(jnp.float32) * 2.0 + (
+            v & jnp.uint32(1)
+        ).astype(jnp.int32).astype(jnp.float32)
+        outs.append(jnp.minimum(vf * _INV_2_32, _ONE_MINUS_EPS))
+    return outs
+
+
 def _bounce_kernel(
     cfg: MegaCfg, first_bounce: bool, rr_active: bool, emit_only: bool,
-    rr_threshold: float,
+    rr_threshold: float, dim_row0: int, n_bits: int,
     # lane inputs
     ox, oy, oz, dx, dy, dz, bxr, bxg, bxb, lr, lg, lb, alive_i, ppdf,
-    u_sel, u_l0, u_l1, u_b0, u_b1, u_lobe, u_rr,
+    idx_hi, idx_lo,
     # tables
-    tris, lattr, lsel, ltricdf, mattr,
+    tris, lattr, lsel, ltricdf, mattr, smats,
     # outputs
     ox_o, oy_o, oz_o, dx_o, dy_o, dz_o, bxr_o, bxg_o, bxb_o,
     lr_o, lg_o, lb_o, alive_o, ppdf_o,
@@ -443,8 +469,11 @@ def _bounce_kernel(
     kd = (kd0, kd1, kd2)
     kd_black = (kd0 == 0.0) & (kd1 == 0.0) & (kd2 == 0.0)  # kind0 = NONE
 
+    # ---- sampler: this bounce's 7 Sobol dims, in-kernel ----
+    dims = _sobol_dims7(smats, dim_row0, idx_hi[...], idx_lo[...], n_bits)
+
     # ---- NEE: select one light by the power distribution ----
-    usel = u_sel[...]
+    usel = dims[0]
     # find_interval over the (L+1) cdf (count form, sampling.py:149)
     idx = jnp.zeros(bt.shape, jnp.int32)
     for i in range(L + 1):
@@ -455,8 +484,8 @@ def _bounce_kernel(
         sel_pdf = jnp.where(li_idx == li, lsel[1, li], sel_pdf)
 
     # area-sample the chosen light's triangle range (lights._area_sample_tri)
-    ul0 = u_l0[...]
-    ul1 = u_l1[...]
+    ul0 = dims[1]
+    ul1 = dims[2]
     A = cfg.a_cols - 1
     off = jnp.zeros(bt.shape, jnp.int32)
     c0 = jnp.zeros_like(bt)
@@ -560,7 +589,7 @@ def _bounce_kernel(
     Lrad[2] = Lrad[2] + beta[2] * kd2 * li_b * nee_gain
 
     # ---- BSDF sample: cosine hemisphere (bsdf_sample lambert path) ----
-    dxs, dys = _concentric_disk(u_b0[...], u_b1[...])
+    dxs, dys = _concentric_disk(dims[3], dims[4])
     z = jnp.sqrt(jnp.maximum(0.0, 1.0 - dxs * dxs - dys * dys))
     sgn = jnp.where(jnp.where(wo_l[2] == 0.0, 1.0, wo_l[2]) > 0.0, 1.0, -1.0)
     wi_s = _normalize((dxs * sgn, dys * sgn, z * sgn))
@@ -592,7 +621,7 @@ def _bounce_kernel(
         rr_max = jnp.maximum(jnp.maximum(beta[0], beta[1]), beta[2])
         q = jnp.maximum(0.05, 1.0 - rr_max)
         consider = (rr_max < rr_threshold) & alive
-        kill = consider & (u_rr[...] < q)
+        kill = consider & (dims[6] < q)
         inv_keep = 1.0 / jnp.maximum(1.0 - q, 1e-6)
         keep_scale = jnp.where(consider & ~kill, inv_keep, 1.0)
         beta = (beta[0] * keep_scale, beta[1] * keep_scale, beta[2] * keep_scale)
@@ -609,13 +638,14 @@ def _bounce_kernel(
 @partial(
     jax.jit,
     static_argnames=(
-        "cfg", "first_bounce", "rr_active", "emit_only", "rr_threshold", "interpret",
+        "cfg", "first_bounce", "rr_active", "emit_only", "rr_threshold",
+        "dim_row0", "n_bits", "interpret",
     ),
 )
 def _bounce_call(
-    lanes, dims7, tris, lattr, lsel, ltricdf, mattr,
+    lanes, idx2, tris, lattr, lsel, ltricdf, mattr, smats,
     cfg: MegaCfg, first_bounce: bool, rr_active: bool, emit_only: bool,
-    rr_threshold: float, interpret: bool = False,
+    rr_threshold: float, dim_row0: int, n_bits: int, interpret: bool = False,
 ):
     rows = lanes[0].shape[0]
     spec = pl.BlockSpec((SUB, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM)
@@ -624,23 +654,29 @@ def _bounce_call(
     i32 = jax.ShapeDtypeStruct((rows, LANE), jnp.int32)
     outs = [f] * 12 + [i32, f]
     return pl.pallas_call(
-        partial(_bounce_kernel, cfg, first_bounce, rr_active, emit_only, rr_threshold),
+        partial(
+            _bounce_kernel, cfg, first_bounce, rr_active, emit_only,
+            rr_threshold, dim_row0, n_bits,
+        ),
         interpret=interpret,
         grid=(rows // SUB,),
-        in_specs=[spec] * (14 + 7)
-        + [tbl(tris), tbl(lattr), tbl(lsel), tbl(ltricdf), tbl(mattr)],
+        in_specs=[spec] * (14 + 2)
+        + [tbl(tris), tbl(lattr), tbl(lsel), tbl(ltricdf), tbl(mattr), tbl(smats)],
         out_specs=[spec] * len(outs),
         out_shape=outs,
-    )(*lanes, *dims7, tris, lattr, lsel, ltricdf, mattr)
+    )(*lanes, *idx2, tris, lattr, lsel, ltricdf, mattr, smats)
 
 
-def mega_radiance(scene, cfg: MegaCfg, pcfg, all_dims, dim0_layout, ray_o, ray_d):
+def mega_radiance(scene, cfg: MegaCfg, pcfg, idx_hi, idx_lo, dim0: int,
+                  n_bits: int, ray_o, ray_d):
     """Full path-radiance estimate via the bounce megakernel.
 
-    all_dims: (N, dims_per_bounce * max_depth) hoisted sampler table
-    (DIMS_PER_BOUNCE layout of models/integrators/path.py).
+    idx_hi/idx_lo: (N,) u32 Sobol' global sample index (SampleCtx
+    global_index); dim0: first bounce dimension (path.DIM_CAMERA); n_bits:
+    static index-width bound (32 when spp << 2*log2res fits u32).
     Returns (N, 3) L."""
     from .pallas_intersect import pack_tri_attr
+    from . import lowdiscrepancy as ld
     from . import sampling as smp
 
     n = ray_o.shape[0]
@@ -677,24 +713,25 @@ def mega_radiance(scene, cfg: MegaCfg, pcfg, all_dims, dim0_layout, ray_o, ray_d
     mattr = scene.mat_attr
 
     dpb = 7  # DIMS_PER_BOUNCE (no SSS by eligibility)
-    zeros_tile = prep(zero)
+    # per-bounce Sobol' direction numbers, resident in VMEM (rows
+    # dim0 .. dim0 + 7*max_depth of the global matrix table)
+    smats = jax.lax.dynamic_slice_in_dim(
+        ld.SOBOL_MATRICES_32, dim0, max(dpb * pcfg.max_depth, 1), axis=0
+    )
+    idx2 = [prep_i(jnp.asarray(idx_hi, jnp.uint32)),
+            prep_i(jnp.asarray(idx_lo, jnp.uint32))]
     for bounce in range(pcfg.max_depth):
-        if all_dims is not None:
-            sl = all_dims[:, bounce * dpb : (bounce + 1) * dpb]
-            dims7 = [prep(sl[:, k]) for k in range(dpb)]
-        else:
-            dims7 = [zeros_tile] * dpb
         outs = _bounce_call(
-            lanes, dims7, tris, lattr, lsel, ltricdf, mattr,
+            lanes, idx2, tris, lattr, lsel, ltricdf, mattr, smats,
             cfg, bounce == 0, bounce > 2, False, float(pcfg.rr_threshold),
-            interpret_enabled(),
+            bounce * dpb, n_bits, interpret_enabled(),
         )
         lanes = list(outs)
-    # final emit-only pass
+    # final emit-only pass (consumes no dims)
     outs = _bounce_call(
-        lanes, [zeros_tile] * dpb, tris, lattr, lsel, ltricdf, mattr,
+        lanes, idx2, tris, lattr, lsel, ltricdf, mattr, smats,
         cfg, pcfg.max_depth == 0, False, True, float(pcfg.rr_threshold),
-        interpret_enabled(),
+        0, n_bits, interpret_enabled(),
     )
     lr, lg, lb = outs[9], outs[10], outs[11]
     return jnp.stack(

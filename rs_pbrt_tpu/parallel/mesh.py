@@ -86,10 +86,8 @@ def render_sharded(
         out_specs=P(),
     )
     def worker(pix_shard, snum_shard, scene):
-        ctx = smpl.make_ctx(sampler_cfg, pix_shard, snum_shard)
-        u_film = smpl.get_2d(sampler_cfg, ctx, 0)
-        u_time = smpl.get_1d(sampler_cfg, ctx, 2)
-        u_lens = smpl.get_2d(sampler_cfg, ctx, 3)
+        ctx = smpl.make_ctx(sampler_cfg, pix_shard, snum_shard, frame_lt_spp=True)
+        u_film, u_time, u_lens = smpl.get_camera_dims(sampler_cfg, ctx, pix_shard)
         p_film = pix_shard.astype(jnp.float32) + u_film
         rays = cam.generate_rays(camera, p_film, u_lens, u_time)
         L = rdr.radiance_fn(cfg.integrator, cfg.max_depth, cfg.rr_threshold)(
