@@ -163,3 +163,76 @@ class TestMegakernel:
         scene, _ = presets.cornell_box(resolution=(8, 8))
         assert pp.mega_cfg(scene, accel=object()) is None
         assert pp.mega_cfg(scene, light_distrib=object()) is None
+
+    def test_megakernel_hard_scene(self):
+        """Stress parity on an eligible scene exercising every megakernel
+        branch the Cornell test doesn't: multiple area lights (non-uniform
+        power CDF), a multi-triangle light range, vertex-normal meshes,
+        two-sided emission, and a black (NONE-lobe) material."""
+        from rs_pbrt_tpu.models import cameras as cam
+        from rs_pbrt_tpu.models import samplers as smpl
+        from rs_pbrt_tpu.models.integrators import path as pathmod
+        from rs_pbrt_tpu.ops import pallas_path as pp
+        from rs_pbrt_tpu.scene.builder import SceneBuilder
+        from rs_pbrt_tpu.utils import transform as tr
+
+        b = SceneBuilder()
+        gray = b.add_matte(kd=(0.6, 0.55, 0.5))
+        black = b.add_matte(kd=(0.0, 0.0, 0.0))
+        # floor (no normals) + a tilted quad with smooth vertex normals
+        b.add_triangle_mesh(
+            [[0, 1, 2], [0, 2, 3]],
+            [[-3, 0, -3], [3, 0, -3], [3, 0, 3], [-3, 0, 3]],
+            material=gray,
+        )
+        nrm = np.array([[0.2, 1, 0], [0, 1, 0.2], [-0.2, 1, 0], [0, 1, -0.2]])
+        nrm = nrm / np.linalg.norm(nrm, axis=1, keepdims=True)
+        b.add_triangle_mesh(
+            [[0, 1, 2], [0, 2, 3]],
+            [[-1, 0.5, -1], [1, 0.6, -1], [1, 0.5, 1], [-1, 0.4, 1]],
+            normals=nrm, material=gray,
+        )
+        # black occluder
+        b.add_triangle_mesh(
+            [[0, 1, 2]], [[-0.5, 1.2, -0.5], [0.5, 1.2, -0.5], [0.0, 1.2, 0.6]],
+            material=black,
+        )
+        # two area lights: a 2-tri one-sided panel and a 2-tri two-sided
+        # panel with very different power (non-trivial selection CDF)
+        b.add_triangle_mesh(
+            [[0, 1, 2], [0, 2, 3]],
+            [[-2, 3, -2], [-1, 3, -2], [-1, 3, -1], [-2, 3, -1]],
+            material=black, area_light=dict(L=(12.0, 10.0, 8.0), two_sided=False),
+        )
+        b.add_triangle_mesh(
+            [[0, 1, 2], [0, 2, 3]],
+            [[1, 2.5, 1], [2, 2.5, 1], [2, 2.5, 2], [1, 2.5, 2]],
+            material=black, area_light=dict(L=(0.5, 0.8, 1.1), two_sided=True),
+        )
+        scene = b.finalize()
+        mega = pp.mega_cfg(scene)
+        assert mega is not None and len(mega.lights) == 2
+
+        camera = cam.make_perspective(
+            tr.look_at((0, 1.5, -6), (0, 0.8, 0), (0, 1, 0)), (12, 12), fov=60.0
+        )
+        spp = 4
+        scfg = smpl.make_sampler(smpl.SOBOL, spp, camera.resolution)
+        w, h = camera.resolution
+        xs, ys = np.meshgrid(np.arange(w, dtype=np.int32), np.arange(h, dtype=np.int32))
+        pix = jnp.asarray(np.tile(np.stack([xs.ravel(), ys.ravel()], -1), (spp, 1)))
+        snums = jnp.repeat(jnp.arange(spp, dtype=np.uint32), w * h)
+        ctx = smpl.make_ctx(scfg, pix, snums)
+        p_film = pix.astype(jnp.float32) + smpl.get_2d(scfg, ctx, 0)
+        rays = cam.generate_rays(
+            camera, p_film, smpl.get_2d(scfg, ctx, 3), smpl.get_1d(scfg, ctx, 2)
+        )
+        pcfg = pathmod.PathCfg(max_depth=4, rr_threshold=1.0)
+        g = np.asarray(pathmod.radiance(scene, pcfg, scfg, ctx, rays.o, rays.d, None))
+        m = np.asarray(
+            pathmod.radiance(scene, pcfg, scfg, ctx, rays.o, rays.d, None, mega=mega)
+        )
+        assert np.isfinite(m).all()
+        assert np.allclose(m, g, rtol=2e-3, atol=2e-3), (
+            np.abs(m - g).max(), np.abs(g).max()
+        )
