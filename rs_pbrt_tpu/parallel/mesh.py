@@ -64,17 +64,28 @@ def render_sharded(
     n_dev = mesh.devices.size
     w, h = camera.resolution
     n_pix = w * h
-    xs, ys = np.meshgrid(np.arange(w, dtype=np.int32), np.arange(h, dtype=np.int32))
-    pixels = np.stack([xs.ravel(), ys.ravel()], -1)
+    # device-side pixel list (host np arrays would transfer MBs per batch)
+    xs = jnp.arange(w, dtype=jnp.int32)
+    ys = jnp.arange(h, dtype=jnp.int32)
+    pixels = jnp.stack([jnp.tile(xs, h), jnp.repeat(ys, w)], axis=-1)
 
     # pad pixel count to device multiple with out-of-frame sentinel pixels
     pad = (-n_pix) % n_dev
     if pad:
-        pixels = np.concatenate([pixels, np.full((pad, 2), -1, np.int32)])
+        pixels = jnp.concatenate([pixels, jnp.full((pad, 2), -1, jnp.int32)])
     n_lane_pix = pixels.shape[0]
 
     if spp_per_batch is None:
         spp_per_batch = max(1, min(cfg.spp, (1 << 20) // n_lane_pix))
+
+    # single-kernel bounce loop when the (concrete) scene is eligible —
+    # the megakernel composes with shard_map: each device runs it on its
+    # lane shard (host-side static decision, ops/pallas_path.mega_cfg)
+    mega = None
+    if cfg.integrator == "path":
+        from ..ops import pallas_path as pp
+
+        mega = pp.mega_cfg(scene, accel, None)
 
     from jax.experimental.shard_map import shard_map
 
@@ -90,7 +101,7 @@ def render_sharded(
         u_film, u_time, u_lens = smpl.get_camera_dims(sampler_cfg, ctx, pix_shard)
         p_film = pix_shard.astype(jnp.float32) + u_film
         rays = cam.generate_rays(camera, p_film, u_lens, u_time)
-        L = rdr.radiance_fn(cfg.integrator, cfg.max_depth, cfg.rr_threshold)(
+        L = rdr.radiance_fn(cfg.integrator, cfg.max_depth, cfg.rr_threshold, mega=mega)(
             scene, sampler_cfg, ctx, rays.o, rays.d, accel
         )
         L = L * rays.weight[..., None]
@@ -112,7 +123,7 @@ def render_sharded(
     sample = 0
     while sample < cfg.spp:
         nb = min(spp_per_batch, cfg.spp - sample)
-        pix = jnp.asarray(np.tile(pixels, (nb, 1)))
+        pix = jnp.tile(pixels, (nb, 1))
         snums = jnp.repeat(jnp.arange(sample, sample + nb, dtype=jnp.uint32), n_lane_pix)
         batch = worker(pix, snums, scene)
         film = filmmod.Film(
