@@ -88,3 +88,21 @@ def grad_loss(scene, camera, cfg, sampler_cfg, loss_fn, params: Optional[DiffPar
         return loss_fn(img)
 
     return jax.value_and_grad(f)(params)
+
+
+def grad_loss_wrt_camera(scene, camera, cfg, sampler_cfg, loss_fn, accel=None):
+    """Returns (loss, dloss/dcamera-leaves).
+
+    Camera is a flax struct pytree; its differentiable leaves are the
+    cam_to_world / raster_to_camera matrices, lens radius, focal distance
+    and shutter interval, so this yields pose, zoom, defocus and exposure-
+    window gradients (BASELINE.md: gradients w.r.t. camera).  Detached
+    sampling: the interior term is exact for the fixed sample set;
+    silhouette (visibility) terms are not modeled — finite differences
+    agree away from geometric edges (tests/test_grad.py)."""
+
+    def f(cam_p):
+        img = rdr.render(scene, cam_p, cfg, sampler_cfg, accel=accel)
+        return loss_fn(img)
+
+    return jax.value_and_grad(f)(camera)

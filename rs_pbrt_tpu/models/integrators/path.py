@@ -236,8 +236,9 @@ def sss_transport(
             beta_sss
             * (f2 * cos2)[..., None]
             * ls2.li
-            * jax.lax.stop_gradient(
-                w_l2 / jnp.maximum(ls2.pdf * selp2, 1e-12)
+            * (
+                jax.lax.stop_gradient(w_l2 / jnp.maximum(selp2, 1e-12))
+                / jnp.maximum(ls2.pdf, 1e-12)
             )[..., None]
         )
         good2 = ok_sss & ~occ2 & (ls2.pdf > 0.0) & (wi2_l[..., 2] > 0.0)
@@ -428,12 +429,15 @@ def radiance(
             w_light = jnp.where(
                 ls.is_delta, 1.0, smp.power_heuristic(1.0, ls.pdf, 1.0, scat_pdf)
             )
-            # detached sampling: weight and pdfs are constants under AD;
-            # gradient flows through f and li only (the standard detached
-            # estimator - gradients are unbiased for fixed sample sets)
+            # detached sampling: the MIS weight and the light-SELECTION pdf
+            # are sampling artifacts (constants under AD), but the area
+            # pdf's measure-conversion factor (dist^2 / cos) is a real
+            # geometric dependence — keeping it differentiable is what
+            # carries camera/geometry gradients; material/light gradients
+            # are unchanged (the pdf does not depend on those parameters)
             inv_pdf = jax.lax.stop_gradient(
-                w_light / jnp.maximum(ls.pdf * sel_pdf_n, 1e-12)
-            )
+                w_light / jnp.maximum(sel_pdf_n, 1e-12)
+            ) / jnp.maximum(ls.pdf, 1e-12)
             ld = beta * f * ls.li * inv_pdf[..., None]
             L = L + jnp.where((contrib_ok & ~occluded)[..., None], ld, 0.0)
 

@@ -75,7 +75,12 @@ def mega_cfg(scene, accel=None, light_distrib=None) -> Optional[MegaCfg]:
     (outside jit) — returns None for tracers."""
     if accel is not None or light_distrib is not None:
         return None
-    if isinstance(scene.tri_p0, jax.core.Tracer):
+    # any traced leaf means we're inside a transform (jit/grad) — the
+    # values below are unreadable, so the general path must serve
+    if any(
+        isinstance(x, jax.core.Tracer)
+        for x in (scene.tri_p0, scene.mat_attr, scene.light_attr)
+    ):
         return None
     if (
         scene.n_spheres

@@ -120,7 +120,10 @@ def _tri_interaction(scene: sa.Scene, o, d, hit: isect.TriHit):
         + b1[..., None] * gx.col3(at, sa.TA_N1)
         + b2[..., None] * gx.col3(at, sa.TA_N2)
     )
-    ns_len = vm.length(ns)
+    # guarded sqrt: meshes without vertex normals interpolate ns = 0, and
+    # sqrt(0)'s backward is inf — NaN-poisons camera/geometry gradients
+    # through the unselected where-branch
+    ns_len = jnp.sqrt(jnp.maximum(vm.length_squared(ns), 1e-20))
     has_n = gx.colb(at, sa.TA_HAS_N) & (ns_len > 1e-8)
     ns = jnp.where(has_n[..., None], ns / jnp.maximum(ns_len, 1e-8)[..., None], ng)
     # orient geometric to agree with shading (reference interaction.rs

@@ -77,3 +77,45 @@ class TestGradients:
         # the black light-surface material (kd=0, last) gets ~0 gradient on
         # its specular slots which nothing uses
         assert float(jnp.abs(g.mat_params[:, sa.MP_ETA3]).sum()) == 0.0
+
+
+class TestCameraGradients:
+    def test_camera_translation_grad_matches_fd(self):
+        """d(loss)/d(camera position) via AD vs central differences on the
+        same fixed sample set (detached-sampling interior term).  The
+        Cornell interior is smooth w.r.t. small camera translations for
+        almost all lanes; silhouette lanes are a measure-~h set, so the
+        aggregate loss derivative matches to a few percent."""
+        from rs_pbrt_tpu.diff import grad as dg
+        from rs_pbrt_tpu.utils import transform as tr
+
+        scene, camera = presets.cornell_box(resolution=(12, 12))
+        cfg = rdr.RenderCfg("path", spp=2, max_depth=2, rr_threshold=1.0)
+        scfg = smpl.make_sampler(smpl.SOBOL, 2, camera.resolution)
+        loss_fn = lambda img: jnp.mean(img)
+
+        loss, g = dg.grad_loss_wrt_camera(scene, camera, cfg, scfg, loss_fn)
+        assert np.isfinite(float(loss))
+        # translation entries of cam_to_world: column 3, rows 0..2
+        g_t = np.asarray(g.cam_to_world)[:3, 3]
+        assert np.isfinite(g_t).all()
+
+        h = 0.05  # cm in the 556-unit box
+        fd = np.zeros(3)
+        base = np.asarray(camera.cam_to_world)
+        for k in range(3):
+            for sgn in (+1.0, -1.0):
+                m = base.copy()
+                m[k, 3] += sgn * h
+                cam2 = camera.replace(cam_to_world=jnp.asarray(m))
+                img = rdr.render(scene, cam2, cfg, scfg)
+                fd[k] += sgn * float(jnp.mean(img)) / (2 * h)
+        # detached sampling yields the INTERIOR derivative only: the
+        # world-y and world-z translations are dominated by smooth
+        # dist^2/cos shading changes and must match FD; the world-x
+        # translation slides the view sideways, so its FD is dominated by
+        # silhouette (visibility-boundary) terms the estimator
+        # deliberately does not model (diff/grad.py docstring)
+        for k in (1, 2):
+            scale = max(abs(fd[k]), 1e-6)
+            assert abs(g_t[k] - fd[k]) / scale < 0.08, (k, g_t, fd)
