@@ -39,6 +39,18 @@ class SamplerCfg(NamedTuple):
     spp: int  # static
     log2_resolution: int  # static: sobol pixel-domain scaling
     seed: int  # static
+    # halton GlobalSampler constants (reference halton.rs:85-110):
+    # (scale_x, scale_y, exp_x, exp_y, stride, mult_inv_x, mult_inv_y)
+    halton: tuple = ()
+
+
+_HALTON_MAX_RESOLUTION = 128  # reference halton.rs:30 K_MAX_RESOLUTION
+
+
+def _mult_inverse(a: int, n: int) -> int:
+    """Multiplicative inverse of a mod n (reference halton.rs:32-51
+    extended-gcd; pow-based since gcd(a,n)=1 for coprime 2^j/3^k scales)."""
+    return pow(a, -1, n)
 
 
 def make_sampler(kind: int, spp: int, resolution=(1, 1), seed: int = 0) -> SamplerCfg:
@@ -46,7 +58,29 @@ def make_sampler(kind: int, spp: int, resolution=(1, 1), seed: int = 0) -> Sampl
     log2res = int(np.ceil(np.log2(max(res, 1))))
     if kind in (SOBOL, ZEROTWO, MAXMIN) and spp & (spp - 1):
         spp = 1 << int(np.ceil(np.log2(spp)))  # round up pow2 like sobol.rs:40
-    return SamplerCfg(kind, spp, log2res, seed)
+    if kind == MAXMIN and spp > (1 << 16):
+        raise ValueError("maxmindist supports at most 2^16 samples per pixel")
+    halton = ()
+    if kind == HALTON:
+        scales, exps = [], []
+        for i in range(2):
+            base = 2 if i == 0 else 3
+            scale, exp = 1, 0
+            while scale < min(int(resolution[i]), _HALTON_MAX_RESOLUTION):
+                scale *= base
+                exp += 1
+            scales.append(scale)
+            exps.append(exp)
+        stride = scales[0] * scales[1]
+        minv_x = _mult_inverse(scales[1], scales[0]) if scales[0] > 1 else 0
+        minv_y = _mult_inverse(scales[0], scales[1]) if scales[1] > 1 else 0
+        if spp * stride >= (1 << 32):
+            raise ValueError(
+                f"halton: spp={spp} x stride={stride} exceeds the 32-bit "
+                "index budget of the TPU sampler"
+            )
+        halton = (scales[0], scales[1], exps[0], exps[1], stride, minv_x, minv_y)
+    return SamplerCfg(kind, spp, log2res, seed, halton)
 
 
 class SampleCtx(NamedTuple):
@@ -77,10 +111,31 @@ def make_ctx(cfg: SamplerCfg, pixel, sample_num, frame_lt_spp: bool = False) -> 
         idx = ld.sobol_interval_to_index(
             cfg.log2_resolution, sample_num, pixel, max_frame_bits=fbits
         )
+    elif cfg.kind == HALTON:
+        idx = u64.from_u32(_halton_index(cfg, pixel, sample_num))
     else:
         z = jnp.zeros_like(sample_num)
         idx = u64.U64(z, z)
     return SampleCtx(pixel, sample_num, idx)
+
+
+def _halton_index(cfg: SamplerCfg, pixel, sample_num):
+    """Global Halton index of (pixel, sample_num): the reference's
+    get_index_for_sample (halton.rs:173-215) — per-pixel offset via CRT on
+    the base-2/3 pixel strides, then sample_num strides.  32-bit arithmetic
+    (make_sampler rejects spp x stride >= 2^32)."""
+    sx, sy, ex, ey, stride, minv_x, minv_y = cfg.halton
+    if stride <= 1:
+        return jnp.asarray(sample_num, U32)
+    pm_x = (pixel[..., 0] % _HALTON_MAX_RESOLUTION).astype(U32)
+    pm_y = (pixel[..., 1] % _HALTON_MAX_RESOLUTION).astype(U32)
+    do_x = ld.inverse_radical_inverse_2(pm_x, ex)
+    do_y = ld.inverse_radical_inverse_3(pm_y, ey)
+    offset = (
+        do_x * U32((stride // sx) * minv_x % stride)
+        + do_y * U32((stride // sy) * minv_y % stride)
+    ) % U32(stride)
+    return offset + jnp.asarray(sample_num, U32) * U32(stride)
 
 
 def _pixel_hash(cfg: SamplerCfg, ctx: SampleCtx, dim):
@@ -89,6 +144,19 @@ def _pixel_hash(cfg: SamplerCfg, ctx: SampleCtx, dim):
     return rngmod.uniform_u32(
         px, py, jnp.asarray(dim, U32), U32(cfg.seed & 0xFFFFFFFF)
     )
+
+
+def _maxmin_film(cfg: SamplerCfg, ctx: SampleCtx):
+    """The max-min-distance film pair (reference maxmin.rs:117-126
+    start_pixel): x = j/spp, y = C_maxmin . j, with the per-pixel shuffle
+    expressed as a random-access index permutation."""
+    c_index = int(np.log2(max(cfg.spp, 1)))
+    j = _permute(ctx.sample_num, cfg.spp, _pixel_hash(cfg, ctx, 0))
+    x = jnp.minimum(
+        j.astype(jnp.float32) / cfg.spp, rngmod.FLOAT_ONE_MINUS_EPSILON
+    )
+    y = ld.max_min_dist_sample(j, c_index)
+    return jnp.stack([x, y], axis=-1)
 
 
 def get_1d(cfg: SamplerCfg, ctx: SampleCtx, dim: int):
@@ -102,6 +170,14 @@ def get_1d(cfg: SamplerCfg, ctx: SampleCtx, dim: int):
             p = ctx.pixel[..., dim].astype(jnp.float32)
             s = jnp.clip(s * res - p, 0.0, rngmod.FLOAT_ONE_MINUS_EPSILON)
         return s
+    if cfg.kind == HALTON:
+        return ld.halton_sample(
+            ctx.global_index.lo, dim, cfg.halton[2], cfg.halton[1]
+        )
+    if cfg.kind == MAXMIN:
+        if dim < 2:
+            return _maxmin_film(cfg, ctx)[..., dim]
+        cfg = cfg._replace(kind=ZEROTWO)  # higher dims: (0,2)-sequence family
     if cfg.kind == ZEROTWO:
         scr = _pixel_hash(cfg, ctx, dim)
         if dim < 2:
@@ -118,7 +194,8 @@ def get_1d(cfg: SamplerCfg, ctx: SampleCtx, dim: int):
             (perm.astype(jnp.float32) + jitter) / cfg.spp,
             rngmod.FLOAT_ONE_MINUS_EPSILON,
         )
-    # RANDOM and fallback
+    if cfg.kind != RANDOM:
+        raise ValueError(f"unknown sampler kind {cfg.kind}")
     px = ctx.pixel[..., 0].astype(U32)
     py = ctx.pixel[..., 1].astype(U32)
     return rngmod.uniform_float(
@@ -130,8 +207,12 @@ def get_2d(cfg: SamplerCfg, ctx: SampleCtx, dim: int):
     if ctx.pss is not None:
         u = ctx.pss.shape[1]
         return jnp.stack([ctx.pss[:, dim % u], ctx.pss[:, (dim + 1) % u]], axis=-1)
-    if cfg.kind == SOBOL:
+    if cfg.kind in (SOBOL, HALTON):
         return jnp.stack([get_1d(cfg, ctx, dim), get_1d(cfg, ctx, dim + 1)], axis=-1)
+    if cfg.kind == MAXMIN:
+        if dim < 2:
+            return _maxmin_film(cfg, ctx)
+        cfg = cfg._replace(kind=ZEROTWO)
     if cfg.kind == ZEROTWO:
         scr_x = _pixel_hash(cfg, ctx, dim)
         scr_y = _pixel_hash(cfg, ctx, dim + 1)
@@ -159,6 +240,10 @@ def get_1d_dyn(cfg: SamplerCfg, ctx: SampleCtx, dim):
     unroll (compile time ~ O(1) in max_depth)."""
     if cfg.kind == SOBOL:
         return ld.sobol_sample(ctx.global_index, dim)
+    if cfg.kind == HALTON:
+        return ld.halton_sample_dyn(ctx.global_index.lo, dim)
+    if cfg.kind == MAXMIN:
+        cfg = cfg._replace(kind=ZEROTWO)  # traced dims are integrator dims >= 5
     if cfg.kind == ZEROTWO:
         return ld.van_der_corput_sample(ctx.sample_num, _pixel_hash(cfg, ctx, dim))
     if cfg.kind == STRATIFIED:
@@ -168,6 +253,8 @@ def get_1d_dyn(cfg: SamplerCfg, ctx: SampleCtx, dim):
             (perm.astype(jnp.float32) + jitter) / cfg.spp,
             rngmod.FLOAT_ONE_MINUS_EPSILON,
         )
+    if cfg.kind != RANDOM:
+        raise ValueError(f"unknown sampler kind {cfg.kind}")
     px = ctx.pixel[..., 0].astype(U32)
     py = ctx.pixel[..., 1].astype(U32)
     return rngmod.uniform_float(
@@ -176,6 +263,8 @@ def get_1d_dyn(cfg: SamplerCfg, ctx: SampleCtx, dim):
 
 
 def get_2d_dyn(cfg: SamplerCfg, ctx: SampleCtx, dim):
+    if cfg.kind == MAXMIN:
+        cfg = cfg._replace(kind=ZEROTWO)
     if cfg.kind == ZEROTWO:
         return ld.sobol_02(
             ctx.sample_num, _pixel_hash(cfg, ctx, dim), _pixel_hash(cfg, ctx, dim + 1)
@@ -209,6 +298,12 @@ def get_dims(cfg: SamplerCfg, ctx: SampleCtx, dim0, n_dims: int):
         return jnp.stack(
             [get_1d_dyn(cfg, ctx, dim0 + k) for k in range(n_dims)], axis=-1
         )
+    if cfg.kind == HALTON and isinstance(dim0, int):
+        # per-dim prime bases are static: unroll the dims here so the
+        # fori_loop bounce body can dynamic-slice one hoisted table
+        return jnp.stack(
+            [get_1d(cfg, ctx, dim0 + k) for k in range(n_dims)], axis=-1
+        )
     return None
 
 
@@ -231,38 +326,44 @@ def get_camera_dims(cfg: SamplerCfg, ctx: SampleCtx, pixel):
 
 
 def _permute(i, n: int, key):
-    """Pseudorandom permutation of [0, n) via cycle-walking Feistel-lite
-    (Kensler-style hash permutation used by correlated multi-jitter)."""
+    """Pseudorandom permutation of [0, n) via cycle-walking a k-bit-domain
+    permutation (k = ceil(log2 n)).
+
+    Every round op is individually bijective on [0, 2^k): odd-constant
+    multiply mod 2^k, constant XOR/add mod 2^k, and x ^= x >> s (an
+    invertible upper-triangular linear map).  This matters: a Kensler-style
+    hash with an even multiplier (0x74DCCA9A) is provably 2-to-1 mod any
+    power of two — all its low-bit operations depend only on low bits, so
+    lost low-bit information never comes back (round-1 bug: duplicated
+    strata in the stratified sampler)."""
     i = jnp.asarray(i, U32)
     if n <= 1:
         return jnp.zeros_like(i)
-    # next pow2 mask
-    w = int(2 ** np.ceil(np.log2(n))) - 1
-    w_u = U32(w)
+    k = int(np.ceil(np.log2(n)))
+    mask = U32((1 << k) - 1)
+    key = jnp.asarray(key, U32)
+    # per-key round constants (splitmix-style host-free mixing)
+    c1 = (key * U32(0x9E3779B9) + U32(0x85EBCA6B)) & mask
+    c2 = ((key ^ U32(0xC2B2AE35)) * U32(0x27D4EB2F) + U32(0x165667B1)) & mask
+    s1 = U32(max(1, k // 2))
+    s2 = U32(max(1, (k + 2) // 3))
 
-    def scramble(x):
-        x ^= key
-        x *= U32(0xE170893D)
-        x ^= key >> U32(16)
-        x ^= (x & w_u) >> U32(4)
-        x ^= key >> U32(8)
-        x *= U32(0x0929EB3F)
-        x ^= key >> U32(23)
-        x ^= (x & w_u) >> U32(1)
-        x *= U32(1) | key >> U32(27)
-        x *= U32(0x6935FA69)
-        x ^= (x & w_u) >> U32(11)
-        x *= U32(0x74DCCA9A)
-        x ^= (x & w_u) >> U32(2)
-        x *= U32(0x9E501CC3)
-        x ^= (x & w_u) >> U32(2)
-        x *= U32(0xC860A3DF)
-        x &= w_u
-        x ^= x >> U32(5)
+    def perm(x):
+        x = (x * U32(0x2545F491)) & mask  # odd
+        x = x ^ c1
+        x = x ^ (x >> s1)
+        x = (x + c2) & mask
+        x = (x * U32(0x6935FA69)) & mask  # odd
+        x = x ^ (x >> s2)
+        x = x ^ (c1 >> U32(1))
+        x = (x * U32(0x9E501CC3)) & mask  # odd
+        x = x ^ (x >> s1)
         return x
 
-    # scramble, then cycle-walk until < n (pow2 gap < 2x: 8 tries plenty)
-    x = scramble(i)
-    for _ in range(7):
-        x = jnp.where(x >= U32(n), scramble(x), x)
+    # cycle-walk: repeatedly apply the same 2^k permutation until the value
+    # lands in [0, n); the induced map on [0, n) is a permutation.  Pow2 gap
+    # is < 2x so 15 retries leave < 2^-16 fallback probability per lane.
+    x = perm(i)
+    for _ in range(15):
+        x = jnp.where(x >= U32(n), perm(x), x)
     return jnp.where(x >= U32(n), x % U32(n), x)

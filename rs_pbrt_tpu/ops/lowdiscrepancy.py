@@ -208,6 +208,105 @@ def scrambled_radical_inverse(base_index, a, perm, max_digits: int = 32):
     )
 
 
+def inverse_radical_inverse_2(inverse, n_digits: int):
+    """Inverse of the base-2 radical inverse over n_digits digits: the index
+    whose radical inverse has digit string `inverse` (reference
+    lowdiscrepancy.rs:788 specialized to base 2 = n_digits-bit reversal)."""
+    inverse = jnp.asarray(inverse, U32)
+    index = jnp.zeros_like(inverse)
+    for _ in range(n_digits):
+        index = (index << U32(1)) | (inverse & U32(1))
+        inverse = inverse >> U32(1)
+    return index
+
+
+def inverse_radical_inverse_3(inverse, n_digits: int):
+    """Base-3 variant of inverse_radical_inverse (reference :788)."""
+    inverse = jnp.asarray(inverse, U32)
+    index = jnp.zeros_like(inverse)
+    for _ in range(n_digits):
+        digit = inverse % U32(3)
+        inverse = inverse // U32(3)
+        index = index * U32(3) + digit
+    return index
+
+
+# ---------------------------------------------------------------------------
+# Halton permutation tables (reference samplers/halton.rs:19-26: a single
+# lazily-built table from a default-seeded PCG32, shared by every sampler).
+# Built lazily and grown on demand: building base i consumes the PCG32 stream
+# strictly after bases < i, so a K-base prefix is bit-exact vs the reference's
+# full 1000-base table.
+_halton_perms_host: np.ndarray | None = None
+_halton_perms_bases = 0
+_halton_perms_dev = None
+
+
+def halton_permutations(n_bases: int):
+    """Device (flat u32) scrambling permutations covering the first n_bases
+    prime bases, offset by PRIME_SUMS.  Grown geometrically so repeated calls
+    with increasing dims don't rebuild the PCG stream."""
+    global _halton_perms_host, _halton_perms_bases, _halton_perms_dev
+    if n_bases > _halton_perms_bases:
+        grow = max(n_bases, 2 * max(_halton_perms_bases, 32))
+        grow = min(grow, len(PRIMES))
+        _halton_perms_host = compute_radical_inverse_permutations(n_bases=grow)
+        _halton_perms_bases = grow
+        _halton_perms_dev = jnp.asarray(_halton_perms_host.astype(np.uint32))
+    return _halton_perms_dev
+
+
+def halton_sample(index, dim: int, base_exp_x: int, base_scale_y: int):
+    """Halton sample for a 32-bit global index with STATIC dim (reference
+    halton.rs:216-227 sample_dimension): dims 0/1 shift out the
+    pixel-selecting digits (yielding the in-pixel offset directly), higher
+    dims use the scrambled radical inverse in the dim-th prime base."""
+    index = jnp.asarray(index, U32)
+    if dim == 0:
+        # radical_inverse(0, ·) == bit reversal == van_der_corput_sample
+        return van_der_corput_sample(index >> U32(base_exp_x))
+    if dim == 1:
+        return radical_inverse(1, index // U32(base_scale_y))
+    perms = halton_permutations(dim + 1)
+    base = int(PRIMES[dim])
+    off = int(PRIME_SUMS[dim])
+    return scrambled_radical_inverse(dim, index, perms[off : off + base])
+
+
+def halton_sample_dyn(index, dim, max_bases: int = 256):
+    """Halton sample with a TRACED dim >= 2 (bounded by max_bases): the prime
+    base and permutation offset are gathered per lane; a fixed 14-digit loop
+    covers every base >= 5 at 32-bit index width (base 5 needs
+    ceil(32/log2 5) = 14 digits; traced dims only occur for integrator
+    dimensions, which start at 5)."""
+    perms = halton_permutations(max_bases)
+    primes_d = jnp.asarray(PRIMES[:max_bases].astype(np.uint32))
+    sums_d = jnp.asarray(PRIME_SUMS[:max_bases].astype(np.uint32))
+    dim = jnp.clip(jnp.asarray(dim, jnp.int32), 2, max_bases - 1)
+    base = primes_d[dim]
+    off = sums_d[dim]
+    a = jnp.asarray(index, U32)
+    inv_base = 1.0 / base.astype(jnp.float32)
+    reversed_digits = jnp.zeros_like(a)
+    inv_base_n = jnp.ones(jnp.shape(a), jnp.float32)
+    cur = a
+    for _ in range(14):
+        nonzero = cur > 0
+        nxt = cur // base
+        digit = cur - nxt * base
+        pdigit = perms[(off + digit).astype(jnp.int32)]
+        reversed_digits = jnp.where(
+            nonzero, reversed_digits * base + pdigit, reversed_digits
+        )
+        inv_base_n = jnp.where(nonzero, inv_base_n * inv_base, inv_base_n)
+        cur = nxt
+    tail = inv_base * perms[off.astype(jnp.int32)].astype(jnp.float32) / (1.0 - inv_base)
+    return jnp.minimum(
+        inv_base_n * (reversed_digits.astype(jnp.float32) + tail),
+        FLOAT_ONE_MINUS_EPSILON,
+    )
+
+
 def compute_radical_inverse_permutations(rng: Pcg32 | None = None, n_bases: int = 1000):
     """Host-side permutation tables for the first n_bases prime bases
     (reference lowdiscrepancy.rs:2165 compute_radical_inverse_permutations),
