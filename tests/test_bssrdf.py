@@ -5,6 +5,10 @@ import jax.numpy as jnp
 
 from rs_pbrt_tpu.ops import bssrdf as bss
 
+import pytest
+
+pytestmark = pytest.mark.slow  # FD-gradient / BSSRDF renders: nightly profile
+
 
 class TestTables:
     def test_rho_eff_monotone_bounded(self):

@@ -1,5 +1,6 @@
 """Bump-mapping test (reference core/material.rs bump :118)."""
 
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -37,6 +38,7 @@ def _render(scene):
 
 
 class TestBump:
+    @pytest.mark.slow
     def test_bump_changes_shading(self):
         """A ramped displacement under grazing light shifts the shading;
         a constant displacement leaves it untouched."""

@@ -185,6 +185,7 @@ class TestHairBsdf:
 
 
 class TestHairRender:
+    @pytest.mark.slow
     def test_hair_patch_renders(self):
         """End-to-end: a patch of hair fibers over a floor, point light."""
         from rs_pbrt_tpu.models import cameras as cam

@@ -18,6 +18,10 @@ from rs_pbrt_tpu.scene import presets
 from rs_pbrt_tpu.scene.builder import SceneBuilder
 from rs_pbrt_tpu.utils import transform as tr
 
+import pytest
+
+pytestmark = pytest.mark.slow  # FD-gradient / BSSRDF renders: nightly profile
+
 
 def _loss(img):
     return jnp.mean(img)

@@ -95,6 +95,7 @@ class TestAO:
 
 
 class TestVolPath:
+    @pytest.mark.slow
     def test_vacuum_matches_path(self):
         # same estimator expectation; dims differ so compare image means
         scene, camera = presets.cornell_box(resolution=(16, 16))
@@ -104,6 +105,7 @@ class TestVolPath:
             img_v.mean(axis=(0, 1)), img_p.mean(axis=(0, 1)), rtol=0.05
         )
 
+    @pytest.mark.slow
     def test_absorbing_medium_darkens(self):
         def make(sig_a):
             b = SceneBuilder()
@@ -150,6 +152,7 @@ class TestVolPath:
         np.testing.assert_allclose(img[4, 4], want, rtol=0.1)
 
 
+@pytest.mark.slow
 class TestSPPM:
     def test_cornell_close_to_path(self):
         from rs_pbrt_tpu.models.integrators import sppm
@@ -177,6 +180,7 @@ class TestSPPM:
         assert np.isfinite(img1).all() and np.isfinite(img4).all()
 
 
+@pytest.mark.slow
 class TestBDPT:
     def test_matches_path_all_depths(self):
         from rs_pbrt_tpu.models.integrators import bdpt
@@ -193,6 +197,7 @@ class TestBDPT:
             np.testing.assert_allclose(img.mean(), pimg.mean(), rtol=0.06)
 
 
+@pytest.mark.slow
 class TestMLT:
     def test_cornell_converges_to_path(self):
         from rs_pbrt_tpu.models.integrators import mlt
@@ -207,6 +212,7 @@ class TestMLT:
         np.testing.assert_allclose(img.mean(), pimg.mean(), rtol=0.15)
 
 
+@pytest.mark.slow
 class TestGridMedia:
     def test_constant_grid_matches_beer_lambert(self):
         from rs_pbrt_tpu.utils import transform as tr2

@@ -1,5 +1,6 @@
 """Spatial light distribution tests (reference core/lightdistrib.rs)."""
 
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -40,6 +41,7 @@ class TestSpatialDistrib:
         np.testing.assert_allclose(cdf[:, -1], 1.0, atol=1e-5)
         assert np.all(np.diff(cdf, axis=-1) >= -1e-6)
 
+    @pytest.mark.slow
     def test_spatial_matches_power_in_expectation(self):
         """Light-selection strategy must not change the rendered mean
         (only the variance) — reference lightdistrib semantics."""

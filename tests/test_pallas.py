@@ -65,6 +65,7 @@ class TestSweepKernels:
         )
         assert np.array_equal(np.asarray(po), np.asarray(bo))
 
+    @pytest.mark.slow
     def test_fused_record_matches_unfused(self, cornell_rays):
         scene, o, d, t_max = cornell_rays
         rec = pin.pallas_intersect_tris_full(o, d, t_max, scene.tri_attr, scene.n_tris)
@@ -114,6 +115,7 @@ class TestSobolKernel:
             assert np.abs(g - w).max() <= 2.0 ** -24, bits  # <= 1 ulp in [0,1)
 
 
+@pytest.mark.slow
 class TestMegakernel:
     def test_bounce_megakernel_matches_general_path(self):
         """The single-kernel bounce loop (ops/pallas_path.py) must agree

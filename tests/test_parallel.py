@@ -38,6 +38,7 @@ class TestShardedRender:
         # differs across the shard boundary
         assert np.allclose(img8, img1, rtol=1e-4, atol=1e-5)
 
+    @pytest.mark.slow
     def test_device_count_invariance(self, cornell):
         scene, camera, cfg, scfg = cornell
         img2 = np.asarray(
@@ -52,6 +53,7 @@ class TestShardedRender:
         )
         assert np.allclose(img2, img4, rtol=1e-5, atol=1e-6)
 
+    @pytest.mark.slow
     def test_batch_split_invariance(self, cornell):
         scene, camera, cfg, scfg = cornell
         mesh = pmesh.make_mesh(jax.devices()[:4])

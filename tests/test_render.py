@@ -58,6 +58,7 @@ class TestAnalytic:
 
 
 class TestFurnace:
+    @pytest.mark.slow
     def test_matte_sphere_furnace(self):
         scene, camera = presets.furnace_sphere(resolution=(17, 17), albedo=0.5)
         img = _render(scene, camera, spp=32, max_depth=8)
@@ -98,6 +99,7 @@ class TestCornell:
         assert cornell_img[28:31, 8:24].mean() > 0.001
 
 
+@pytest.mark.slow
 class TestSamplerConvergence:
     def test_sobol_lower_error_than_random(self):
         scene, camera = presets.furnace_sphere(resolution=(9, 9), albedo=0.5)
