@@ -216,9 +216,71 @@ def tr_pdf_wh(wo, wh, ax, ay):
     )
 
 
+# ---- Beckmann distribution (reference microfacet.rs:23 Beckmann*) ----
+# Available as the alternative MicrofacetDistribution (the reference's
+# materials default to TrowbridgeReitz; mixmat machinery can carry Beckmann).
+
+def bk_roughness_to_alpha(roughness):
+    """Identical fit to the TR remap (reference microfacet.rs:81)."""
+    return tr_roughness_to_alpha(roughness)
+
+
+def bk_d(wh, ax, ay):
+    """Beckmann NDF (reference microfacet.rs BeckmannDistribution::d)."""
+    t2 = tan2_theta(wh)
+    c4 = cos2_theta(wh) ** 2
+    e = jnp.exp(
+        -t2 * (cos_phi(wh) ** 2 / jnp.maximum(ax * ax, 1e-12)
+               + sin_phi(wh) ** 2 / jnp.maximum(ay * ay, 1e-12))
+    )
+    d = e / (vm.PI * ax * ay * jnp.maximum(c4, 1e-16))
+    return jnp.where(jnp.isfinite(t2) & (c4 > 1e-16), d, 0.0)
+
+
+def bk_lambda(w, ax, ay):
+    """Beckmann Lambda via the rational approximation (microfacet.rs)."""
+    abs_tan = jnp.sqrt(jnp.maximum(tan2_theta(w), 0.0))
+    alpha = jnp.sqrt(
+        jnp.maximum(cos_phi(w) ** 2 * ax * ax + sin_phi(w) ** 2 * ay * ay, 1e-12)
+    )
+    a = 1.0 / jnp.maximum(alpha * abs_tan, 1e-12)
+    lam = (1.0 - 1.259 * a + 0.396 * a * a) / (3.535 * a + 2.181 * a * a)
+    lam = jnp.where(a >= 1.6, 0.0, lam)
+    return jnp.where(jnp.isfinite(abs_tan), lam, 0.0)
+
+
+def bk_g1(w, ax, ay):
+    return 1.0 / (1.0 + bk_lambda(w, ax, ay))
+
+
+def bk_g(wo, wi, ax, ay):
+    return 1.0 / (1.0 + bk_lambda(wo, ax, ay) + bk_lambda(wi, ax, ay))
+
+
+def bk_sample_wh(wo, u, ax, ay):
+    """Full-distribution Beckmann wh sampling (the non-visible-area branch
+    of microfacet.rs sample_wh — anisotropic log-sampling)."""
+    logs = jnp.log(jnp.maximum(1.0 - u[..., 0], 1e-20))
+    phi = jnp.arctan(ay / ax * jnp.tan(2.0 * vm.PI * u[..., 1] + 0.5 * vm.PI))
+    phi = jnp.where(u[..., 1] > 0.5, phi + vm.PI, phi)
+    sp, cp = jnp.sin(phi), jnp.cos(phi)
+    t2 = -logs / jnp.maximum(cp * cp / (ax * ax) + sp * sp / (ay * ay), 1e-12)
+    ct = 1.0 / jnp.sqrt(1.0 + t2)
+    st = jnp.sqrt(jnp.maximum(1.0 - ct * ct, 0.0))
+    wh = jnp.stack([st * cp, st * sp, ct], axis=-1)
+    # flip into wo's hemisphere
+    flip = ~same_hemisphere(wo, wh)
+    return jnp.where(flip[..., None], -wh, wh)
+
+
+def bk_pdf_wh(wo, wh, ax, ay):
+    """pdf of the full-distribution sampler: D * |cos wh|."""
+    return bk_d(wh, ax, ay) * abs_cos_theta(wh)
+
+
 # ---- per-lane BSDF parameter block ----
 
-N_LOBE_KINDS = 13
+N_LOBE_KINDS = 18
 (
     LOBE_NONE,
     LOBE_LAMBERT,
@@ -233,7 +295,16 @@ N_LOBE_KINDS = 13
     LOBE_HAIR,
     LOBE_FOURIER,
     LOBE_LAMBERT_TRANS,
+    LOBE_MICROFACET_TRANS,  # reflection.rs:1211 MicrofacetTransmission
+    LOBE_SPEC_TRANS,  # reflection.rs SpecularTransmission (eta from b.eta)
+    LOBE_SPEC_TRANS_PASS,  # SpecularTransmission(t, 1, 1): uber opacity
+    LOBE_SPEC_REFL_FR,  # SpecularReflection with dielectric fresnel (uber kr)
+    LOBE_DISNEY_CLEARCOAT,  # disney.rs DisneyClearcoat (GTR1)
 ) = range(N_LOBE_KINDS)
+
+# transmission-side lobes (used by sidedness masks)
+_TRANS_LOBES = (LOBE_LAMBERT_TRANS, LOBE_MICROFACET_TRANS, LOBE_SPEC_TRANS,
+                LOBE_SPEC_TRANS_PASS)
 
 
 # ---- hair BSDF (reference materials/hair.rs:178-790, Marschner/Chiang) ----
@@ -562,6 +633,21 @@ class Bsdf:
     # STATIC bitmask of lobe kinds possibly present (from the scene's
     # material-type mask) — absent families compile to nothing
     lobe_mask: int = struct.field(pytree_node=False, default=-1)
+    # slots 2/3 (None unless the material set needs >2 lobes: uber's 4-lobe
+    # stack, rough translucent's 4, mix's two scaled children — the
+    # reference carries up to 8 BxDFs, reflection.rs:280)
+    kind2: object = None  # (N,) or None
+    kind3: object = None
+    r2: object = None  # (N,3)
+    r3: object = None
+    # per-slot parameter overrides for slots 2/3 (mix: material B's
+    # roughness/eta/sigma differ from material A's in slots 0/1)
+    ax2: object = None
+    ay2: object = None
+    eta2: object = None
+    sigma2: object = None
+    # STATIC: use the Beckmann distribution for microfacet lobes
+    use_beckmann: bool = struct.field(pytree_node=False, default=False)
 
 
 def make_bsdf_at(scene, it):
@@ -609,6 +695,8 @@ def make_bsdf_at(scene, it):
             params = override1(params, sa.TEX_SLOT_ROUGH_U, sa.MP_ROUGH_U)
         if sm & (1 << sa.TEX_SLOT_ROUGH_V):
             params = override1(params, sa.TEX_SLOT_ROUGH_V, sa.MP_ROUGH_V)
+        if sm & (1 << sa.TEX_SLOT_OPACITY):
+            params = override3(params, sa.TEX_SLOT_OPACITY, sa.MP_OPACITY)
     fou = None
     if scene.has_fourier:
         from .fourier_bsdf import FourierTable
@@ -673,12 +761,16 @@ def _mat_lobes():
             sa.MATTE: (LOBE_LAMBERT, LOBE_ORENNAYAR),
             sa.PLASTIC: (LOBE_LAMBERT, LOBE_MICROFACET_REFL),
             sa.MIRROR: (LOBE_SPEC_REFL,),
-            sa.GLASS: (LOBE_FRESNEL_SPEC, LOBE_MICROFACET_REFL),
-            sa.SUBSURFACE: (LOBE_FRESNEL_SPEC, LOBE_MICROFACET_REFL),
+            sa.GLASS: (LOBE_FRESNEL_SPEC, LOBE_MICROFACET_REFL,
+                       LOBE_MICROFACET_TRANS),
+            sa.SUBSURFACE: (LOBE_FRESNEL_SPEC, LOBE_MICROFACET_REFL,
+                            LOBE_MICROFACET_TRANS),
             sa.METAL: (LOBE_MICROFACET_REFL_COND,),
             sa.SUBSTRATE: (LOBE_FRESNEL_BLEND,),
-            sa.UBER: (LOBE_LAMBERT, LOBE_MICROFACET_REFL),
-            sa.TRANSLUCENT: (LOBE_LAMBERT, LOBE_LAMBERT_TRANS),
+            sa.UBER: (LOBE_LAMBERT, LOBE_MICROFACET_REFL, LOBE_SPEC_REFL_FR,
+                      LOBE_SPEC_TRANS, LOBE_SPEC_TRANS_PASS),
+            sa.TRANSLUCENT: (LOBE_LAMBERT, LOBE_LAMBERT_TRANS,
+                             LOBE_MICROFACET_REFL, LOBE_MICROFACET_TRANS),
             sa.DISNEY: (LOBE_DISNEY_DIFFUSE, LOBE_DISNEY_GLOSS),
             sa.HAIR: (LOBE_HAIR,),
             sa.FOURIER: (LOBE_FOURIER,),
@@ -731,6 +823,15 @@ def make_bsdf(mat_type, params, uv=None, enable_hair=True, fou=None, mat_mask=-1
     kind1 = z + LOBE_NONE
     r0 = jnp.zeros((n, 3), jnp.float32)
     r1 = jnp.zeros((n, 3), jnp.float32)
+    # slots 2/3 only exist when the material set can need >2 lobes (STATIC)
+    need4 = hasm(sa.UBER) or hasm(sa.TRANSLUCENT) or hasm(sa.MIXMAT)
+    if need4:
+        kind2 = z + LOBE_NONE
+        kind3 = z + LOBE_NONE
+        r2 = jnp.zeros((n, 3), jnp.float32)
+        r3 = jnp.zeros((n, 3), jnp.float32)
+    else:
+        kind2 = kind3 = r2 = r3 = None
 
     is_black = lambda c: jnp.all(c == 0.0, axis=-1)
 
@@ -756,13 +857,20 @@ def make_bsdf(mat_type, params, uv=None, enable_hair=True, fou=None, mat_mask=-1
         r0 = jnp.where(m[:, None], kr, r0)
 
     if hasm(sa.GLASS) or hasm(sa.SUBSURFACE) or hasm(sa.MIXMAT):
-        # GLASS (materials/glass.rs): smooth -> FresnelSpecular;
-        # rough -> TR reflection (+ transmission folded into fresnel-spec path).
+        # GLASS (materials/glass.rs:107-205): smooth -> FresnelSpecular;
+        # rough -> MicrofacetReflection(kr) + MicrofacetTransmission(kt).
         # SUBSURFACE (materials/subsurface.rs) has the same glass-like surface
         # BSDF; its BSSRDF is handled by the integrator on transmission.
         m = (mat_type == sa.GLASS) | (mat_type == sa.SUBSURFACE)
-        kind0 = jnp.where(m, jnp.where(smooth, LOBE_FRESNEL_SPEC, LOBE_MICROFACET_REFL), kind0)
+        kind0 = jnp.where(
+            m & ~(~smooth & is_black(kr)),
+            jnp.where(smooth, LOBE_FRESNEL_SPEC, LOBE_MICROFACET_REFL), kind0,
+        )
+        kind1 = jnp.where(
+            m & ~smooth & ~is_black(kt), LOBE_MICROFACET_TRANS, kind1
+        )
         r0 = jnp.where(m[:, None], kr, r0)
+        r1 = jnp.where((m & ~smooth)[:, None], kt, r1)
 
     if hasm(sa.METAL) or hasm(sa.MIXMAT):
         # METAL (materials/metal.rs): TR conductor
@@ -778,12 +886,25 @@ def make_bsdf(mat_type, params, uv=None, enable_hair=True, fou=None, mat_mask=-1
         r1 = jnp.where(m[:, None], ks, r1)
 
     if hasm(sa.UBER) or hasm(sa.MIXMAT):
-        # UBER (materials/uber.rs): kd lambert + ks gloss (+kr spec refl folded)
+        # UBER (materials/uber.rs:142-257): opacity-scaled 4-lobe stack —
+        # lambert(kd*op) + microfacet(ks*op) + one specular slot
+        # (SpecRefl(kr*op) preferred, else SpecTrans(kt*op, eta)) + the
+        # opacity pass-through SpecularTransmission(1-op, 1, 1)
         m = mat_type == sa.UBER
-        kind0 = jnp.where(m & ~is_black(kd), LOBE_LAMBERT, kind0)
-        kind1 = jnp.where(m & ~is_black(ks), LOBE_MICROFACET_REFL, kind1)
-        r0 = jnp.where(m[:, None], kd, r0)
-        r1 = jnp.where(m[:, None], ks, r1)
+        op = params[:, sa.MP_OPACITY : sa.MP_OPACITY + 3]
+        t_pass = 1.0 - op
+        kd_u, ks_u, kr_u, kt_u = kd * op, ks * op, kr * op, kt * op
+        kind0 = jnp.where(m & ~is_black(kd_u), LOBE_LAMBERT, kind0)
+        kind1 = jnp.where(m & ~is_black(ks_u), LOBE_MICROFACET_REFL, kind1)
+        r0 = jnp.where(m[:, None], kd_u, r0)
+        r1 = jnp.where(m[:, None], ks_u, r1)
+        use_kr = ~is_black(kr_u)
+        spec_kind = jnp.where(use_kr, LOBE_SPEC_REFL_FR, LOBE_SPEC_TRANS)
+        spec_col = jnp.where(use_kr[:, None], kr_u, kt_u)
+        kind2 = jnp.where(m & ~is_black(spec_col), spec_kind, kind2)
+        r2 = jnp.where(m[:, None], spec_col, r2)
+        kind3 = jnp.where(m & ~is_black(t_pass), LOBE_SPEC_TRANS_PASS, kind3)
+        r3 = jnp.where(m[:, None], t_pass, r3)
 
     if hasm(sa.DISNEY) or hasm(sa.MIXMAT):
         # DISNEY (materials/disney.rs): base*(1-metallic) diffuse+retro lobe +
@@ -802,14 +923,20 @@ def make_bsdf(mat_type, params, uv=None, enable_hair=True, fou=None, mat_mask=-1
         sigma = jnp.where(m, rough_u, sigma)  # disney diffuse retro uses roughness
 
     if hasm(sa.TRANSLUCENT) or hasm(sa.MIXMAT):
-        # TRANSLUCENT (materials/translucent.rs): kd*reflect lambertian +
-        # kd*transmit LambertianTransmission; reflect/transmit colors ride the
-        # KR/KT param slots (builder defaults 0.5)
+        # TRANSLUCENT (materials/translucent.rs:82-185): the full 4-lobe
+        # stack at eta 1.5 — Lambertian refl/trans (kd x reflect/transmit)
+        # + Microfacet refl/trans (ks x reflect/transmit); reflect/transmit
+        # colors ride the KR/KT param slots (builder defaults 0.5)
         m = mat_type == sa.TRANSLUCENT
-        kind0 = jnp.where(m, LOBE_LAMBERT, kind0)
-        kind1 = jnp.where(m, LOBE_LAMBERT_TRANS, kind1)
+        kind0 = jnp.where(m & ~is_black(kd * kr), LOBE_LAMBERT, kind0)
+        kind1 = jnp.where(m & ~is_black(kd * kt), LOBE_LAMBERT_TRANS, kind1)
         r0 = jnp.where(m[:, None], kd * kr, r0)
         r1 = jnp.where(m[:, None], kd * kt, r1)
+        kind2 = jnp.where(m & ~is_black(ks * kr), LOBE_MICROFACET_REFL, kind2)
+        kind3 = jnp.where(m & ~is_black(ks * kt), LOBE_MICROFACET_TRANS, kind3)
+        r2 = jnp.where(m[:, None], ks * kr, r2)
+        r3 = jnp.where(m[:, None], ks * kt, r3)
+        eta = jnp.where(m, 1.5, eta)
 
     if hasm(sa.FOURIER):
         # FOURIER (materials/fourier.rs): tabulated single lobe; eval needs the
@@ -846,26 +973,116 @@ def make_bsdf(mat_type, params, uv=None, enable_hair=True, fou=None, mat_mask=-1
     return Bsdf(
         kind0, kind1, r0, r1, ax, ay, eta, sigma, eta3, k3, kt, h,
         bool(enable_hair), fou, lobe_mask_of(mat_mask),
+        kind2, kind3, r2, r3,
     )
 
 
 def num_components(b: Bsdf):
-    return (b.kind0 != LOBE_NONE).astype(jnp.int32) + (b.kind1 != LOBE_NONE).astype(
+    n = (b.kind0 != LOBE_NONE).astype(jnp.int32) + (b.kind1 != LOBE_NONE).astype(
         jnp.int32
     )
+    if b.kind2 is not None:
+        n = n + (b.kind2 != LOBE_NONE).astype(jnp.int32) + (
+            b.kind3 != LOBE_NONE
+        ).astype(jnp.int32)
+    return n
 
 
-def _lobe_f(kind, color, b: Bsdf, wo, wi, reflect):
+def disney_clearcoat_f(color, gloss, wo, wi):
+    """DisneyClearcoat lobe (reference disney.rs): GTR1 D, fixed-ior-1.5
+    Schlick fresnel, separable smith G with alpha 0.25.  `color.x` carries
+    the clearcoat weight; `gloss` the GTR1 alpha."""
+    wh = wi + wo
+    wh_ok = jnp.any(wh != 0.0, axis=-1)
+    wh_n = vm.normalize(wh)
+    a2 = jnp.maximum(gloss * gloss, 1e-6)
+    c2 = cos2_theta(wh_n)
+    d = (a2 - 1.0) / (vm.PI * jnp.log(a2) * jnp.maximum(1.0 + (a2 - 1.0) * c2, 1e-12))
+    fr = 0.04 + _pow5(1.0 - vm.absdot(wi, wh_n)) * (1.0 - 0.04)
+    lam = lambda w: tr_lambda(w, jnp.full_like(gloss, 0.25), jnp.full_like(gloss, 0.25))
+    g = 1.0 / (1.0 + lam(wo) + lam(wi))
+    weight = color[..., 0]
+    val = weight * d * fr * g / 4.0
+    return jnp.where(wh_ok, val, 0.0)[..., None] * jnp.ones_like(color)
+
+
+def _trans_eta(wo, eta):
+    """Relative IOR for a transmission event with eta_a=1 (air) outside:
+    eta_b/eta_a when entering (cosθo>0) else eta_a/eta_b (reflection.rs
+    MicrofacetTransmission::f)."""
+    return jnp.where(cos_theta(wo) > 0.0, eta, 1.0 / jnp.maximum(eta, 1e-6))
+
+
+def _microfacet_trans_f(color, b: Bsdf, wo, wi, ax, ay, eta):
+    """reference reflection.rs:1246-1313 (radiance transport factor 1/eta)."""
+    mf_d, mf_g, _, _, _ = _dist(b)
+    cto = cos_theta(wo)
+    cti = cos_theta(wi)
+    e = _trans_eta(wo, eta)
+    wh = vm.normalize(wo + wi * e[..., None])
+    wh = wh * jnp.sign(wh[..., 2:3])
+    dot_o = vm.dot(wo, wh)
+    dot_i = vm.dot(wi, wh)
+    fr = fr_dielectric(dot_o, 1.0, eta)
+    sqrt_denom = dot_o + e * dot_i
+    factor = 1.0 / jnp.maximum(e, 1e-6)  # TransportMode::Radiance
+    val = (
+        (1.0 - fr)[..., None]
+        * color
+        * jnp.abs(
+            mf_d(wh, ax, ay) * mf_g(wo, wi, ax, ay) * e * e * jnp.abs(dot_i)
+            * jnp.abs(dot_o) * factor * factor
+            / jnp.maximum(jnp.abs(cti * cto * sqrt_denom * sqrt_denom), 1e-12)
+        )[..., None]
+    )
+    ok = (cto != 0.0) & (cti != 0.0) & (dot_o * dot_i <= 0.0)
+    return jnp.where(ok[..., None], val, 0.0)
+
+
+def _microfacet_trans_pdf(b: Bsdf, wo, wi, ax, ay, eta):
+    """reference reflection.rs:1348-1370: wh pdf x |dwh/dwi| jacobian."""
+    _, _, _, _, mf_pdf_wh = _dist(b)
+    e = _trans_eta(wo, eta)
+    wh = vm.normalize(wo + wi * e[..., None])
+    dot_o = vm.dot(wo, wh)
+    dot_i = vm.dot(wi, wh)
+    sqrt_denom = dot_o + e * dot_i
+    dwh_dwi = jnp.abs(e * e * dot_i / jnp.maximum(sqrt_denom * sqrt_denom, 1e-12))
+    # sample_wh uses wh in wo's hemisphere
+    wh_s = wh * jnp.sign(wh[..., 2:3]) * jnp.sign(cos_theta(wo))[..., None]
+    pdf = mf_pdf_wh(wo, wh_s, ax, ay) * dwh_dwi
+    ok = ~same_hemisphere(wo, wi) & (dot_o * dot_i <= 0.0)
+    return jnp.where(ok, pdf, 0.0)
+
+
+def _slot_params(b: Bsdf, slot23: bool):
+    """(ax, ay, eta, sigma) for a lobe slot: slots 2/3 may carry their own
+    microfacet/eta params (mix materials)."""
+    if slot23 and b.ax2 is not None:
+        return b.ax2, b.ay2, b.eta2, b.sigma2
+    return b.ax, b.ay, b.eta, b.sigma
+
+
+def _dist(b: Bsdf):
+    """Static microfacet-distribution dispatch (microfacet.rs:22 enum)."""
+    if b.use_beckmann:
+        return bk_d, bk_g, bk_g1, bk_sample_wh, bk_pdf_wh
+    return tr_d, tr_g, tr_g1, tr_sample_wh, tr_pdf_wh
+
+
+def _lobe_f(kind, color, b: Bsdf, wo, wi, reflect, slot23: bool = False):
     """Evaluate one lobe slot for all lanes (specular lobes -> 0).
     Families absent from b.lobe_mask (STATIC) compile to nothing."""
     hasl = lambda k: b.lobe_mask < 0 or bool(b.lobe_mask & (1 << k))
     need_mf = hasl(LOBE_MICROFACET_REFL) or hasl(LOBE_MICROFACET_REFL_COND) or hasl(LOBE_FRESNEL_BLEND)
+    ax, ay, eta, sigma = _slot_params(b, slot23)
+    mf_d, mf_g, mf_g1, _, _ = _dist(b)
 
     out = jnp.zeros_like(color)
     if hasl(LOBE_LAMBERT):
         out = jnp.where((kind == LOBE_LAMBERT)[..., None], color * INV_PI, out)
     if hasl(LOBE_ORENNAYAR):
-        out = jnp.where((kind == LOBE_ORENNAYAR)[..., None], oren_nayar_f(color, b.sigma, wo, wi), out)
+        out = jnp.where((kind == LOBE_ORENNAYAR)[..., None], oren_nayar_f(color, sigma, wo, wi), out)
 
     if need_mf:
         wh = wi + wo
@@ -873,9 +1090,9 @@ def _lobe_f(kind, color, b: Bsdf, wo, wi, reflect):
         wh_n = vm.normalize(wh)
         # fresnel with wh facing forward (reference microfacetreflection::f)
         wh_f = wh_n * jnp.sign(wh_n[..., 2:3])
-        d_val = tr_d(wh_n, b.ax, b.ay)
+        d_val = mf_d(wh_n, ax, ay)
     if hasl(LOBE_MICROFACET_REFL) or hasl(LOBE_MICROFACET_REFL_COND):
-        g_val = tr_g(wo, wi, b.ax, b.ay)
+        g_val = mf_g(wo, wi, ax, ay)
         denom = 4.0 * abs_cos_theta(wi) * abs_cos_theta(wo)
         f_mf_base = jnp.where(
             (wh_ok & (denom > 0))[..., None],
@@ -883,7 +1100,7 @@ def _lobe_f(kind, color, b: Bsdf, wo, wi, reflect):
             0.0,
         )
         if hasl(LOBE_MICROFACET_REFL):
-            fr_d = fr_dielectric(vm.dot(wi, wh_f), 1.0, b.eta)
+            fr_d = fr_dielectric(vm.dot(wi, wh_f), 1.0, eta)
             out = jnp.where(
                 (kind == LOBE_MICROFACET_REFL)[..., None], f_mf_base * fr_d[..., None], out
             )
@@ -913,12 +1130,17 @@ def _lobe_f(kind, color, b: Bsdf, wo, wi, reflect):
     if hasl(LOBE_DISNEY_DIFFUSE):
         out = jnp.where(
             (kind == LOBE_DISNEY_DIFFUSE)[..., None],
-            disney_diffuse_f(color, b.sigma, wo, wi), out,
+            disney_diffuse_f(color, sigma, wo, wi), out,
         )
     if hasl(LOBE_DISNEY_GLOSS):
         out = jnp.where(
             (kind == LOBE_DISNEY_GLOSS)[..., None],
-            disney_gloss_f(color, b.ax, b.ay, wo, wi), out,
+            disney_gloss_f(color, ax, ay, wo, wi), out,
+        )
+    if hasl(LOBE_DISNEY_CLEARCOAT):
+        out = jnp.where(
+            (kind == LOBE_DISNEY_CLEARCOAT)[..., None],
+            disney_clearcoat_f(color, sigma, wo, wi), out,
         )
     # reflective lobes contribute only when geometric sidedness says reflect
     out = jnp.where(reflect[..., None], out, 0.0)
@@ -931,6 +1153,15 @@ def _lobe_f(kind, color, b: Bsdf, wo, wi, reflect):
             jnp.where((~same_hemisphere(wo, wi) & ~reflect)[..., None], color * INV_PI, 0.0),
             out,
         )
+    if hasl(LOBE_MICROFACET_TRANS):
+        # MicrofacetTransmission::f (reference reflection.rs:1246-1313):
+        # glossy transmission through the rough dielectric interface
+        ft = _microfacet_trans_f(color, b, wo, wi, ax, ay, eta)
+        out = jnp.where(
+            (kind == LOBE_MICROFACET_TRANS)[..., None],
+            jnp.where((~same_hemisphere(wo, wi) & ~reflect)[..., None], ft, 0.0),
+            out,
+        )
     # hair scatters over the full sphere — bypasses both masks
     if b.enable_hair and hasl(LOBE_HAIR):
         out = jnp.where((kind == LOBE_HAIR)[..., None], hair_f(b, wo, wi), out)
@@ -941,11 +1172,14 @@ def _lobe_f(kind, color, b: Bsdf, wo, wi, reflect):
     return out
 
 
-def _lobe_pdf(kind, b: Bsdf, wo, wi):
+def _lobe_pdf(kind, b: Bsdf, wo, wi, slot23: bool = False):
     hasl = lambda k: b.lobe_mask < 0 or bool(b.lobe_mask & (1 << k))
+    ax, ay, eta, sigma = _slot_params(b, slot23)
+    _, _, _, _, mf_pdf_wh = _dist(b)
     pdf_cos = abs_cos_theta(wi) * INV_PI
     need_mf = (hasl(LOBE_MICROFACET_REFL) or hasl(LOBE_MICROFACET_REFL_COND)
-               or hasl(LOBE_DISNEY_GLOSS) or hasl(LOBE_FRESNEL_BLEND))
+               or hasl(LOBE_DISNEY_GLOSS) or hasl(LOBE_FRESNEL_BLEND)
+               or hasl(LOBE_DISNEY_CLEARCOAT))
     same = same_hemisphere(wo, wi)
     out = jnp.zeros_like(pdf_cos)
     if hasl(LOBE_LAMBERT) or hasl(LOBE_ORENNAYAR) or hasl(LOBE_DISNEY_DIFFUSE):
@@ -955,7 +1189,7 @@ def _lobe_pdf(kind, b: Bsdf, wo, wi):
         )
     if need_mf:
         wh = vm.normalize(wi + wo)
-        pdf_mf = tr_pdf_wh(wo, wh, b.ax, b.ay) / jnp.maximum(4.0 * vm.dot(wo, wh), 1e-12)
+        pdf_mf = mf_pdf_wh(wo, wh, ax, ay) / jnp.maximum(4.0 * vm.dot(wo, wh), 1e-12)
         out = jnp.where(
             (kind == LOBE_MICROFACET_REFL) | (kind == LOBE_MICROFACET_REFL_COND)
             | (kind == LOBE_DISNEY_GLOSS),
@@ -963,9 +1197,27 @@ def _lobe_pdf(kind, b: Bsdf, wo, wi):
         )
         if hasl(LOBE_FRESNEL_BLEND):
             out = jnp.where(kind == LOBE_FRESNEL_BLEND, 0.5 * (pdf_cos + pdf_mf), out)
+        if hasl(LOBE_DISNEY_CLEARCOAT):
+            # clearcoat samples the GTR1 NDF (full distribution): pdf =
+            # D_gtr1 * |cos wh| / (4 wo.wh) (disney.rs DisneyClearcoat)
+            a2 = jnp.maximum(sigma * sigma, 1e-6)
+            c2 = cos2_theta(wh)
+            d_cc = (a2 - 1.0) / (
+                vm.PI * jnp.log(a2) * jnp.maximum(1.0 + (a2 - 1.0) * c2, 1e-12)
+            )
+            out = jnp.where(
+                kind == LOBE_DISNEY_CLEARCOAT,
+                d_cc * abs_cos_theta(wh) / jnp.maximum(4.0 * vm.dot(wo, wh), 1e-12),
+                out,
+            )
     out = jnp.where(same, out, 0.0)
     if hasl(LOBE_LAMBERT_TRANS):
         out = jnp.where(kind == LOBE_LAMBERT_TRANS, jnp.where(same, 0.0, pdf_cos), out)
+    if hasl(LOBE_MICROFACET_TRANS):
+        out = jnp.where(
+            kind == LOBE_MICROFACET_TRANS,
+            _microfacet_trans_pdf(b, wo, wi, ax, ay, eta), out,
+        )
     if b.enable_hair and hasl(LOBE_HAIR):
         out = jnp.where(kind == LOBE_HAIR, hair_pdf(b, wo, wi), out)
     if b.fou is not None and hasl(LOBE_FOURIER):
@@ -975,20 +1227,34 @@ def _lobe_pdf(kind, b: Bsdf, wo, wi):
     return out
 
 
+def _slots(b: Bsdf):
+    """List of (kind, color, slot23) for the present lobe slots (2 or 4 —
+    STATIC by scene material set)."""
+    s = [(b.kind0, b.r0, False), (b.kind1, b.r1, False)]
+    if b.kind2 is not None:
+        s.append((b.kind2, b.r2, True))
+        s.append((b.kind3, b.r3, True))
+    return s
+
+
 def bsdf_f(b: Bsdf, wo, wi, reflect):
     """Combined f over non-specular lobes (reference Bsdf::f reflection.rs:355)."""
-    return _lobe_f(b.kind0, b.r0, b, wo, wi, reflect) + _lobe_f(
-        b.kind1, b.r1, b, wo, wi, reflect
-    )
+    out = None
+    for kind, color, s23 in _slots(b):
+        v = _lobe_f(kind, color, b, wo, wi, reflect, s23)
+        out = v if out is None else out + v
+    return out
 
 
 def bsdf_pdf(b: Bsdf, wo, wi):
     """Average pdf over matching components (reference Bsdf::pdf)."""
-    p0 = _lobe_pdf(b.kind0, b, wo, wi)
-    p1 = _lobe_pdf(b.kind1, b, wo, wi)
+    p = None
+    for kind, _, s23 in _slots(b):
+        v = _lobe_pdf(kind, b, wo, wi, s23)
+        p = v if p is None else p + v
     n = num_components(b)
     has_any = n > 0
-    return jnp.where(has_any, (p0 + p1) / jnp.maximum(n.astype(jnp.float32), 1.0), 0.0)
+    return jnp.where(has_any, p / jnp.maximum(n.astype(jnp.float32), 1.0), 0.0)
 
 
 class BsdfSample(NamedTuple):
@@ -1008,9 +1274,36 @@ def bsdf_sample(b: Bsdf, wo, u2, uc) -> BsdfSample:
     """
     hasl = lambda k: b.lobe_mask < 0 or bool(b.lobe_mask & (1 << k))
     n_comp = num_components(b).astype(jnp.float32)
-    pick1 = (uc * jnp.maximum(n_comp, 1.0)) >= 1.0  # true -> lobe slot 1
-    kind = jnp.where(pick1, b.kind1, b.kind0)
-    color = jnp.where(pick1[..., None], b.r1, b.r0)
+    slots = _slots(b)
+    if len(slots) == 2:
+        pick1 = (uc * jnp.maximum(n_comp, 1.0)) >= 1.0  # true -> lobe slot 1
+        kind = jnp.where(pick1, b.kind1, b.kind0)
+        color = jnp.where(pick1[..., None], b.r1, b.r0)
+        sel23 = jnp.zeros(kind.shape, bool)
+    else:
+        # rank-select the ci-th PRESENT slot among 4 (reference
+        # reflection.rs:287-300 matching-component choice)
+        pres = [k != LOBE_NONE for k, _, _ in slots]
+        ci = jnp.floor(uc * jnp.maximum(n_comp, 1.0)).astype(jnp.int32)
+        ci = jnp.minimum(ci, jnp.maximum(num_components(b) - 1, 0))
+        rank = jnp.cumsum(jnp.stack([p.astype(jnp.int32) for p in pres], 0), 0) - 1
+        kind = slots[0][0] * 0 + LOBE_NONE
+        color = jnp.zeros_like(b.r0)
+        sel23 = jnp.zeros(kind.shape, bool)
+        for si, (k, c, s23) in enumerate(slots):
+            hit = pres[si] & (rank[si] == ci)
+            kind = jnp.where(hit, k, kind)
+            color = jnp.where(hit[..., None], c, color)
+            if s23:
+                sel23 = sel23 | hit
+    # per-lane slot params: slots 2/3 may carry their own (mix materials)
+    if b.ax2 is not None:
+        ax_s = jnp.where(sel23, b.ax2, b.ax)
+        ay_s = jnp.where(sel23, b.ay2, b.ay)
+        eta_s = jnp.where(sel23, b.eta2, b.eta)
+    else:
+        ax_s, ay_s, eta_s = b.ax, b.ay, b.eta
+    mf_d_f, mf_g_f, mf_g1_f, mf_sample_wh, mf_pdf_wh = _dist(b)
 
     # candidate wi per family
     wi_cos = cosine_sample_hemisphere(u2)
@@ -1025,23 +1318,64 @@ def bsdf_sample(b: Bsdf, wo, u2, uc) -> BsdfSample:
         kind == LOBE_DISNEY_GLOSS
     )
     if hasl(LOBE_MICROFACET_REFL) or hasl(LOBE_MICROFACET_REFL_COND) or hasl(LOBE_DISNEY_GLOSS):
-        wh = tr_sample_wh(wo, u2, b.ax, b.ay)
+        wh = mf_sample_wh(wo, u2, ax_s, ay_s)
         wi = jnp.where(is_mf[..., None], reflect_dir(wo, wh), wi)
+
+    # glossy transmission: sample wh, refract through it
+    # (reference MicrofacetTransmission::sample_f reflection.rs:1316-1346)
+    is_mft = kind == LOBE_MICROFACET_TRANS
+    mft_ok = jnp.ones(wo.shape[:-1], bool)
+    if hasl(LOBE_MICROFACET_TRANS):
+        wh_t = mf_sample_wh(wo, u2, ax_s, ay_s)
+        eta_r_t = jnp.where(cos_theta(wo) > 0.0, 1.0 / eta_s, eta_s)
+        wh_side = wh_t * jnp.sign(vm.dot(wo, wh_t))[..., None]
+        ok_rt, wi_rt = refract_dir(wo, wh_side, eta_r_t)
+        wi = jnp.where(is_mft[..., None], wi_rt, wi)
+        mft_ok = jnp.where(is_mft, ok_rt, mft_ok)
+
+    # GTR1 clearcoat wh sampling (disney.rs DisneyClearcoat::sample_f)
+    is_cc = kind == LOBE_DISNEY_CLEARCOAT
+    if hasl(LOBE_DISNEY_CLEARCOAT):
+        gloss_cc = jnp.where(sel23, b.sigma2, b.sigma) if b.ax2 is not None else b.sigma
+        a2c = jnp.maximum(gloss_cc * gloss_cc, 1e-6)
+        ct2 = (1.0 - jnp.power(a2c, 1.0 - u2[..., 0])) / jnp.maximum(1.0 - a2c, 1e-9)
+        ct_c = jnp.sqrt(jnp.clip(ct2, 0.0, 1.0))
+        st_c = jnp.sqrt(jnp.maximum(1.0 - ct2, 0.0))
+        phi_c = 2.0 * vm.PI * u2[..., 1]
+        wh_cc = jnp.stack([st_c * jnp.cos(phi_c), st_c * jnp.sin(phi_c), ct_c], -1)
+        wh_cc = jnp.where(same_hemisphere(wo, wh_cc)[..., None], wh_cc, -wh_cc)
+        wi = jnp.where(is_cc[..., None], reflect_dir(wo, wh_cc), wi)
 
     n_up = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0], wo.dtype), wo.shape)
     wi_spec = jnp.stack([-wo[..., 0], -wo[..., 1], wo[..., 2]], axis=-1)
     is_spec_r = kind == LOBE_SPEC_REFL
-    if hasl(LOBE_SPEC_REFL):
-        wi = jnp.where(is_spec_r[..., None], wi_spec, wi)
+    is_spec_rf = kind == LOBE_SPEC_REFL_FR
+    if hasl(LOBE_SPEC_REFL) or hasl(LOBE_SPEC_REFL_FR):
+        wi = jnp.where((is_spec_r | is_spec_rf)[..., None], wi_spec, wi)
+
+    # specular transmission (reference SpecularTransmission::sample_f):
+    # uber's kt (eta from the material) and opacity pass-through (eta 1)
+    is_st = kind == LOBE_SPEC_TRANS
+    is_stp = kind == LOBE_SPEC_TRANS_PASS
+    st_ok = jnp.ones(wo.shape[:-1], bool)
+    if hasl(LOBE_SPEC_TRANS):
+        ent_st = cos_theta(wo) > 0.0
+        eta_r_st = jnp.where(ent_st, 1.0 / eta_s, eta_s)
+        n_f_st = jnp.where(ent_st[..., None], n_up, -n_up)
+        ok_st, wi_st = refract_dir(wo, n_f_st, eta_r_st)
+        wi = jnp.where(is_st[..., None], wi_st, wi)
+        st_ok = jnp.where(is_st, ok_st, st_ok)
+    if hasl(LOBE_SPEC_TRANS_PASS):
+        wi = jnp.where(is_stp[..., None], -wo, wi)
 
     # fresnel specular (smooth glass): choose R/T by fresnel using u2.x
     # (reference FresnelSpecular::sample_f)
     is_fs = kind == LOBE_FRESNEL_SPEC
-    fr = fr_dielectric(cos_theta(wo), 1.0, b.eta)
+    fr = fr_dielectric(cos_theta(wo), 1.0, eta_s)
     choose_refl = u2[..., 0] < fr
     entering = cos_theta(wo) > 0.0
     if hasl(LOBE_FRESNEL_SPEC):
-        eta_ratio = jnp.where(entering, 1.0 / b.eta, b.eta)
+        eta_ratio = jnp.where(entering, 1.0 / eta_s, eta_s)
         n_facing = jnp.where(entering[..., None], n_up, -n_up)
         ok_t, wi_t = refract_dir(wo, n_facing, eta_ratio)
         wi_fs = jnp.where(choose_refl[..., None], wi_spec, wi_t)
@@ -1057,7 +1391,7 @@ def bsdf_sample(b: Bsdf, wo, u2, uc) -> BsdfSample:
             [jnp.where(fb_spec, 2.0 * (u2[..., 0] - 0.5), 2.0 * u2[..., 0]), u2[..., 1]],
             axis=-1,
         )
-        wh_fb = tr_sample_wh(wo, u_fb, b.ax, b.ay)
+        wh_fb = mf_sample_wh(wo, u_fb, ax_s, ay_s)
         wi_fb_cos = cosine_sample_hemisphere(u_fb)
         wi_fb_cos = wi_fb_cos * jnp.sign(jnp.where(cos_theta(wo) == 0, 1.0, cos_theta(wo)))[..., None]
         wi_fb = jnp.where(fb_spec[..., None], reflect_dir(wo, wh_fb), wi_fb_cos)
@@ -1074,16 +1408,16 @@ def bsdf_sample(b: Bsdf, wo, u2, uc) -> BsdfSample:
         wi = jnp.where((kind == LOBE_FOURIER)[..., None], wi_fou, wi)
     wi = vm.normalize(wi)
 
-    is_specular = is_fs | is_spec_r
-    is_transmission = (is_fs & ~choose_refl) | is_ltrans
+    is_specular = is_fs | is_spec_r | is_spec_rf | is_st | is_stp
+    is_transmission = (is_fs & ~choose_refl) | is_ltrans | is_mft | is_st | is_stp
 
     # --- pdf ---
     pdf_smooth = bsdf_pdf_with_choice(b, wo, wi)
-    # delta lobes: pdf over the discrete choice
+    # delta lobes: pdf over the discrete choice, divided by the number of
+    # matching components (reference reflection.rs Bsdf::sample_f epilogue)
     pdf_fs = jnp.where(choose_refl, fr, 1.0 - fr)
-    pdf = jnp.where(is_specular, jnp.where(is_fs, pdf_fs, 1.0), pdf_smooth)
-    # dividing by the uniform component-choice probability is folded into
-    # averaging over all components in bsdf_pdf (reference matches)
+    pdf_delta = jnp.where(is_fs, pdf_fs, 1.0) / jnp.maximum(n_comp, 1.0)
+    pdf = jnp.where(is_specular, pdf_delta, pdf_smooth)
 
     # --- f ---
     reflect_same = same_hemisphere(wo, wi)
@@ -1092,17 +1426,29 @@ def bsdf_sample(b: Bsdf, wo, u2, uc) -> BsdfSample:
     if hasl(LOBE_SPEC_REFL):
         # mirror: f = R/|cos| with the delta absorbed (fresnel no-op)
         f = jnp.where(is_spec_r[..., None], color / aci[..., None], f)
+    if hasl(LOBE_SPEC_REFL_FR):
+        # uber kr: dielectric-fresnel-weighted perfect mirror
+        f = jnp.where(is_spec_rf[..., None], (fr / aci)[..., None] * color, f)
+    if hasl(LOBE_SPEC_TRANS):
+        scale_st = jnp.where(entering, 1.0 / (eta_s * eta_s), eta_s * eta_s)
+        f_st = ((1.0 - fr) * scale_st / aci)[..., None] * color
+        f_st = jnp.where((is_st & ~st_ok)[..., None], 0.0, f_st)
+        f = jnp.where(is_st[..., None], f_st, f)
+    if hasl(LOBE_SPEC_TRANS_PASS):
+        # SpecularTransmission(t, 1, 1): F = 0, straight-through
+        f = jnp.where(is_stp[..., None], color / aci[..., None], f)
     if hasl(LOBE_FRESNEL_SPEC):
         f_fs_refl = (fr / aci)[..., None] * b.r0
         # radiance transport applies (eta_i/eta_t)^2 on transmission
-        scale_t = jnp.where(entering, 1.0 / (b.eta * b.eta), b.eta * b.eta)
+        scale_t = jnp.where(entering, 1.0 / (eta_s * eta_s), eta_s * eta_s)
         f_fs_trans = ((1.0 - fr) * scale_t / aci)[..., None] * b.kt
         f_fs = jnp.where(choose_refl[..., None], f_fs_refl, f_fs_trans)
         f_fs = jnp.where((is_fs & ~choose_refl & ~ok_t)[..., None], 0.0, f_fs)
         f = jnp.where(is_fs[..., None], f_fs, f)
 
-    # microfacet sample below horizon -> invalid
-    bad_mf = is_mf & ~same_hemisphere(wo, wi)
+    # microfacet sample below horizon -> invalid; failed refraction -> dead
+    bad_mf = (is_mf & ~same_hemisphere(wo, wi)) | (is_mft & (
+        same_hemisphere(wo, wi) | ~mft_ok)) | (is_st & ~st_ok)
     pdf = jnp.where(bad_mf, 0.0, pdf)
     f = jnp.where(bad_mf[..., None], 0.0, f)
     # no components at all

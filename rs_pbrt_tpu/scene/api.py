@@ -276,9 +276,12 @@ class PbrtAPI:
                 roughness=ps.find_one(params, "uroughness", ps.find_one(params, "roughness", 0.0)),
             )
         if mtype == "metal":
+            from ..utils.spectrum import copper_rgb
+
+            cu_eta, cu_k = copper_rgb()
             return b.add_metal(
-                eta3=ps.find_spectrum(params, "eta", (0.2, 0.92, 1.1)),
-                k3=ps.find_spectrum(params, "k", (3.9, 2.45, 2.14)),
+                eta3=ps.find_spectrum(params, "eta", cu_eta),
+                k3=ps.find_spectrum(params, "k", cu_k),
                 roughness=ps.find_one(params, "roughness", 0.01),
                 remap=ps.find_one(params, "remaproughness", True),
             )

@@ -15,6 +15,7 @@ import numpy as np
 
 from ..models import lights as lt
 from ..utils import transform as tr
+from ..utils.spectrum import copper_rgb
 from . import arrays as sa
 
 
@@ -71,7 +72,14 @@ class SceneBuilder:
             sa.GLASS, kr=kr, kt=kt, eta=eta, roughness=roughness, remap_roughness=remap
         )
 
-    def add_metal(self, eta3=(0.2, 0.92, 1.1), k3=(3.9, 2.45, 2.14), roughness=0.01, remap=True):
+    def add_metal(self, eta3=None, k3=None, roughness=0.01, remap=True):
+        """Conductor material; defaults to the measured copper spectra
+        resampled to RGB at build time (reference metal.rs:12-121:
+        Spectrum::from_sampled(COPPER_*))."""
+        if eta3 is None or k3 is None:
+            cu_eta, cu_k = copper_rgb()
+            eta3 = cu_eta if eta3 is None else eta3
+            k3 = cu_k if k3 is None else k3
         return self._add_material(sa.METAL, eta3=eta3, k3=k3, roughness=roughness, remap_roughness=remap)
 
     def add_substrate(self, kd=(0.5,) * 3, ks=(0.5,) * 3, roughness=0.1, remap=True):
@@ -299,7 +307,11 @@ class SceneBuilder:
         z_max = radius if z_max is None else z_max
         light_id = -1
         if area_light is not None:
-            area = 4.0 * np.pi * radius * radius  # full sphere area approx
+            # full-sphere area in WORLD units (o2w uniform scale folded in);
+            # drives both the power heuristic and the inside-sphere
+            # solid-angle pdf (models/lights.py _area_sample_sphere)
+            scale = float(np.linalg.norm(np.asarray(o2w.m, np.float32)[:3, 0]))
+            area = 4.0 * np.pi * (radius * scale) ** 2
             light_id = self._add_light(
                 sa.LIGHT_AREA, flags=sa.LF_AREA,
                 I=np.asarray(area_light.get("L", (1, 1, 1)), np.float32)

@@ -129,3 +129,19 @@ def spd_to_rgb(lambdas, values):
         ]
     )
     return (m @ xyz).astype(np.float32)
+
+
+_COPPER_RGB = None
+
+
+def copper_rgb():
+    """Measured copper (eta, k) resampled to RGB (reference metal.rs:108-121:
+    Spectrum::from_sampled(COPPER_WAVELENGTHS, COPPER_N/K)) — the reference's
+    built-in default when a metal material gives no eta/k."""
+    global _COPPER_RGB
+    if _COPPER_RGB is None:
+        wl = _DATA["copper_wavelengths"]
+        eta = tuple(float(v) for v in spd_to_rgb(wl, _DATA["copper_n"]))
+        k = tuple(float(v) for v in spd_to_rgb(wl, _DATA["copper_k"]))
+        _COPPER_RGB = (eta, k)
+    return _COPPER_RGB

@@ -98,6 +98,14 @@ def main():
     out["prime_sums"] = extract_const(ld, "PRIME_SUMS", np.uint32)
     out["c_max_min_dist"] = extract_const(ld, "C_MAX_MIN_DIST", np.uint32).reshape(17, 32)
 
+    # measured conductor spectra (physical data: CRC/Palik measurements
+    # shipped by pbrt; reference src/materials/metal.rs:12-117)
+    mt = REF.parent / "materials" / "metal.rs"
+    for name in ["COPPER_WAVELENGTHS", "COPPER_N", "COPPER_K"]:
+        arr = extract_const(mt, name, np.float64).astype(np.float32)
+        assert arr.shape == (56,), (name, arr.shape)
+        out[name.lower()] = arr
+
     OUT.parent.mkdir(parents=True, exist_ok=True)
     np.savez_compressed(OUT, **out)
     for k, v in out.items():
