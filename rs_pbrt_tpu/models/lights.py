@@ -69,6 +69,75 @@ def _area_sample_tri(scene: sa.Scene, light_idx, ref_p, u2):
     return p, ng
 
 
+def _sphere_light_geom(scene: sa.Scene, la):
+    """World-space (center, radius, reverse) of each lane's sphere area
+    light (la = gathered light_attr rows).  World radius folds the o2w
+    uniform scale (column-0 norm of the row-major 4x4)."""
+    from ..ops import gathers as gx
+
+    sidx = jnp.clip(gx.coli(la, sa.LA_SHAPE_IDX), 0, scene.sph_attr.shape[0] - 1)
+    sat = gx.take_rows(scene.sph_attr, sidx)
+    o2w = sat[:, sa.SP_O2W : sa.SP_O2W + 16]
+    center = o2w[:, jnp.array([3, 7, 11])]
+    scale = jnp.sqrt(o2w[:, 0] ** 2 + o2w[:, 4] ** 2 + o2w[:, 8] ** 2)
+    radius = sat[:, sa.SP_PARAMS] * scale
+    reverse = sat[:, sa.SP_REVERSE] > 0.5
+    return center, radius, reverse
+
+
+def _area_sample_sphere(scene: sa.Scene, la, ref_p, u2):
+    """Solid-angle sphere sampling (reference shapes/sphere.rs:391-480
+    sample_with_ref_point): uniform cone toward the sphere when the
+    reference point is outside, uniform area when inside.
+
+    Returns (p, n, pdf_solid_angle); pdf already in solid-angle measure so
+    the caller must NOT apply the dist^2/(cos*A) conversion."""
+    center, radius, reverse = _sphere_light_geom(scene, la)
+    r2 = radius * radius
+    wc_vec = center - ref_p
+    dc2 = jnp.maximum(vm.length_squared(wc_vec), 1e-20)
+    inside = dc2 <= r2
+
+    # --- outside: cone sampling (sphere.rs:432-480) ---
+    dc = jnp.sqrt(dc2)
+    wc = wc_vec / dc[..., None]
+    wcx, wcy = vm.coordinate_system(wc)
+    sin2_t_max = jnp.clip(r2 / dc2, 0.0, 1.0)
+    cos_t_max = jnp.sqrt(jnp.maximum(1.0 - sin2_t_max, 0.0))
+    cos_t = (1.0 - u2[..., 0]) + u2[..., 0] * cos_t_max
+    sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+    phi = u2[..., 1] * 2.0 * vm.PI
+    ds = dc * cos_t - jnp.sqrt(jnp.maximum(r2 - dc2 * sin_t * sin_t, 0.0))
+    cos_a = (dc2 + r2 - ds * ds) / jnp.maximum(2.0 * dc * radius, 1e-12)
+    sin_a = jnp.sqrt(jnp.maximum(1.0 - cos_a * cos_a, 0.0))
+    # normal in the frame (-wcx, -wcy, -wc) (sphere.rs: SphericalDirection)
+    n_cone = (
+        (sin_a * jnp.cos(phi))[..., None] * -wcx
+        + (sin_a * jnp.sin(phi))[..., None] * -wcy
+        + cos_a[..., None] * -wc
+    )
+    p_cone = center + radius[..., None] * n_cone
+    pdf_cone = smp.uniform_cone_pdf(cos_t_max)
+
+    # --- inside: uniform by area, pdf converted to solid angle ---
+    n_in = smp.uniform_sample_sphere(u2)
+    p_in = center + radius[..., None] * n_in
+    to_in = p_in - ref_p
+    d2_in = jnp.maximum(vm.length_squared(to_in), 1e-12)
+    wi_in = to_in / jnp.sqrt(d2_in)[..., None]
+    cos_in = jnp.abs(vm.dot(n_in, -wi_in))
+    area_w = 4.0 * vm.PI * jnp.maximum(r2, 1e-20)
+    pdf_in = jnp.where(
+        cos_in < 1e-7, 0.0, d2_in / jnp.maximum(cos_in * area_w, 1e-20)
+    )
+
+    p = jnp.where(inside[..., None], p_in, p_cone)
+    nrm = jnp.where(inside[..., None], n_in, n_cone)
+    nrm = jnp.where(reverse[..., None], -nrm, nrm)
+    pdf = jnp.where(inside, pdf_in, pdf_cone)
+    return p, nrm, pdf
+
+
 def sample_li(scene: sa.Scene, light_idx, ref_p, u2) -> LiSample:
     """light_idx: (N,) int32; ref_p: (N,3); u2: (N,2)."""
     from ..ops import gathers as gx
@@ -141,6 +210,13 @@ def sample_li(scene: sa.Scene, light_idx, ref_p, u2) -> LiSample:
     else:
         p_area = ref_p
         n_area = jnp.zeros_like(ref_p)
+    # sphere-shape area lights: cone/uniform sampling with a direct
+    # solid-angle pdf (sphere.rs:391); gated on the build-time static
+    if scene.has_sphere_lights:
+        p_sph, n_sph, pdf_sph = _area_sample_sphere(scene, la, ref_p, u2)
+        is_sph = gx.coli(la, sa.LA_GEOM) == sa.ALG_SPHERE
+        p_area = jnp.where(is_sph[..., None], p_sph, p_area)
+        n_area = jnp.where(is_sph[..., None], n_sph, n_area)
     to_a = p_area - ref_p
     d2a = jnp.maximum(vm.length_squared(to_a), 1e-12)
     wi_area = to_a / jnp.sqrt(d2a)[..., None]
@@ -153,6 +229,8 @@ def sample_li(scene: sa.Scene, light_idx, ref_p, u2) -> LiSample:
     # pdf_with_ref_point)
     pdf_area = d2a / jnp.maximum(jnp.abs(cos_l) * area, 1e-12)
     pdf_area = jnp.where(jnp.abs(cos_l) < 1e-7, 0.0, pdf_area)
+    if scene.has_sphere_lights:
+        pdf_area = jnp.where(is_sph, pdf_sph, pdf_area)
 
     # --- infinite (lights/infinite.rs sample_li) ---
     if scene.has_env:
@@ -230,14 +308,27 @@ def pdf_li_area(scene: sa.Scene, light_idx, ref_p, p_hit, n_hit):
     produced direction towards p_hit (for BSDF-sampling MIS)."""
     from ..ops import gathers as gx
 
-    lp = gx.take_rows(scene.light_attr, light_idx)[..., : sa.N_LIGHT_PARAMS]
+    la = gx.take_rows(scene.light_attr, light_idx)
+    lp = la[..., : sa.N_LIGHT_PARAMS]
     d = p_hit - ref_p
     d2 = jnp.maximum(vm.length_squared(d), 1e-12)
     wi = d / jnp.sqrt(d2)[..., None]
     cos_l = jnp.abs(vm.dot(n_hit, wi))
     area = jnp.maximum(lp[:, sa.LP_AREA], 1e-12)
     pdf = d2 / jnp.maximum(cos_l * area, 1e-12)
-    return jnp.where(cos_l < 1e-7, 0.0, pdf)
+    pdf = jnp.where(cos_l < 1e-7, 0.0, pdf)
+    if scene.has_sphere_lights:
+        # sphere lights sample a uniform cone from outside
+        # (sphere.rs pdf_with_ref_point), matching _area_sample_sphere
+        center, radius, _ = _sphere_light_geom(scene, la)
+        dc2 = jnp.maximum(vm.length_squared(center - ref_p), 1e-20)
+        r2 = radius * radius
+        outside = dc2 > r2
+        cos_t_max = jnp.sqrt(jnp.maximum(1.0 - jnp.clip(r2 / dc2, 0.0, 1.0), 0.0))
+        pdf_cone = smp.uniform_cone_pdf(cos_t_max)
+        is_sph = gx.coli(la, sa.LA_GEOM) == sa.ALG_SPHERE
+        pdf = jnp.where(is_sph & outside, pdf_cone, pdf)
+    return pdf
 
 
 def pdf_li_env(scene: sa.Scene, wi):
@@ -351,6 +442,17 @@ def sample_le(scene: sa.Scene, light_idx, u_pos, u_dir) -> LeSample:
         p_area, n_area = _area_sample_tri(scene, light_idx, pos, u_pos)
     else:
         p_area, n_area = pos, jnp.zeros_like(pos)
+    if scene.has_sphere_lights:
+        # photon emission from a sphere light: uniform by area
+        # (sphere.rs sample / diffuse.rs sample_le position term)
+        center, radius, reverse = _sphere_light_geom(scene, la)
+        dir_s = smp.uniform_sample_sphere(u_pos)
+        is_sph = gx.coli(la, sa.LA_GEOM) == sa.ALG_SPHERE
+        p_area = jnp.where(
+            is_sph[..., None], center + radius[..., None] * dir_s, p_area
+        )
+        n_s = jnp.where(reverse[..., None], -dir_s, dir_s)
+        n_area = jnp.where(is_sph[..., None], n_s, n_area)
     d_cos = smp.cosine_sample_hemisphere(u_dir)
     a1, a2 = vm.coordinate_system(n_area)
     d_area = d_cos[:, 0:1] * a1 + d_cos[:, 1:2] * a2 + d_cos[:, 2:3] * n_area

@@ -245,6 +245,10 @@ class Scene(NamedTuple):
     # shadow-alpha mask (gates the recast loop in scene_intersect)
     alpha_flag: jnp.ndarray
 
+    # shape-encoded static flag: (1,) if any area light is an ALG_SPHERE
+    # (gates the sphere cone-sampling branch in models/lights.py)
+    sphlight_flag: jnp.ndarray
+
     # shape-encoded static bitmasks (jitted code prunes absent branches):
     # tex_kind_flag.shape[0] = bitmask of texture TYPE tags present;
     # tex_slot_flag.shape[0] = bitmask of material texture SLOTS bound;
@@ -297,6 +301,10 @@ class Scene(NamedTuple):
     @property
     def has_alpha(self):
         return self.alpha_flag.shape[0] > 0
+
+    @property
+    def has_sphere_lights(self):
+        return self.sphlight_flag.shape[0] > 0
 
     @property
     def has_subsurface(self):
@@ -501,6 +509,10 @@ def finalize_scene(arrs: dict) -> Scene:
         if (np.any(np.asarray(arrs["tri_alpha"]) >= 0)
             or np.any(np.asarray(arrs["tri_salpha"]) >= 0))
         else 0,
+        np.float32,
+    )
+    arrs["sphlight_flag"] = np.zeros(
+        1 if np.any(np.asarray(arrs["light_geom_kind"]) == ALG_SPHERE) else 0,
         np.float32,
     )
     kind_mask = 0
