@@ -207,6 +207,7 @@ def render(
             max_depth=cfg.max_depth,
             initial_radius=float(ex.get("initial_radius", 0.0)),
             accel=accel,
+            stats=stats,
         )
     extra_t = tuple(sorted(ex.items()))
 

@@ -296,11 +296,26 @@ def sample_li(scene: sa.Scene, light_idx, ref_p, u2) -> LiSample:
 
 
 def _env_lookup(scene: sa.Scene, uv):
-    """Bilinear-free nearest lookup of the equirect radiance map."""
+    """Bilinear lookup of the equirect radiance map (reference
+    infinite.rs:339 uses the MipMap's triangle-filtered lookup; NEE/Le
+    queries are point lookups of level 0, which bilinear matches)."""
     h, w = scene.inf_radiance.shape[:2]
-    x = jnp.clip((uv[..., 0] * w).astype(jnp.int32), 0, w - 1)
-    y = jnp.clip((uv[..., 1] * h).astype(jnp.int32), 0, h - 1)
-    return scene.inf_radiance[y, x]
+    fx = uv[..., 0] * w - 0.5
+    fy = uv[..., 1] * h - 0.5
+    x0 = jnp.floor(fx)
+    y0 = jnp.floor(fy)
+    tx = (fx - x0)[..., None]
+    ty = (fy - y0)[..., None]
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    xw0 = jnp.mod(x0i, w)  # azimuth wraps
+    xw1 = jnp.mod(x0i + 1, w)
+    yc0 = jnp.clip(y0i, 0, h - 1)  # polar clamps
+    yc1 = jnp.clip(y0i + 1, 0, h - 1)
+    img = scene.inf_radiance
+    top = img[yc0, xw0] * (1.0 - tx) + img[yc0, xw1] * tx
+    bot = img[yc1, xw0] * (1.0 - tx) + img[yc1, xw1] * tx
+    return top * (1.0 - ty) + bot * ty
 
 
 def pdf_li_area(scene: sa.Scene, light_idx, ref_p, p_hit, n_hit):

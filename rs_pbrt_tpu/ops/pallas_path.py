@@ -69,12 +69,39 @@ class MegaCfg(NamedTuple):
     a_cols: int  # alight_tri_cdf.shape[1]
 
 
+_MEGA_CACHE: dict = {}
+
+
 def mega_cfg(scene, accel=None, light_distrib=None) -> Optional[MegaCfg]:
     """Host-side eligibility: returns a MegaCfg when the megakernel can
     render this scene, else None.  Must be called on a CONCRETE scene
-    (outside jit) — returns None for tracers."""
+    (outside jit) — returns None for tracers.
+
+    The decision reads device arrays back to host, so it is cached per
+    built scene (keyed on the mat/light buffer identities, weakref-checked
+    against id reuse) — repeated render calls pay no device->host sync."""
     if accel is not None or light_distrib is not None:
         return None
+    key = (id(scene.tri_p0), id(scene.mat_attr), id(scene.light_attr))
+    hit = _MEGA_CACHE.get(key)
+    if hit is not None:
+        refs, cfg = hit
+        if all(r() is a for r, a in zip(refs, (scene.tri_p0, scene.mat_attr, scene.light_attr))):
+            return cfg
+    cfg = _mega_cfg_uncached(scene)
+    try:
+        import weakref
+
+        refs = tuple(weakref.ref(a) for a in (scene.tri_p0, scene.mat_attr, scene.light_attr))
+        if len(_MEGA_CACHE) > 64:
+            _MEGA_CACHE.clear()
+        _MEGA_CACHE[key] = (refs, cfg)
+    except TypeError:
+        pass  # tracers / non-weakrefable leaves: just don't cache
+    return cfg
+
+
+def _mega_cfg_uncached(scene) -> Optional[MegaCfg]:
     # any traced leaf means we're inside a transform (jit/grad) — the
     # values below are unreadable, so the general path must serve
     if any(
