@@ -59,6 +59,39 @@ def main():
             }
         )
     )
+
+    # ---- config #2: Ganesha-scale (BASELINE.md row 3) — 1.31M-triangle
+    # displaced icosphere exercising LBVH traversal end to end.  The
+    # reference publishes no throughput for its 4.3M-tri statue scene;
+    # vs_baseline reuses the only published CPU signal (Cornell tiles/s),
+    # which overstates the reference at this scale — conservative for us.
+    from rs_pbrt_tpu.ops.scene_intersect import build_accel
+    from rs_pbrt_tpu.scene import bigscene
+
+    res2 = (256, 256)
+    spp2 = 8
+    scene2, camera2 = bigscene.statue_scene(resolution=res2, subdivisions=8)
+    accel2 = build_accel(scene2, kind="bvh")
+    cfg2 = rdr.RenderCfg("path", spp=spp2, max_depth=5, rr_threshold=1.0)
+    scfg2 = smpl.make_sampler(smpl.SOBOL, spp2, res2)
+    jax.block_until_ready(
+        rdr.render(scene2, camera2, cfg2, scfg2, accel=accel2, max_lanes=lanes)
+    )
+    t0 = time.time()
+    img2 = rdr.render(scene2, camera2, cfg2, scfg2, accel=accel2, max_lanes=lanes)
+    jax.block_until_ready(img2)
+    dt2 = time.time() - t0
+    paths2 = res2[0] * res2[1] * spp2
+    print(
+        json.dumps(
+            {
+                "metric": "camera_paths/s/chip (1.31M-tri statue 256x256 path 8spp, LBVH)",
+                "value": round(paths2 / dt2, 1),
+                "unit": "paths/s",
+                "vs_baseline": round(paths2 / dt2 / baseline, 3),
+            }
+        )
+    )
     return 0
 
 
