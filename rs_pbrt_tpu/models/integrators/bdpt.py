@@ -13,9 +13,10 @@ pdf_rev/pdf_fwd ratios, with the connection-endpoint pdf overrides computed
 explicitly (the functional analogue of the reference's ScopedAssignment
 temporaries).
 
-Scope notes vs the reference: env-map (infinite light) strategies and
-medium vertices are masked out in this first implementation; delta lights
-are handled (no s=0 for them).
+Scope notes vs the reference: infinite-light (env) strategies are
+implemented (escaped camera vertices, env light subpaths, env s=1 samples
+— bdpt.rs:549-583 semantics with solid-angle densities at env vertices);
+medium vertices are masked out; delta lights are handled (no s=0).
 """
 
 from __future__ import annotations
@@ -39,6 +40,13 @@ from .path import _light_select_dist, _shading_frame, _shading_frame_du, _to_loc
 VT_CAMERA = 0
 VT_LIGHT = 1
 VT_SURFACE = 2
+
+# sentinel in Subpath.light for a camera-subpath vertex on the environment
+# sphere (reference bdpt.rs: escaped rays become light vertices at infinity,
+# random_walk :1237 + capture_infinite_lights).  Pdf convention follows the
+# reference: densities AT an env vertex stay in SOLID-ANGLE measure
+# (convert_density is skipped for vertices at infinity).
+ENV_LIGHT = -2
 
 
 class Subpath(NamedTuple):
@@ -92,10 +100,13 @@ def _remap0(x):
 
 
 def _walk(scene, cfg_s, ctx, o0, d0, beta0, pdf_dir0, max_verts, dim_base, accel,
-          start: Subpath, mode_importance: bool):
+          start: Subpath, mode_importance: bool, prev0_env=None):
     """Random walk filling slots 1.. of `start` (slot 0 pre-filled).
 
-    reference bdpt.rs random_walk :1237."""
+    reference bdpt.rs random_walk :1237.  In camera mode with an env map,
+    escaped rays append an ENV_LIGHT vertex on the world sphere whose
+    pdf_fwd stays in solid-angle measure.  prev0_env: mask that slot 0 is
+    an env light origin (its pdf_rev write skips area conversion)."""
     path = start
     n = o0.shape[0]
     o, d = o0, d0
@@ -116,6 +127,18 @@ def _walk(scene, cfg_s, ctx, o0, d0, beta0, pdf_dir0, max_verts, dim_base, accel
             vtype=jnp.full(n, VT_SURFACE, jnp.int32), valid=hit,
         )
         path = path._replace(count=path.count + hit.astype(jnp.int32))
+        if scene.has_env and not mode_importance:
+            # escaped camera ray -> env vertex (pdf_fwd unconverted)
+            miss = alive & ~it.valid
+            wr = 2.0 * jnp.maximum(scene.world_radius, 1.0)
+            path = _set(
+                path, slot, miss,
+                p=o + d * wr, ns=-d, ng=-d, wo=-d, beta=beta,
+                light=jnp.full(n, ENV_LIGHT, jnp.int32),
+                pdf_fwd=pdf_fwd_solid,
+                vtype=jnp.full(n, VT_LIGHT, jnp.int32), valid=miss,
+            )
+            path = path._replace(count=path.count + miss.astype(jnp.int32))
         alive = hit
 
         b = bx.make_bsdf_at(scene, it)
@@ -136,6 +159,9 @@ def _walk(scene, cfg_s, ctx, o0, d0, beta0, pdf_dir0, max_verts, dim_base, accel
         wi_l = _to_local(wi_w, ss, ts, it.ns)
         pdf_rev_solid = bx.bsdf_pdf(b, wi_l, wo_l)
         prev_rev = _convert_density(pdf_rev_solid, it.p, prev_p, prev_ns)
+        if slot == 1 and prev0_env is not None:
+            # env light origin: densities at an env vertex stay solid-angle
+            prev_rev = jnp.where(prev0_env, pdf_rev_solid, prev_rev)
         path = path._replace(
             pdf_rev=path.pdf_rev.at[:, slot - 1].set(
                 jnp.where(hit, prev_rev, path.pdf_rev[:, slot - 1])
@@ -201,13 +227,29 @@ def generate_light_subpath(scene, cfg_s, ctx, n, max_verts, light_dist, accel):
     path = path._replace(count=jnp.ones(n, jnp.int32))
     cos0 = jnp.abs(vm.dot(ls.n_light, ls.d))
     is_area = ltype == sa.LIGHT_AREA
+    is_inf = ltype == sa.LIGHT_INFINITE
     beta0 = ls.le * jnp.where(is_area, cos0, 1.0)[:, None] / jnp.maximum(
         sel_pdf * ls.pdf_pos * ls.pdf_dir, 1e-20
     )[:, None]
-    return _walk(
+    walked = _walk(
         scene, cfg_s, ctx, ls.o + ls.d * 1e-3, ls.d, beta0, ls.pdf_dir,
         max_verts, 60, accel, path, mode_importance=True,
-    ), li_idx, sel_pdf
+        prev0_env=is_inf if scene.has_env else None,
+    )
+    if scene.has_env:
+        # reference bdpt.rs "correct subpath sampling densities for infinite
+        # area lights": l0.pdf_fwd = selection x directional density (SOLID
+        # angle); l1.pdf_fwd = positional density x |cos at l1|
+        fix0 = jnp.where(is_inf, sel_pdf * ls.pdf_dir, walked.pdf_fwd[:, 0])
+        pf = walked.pdf_fwd.at[:, 0].set(fix0)
+        if walked.pdf_fwd.shape[1] > 1:
+            cos1 = jnp.abs(vm.dot(walked.ns[:, 1], ls.d))
+            fix1 = jnp.where(
+                is_inf & walked.valid[:, 1], ls.pdf_pos * cos1, pf[:, 1]
+            )
+            pf = pf.at[:, 1].set(fix1)
+        walked = walked._replace(pdf_fwd=pf)
+    return walked, li_idx, sel_pdf
 
 
 def _vertex_f(scene, path: Subpath, slot: int, wi_world):
@@ -289,6 +331,14 @@ def _mis_weight(scene, cpath, lpath, s, t, overrides, l0_is_delta=None):
         )
         sum_ri = sum_ri + jnp.where(~lv1_delta & ~prev_delta, ri, 0.0)
     return 1.0 / (1.0 + sum_ri)
+
+
+def _inf_light_density(scene, light_dist, w):
+    """Selection-weighted env directional density (reference bdpt.rs
+    infinite_light_density) — solid-angle measure; one env light max."""
+    env_idx = jnp.argmax(scene.light_type == sa.LIGHT_INFINITE).astype(jnp.int32)
+    sel = smp.distribution_1d_discrete_pdf(light_dist, env_idx)
+    return sel * lt.pdf_li_env(scene, w)
 
 
 def _light_origin_pdfs(scene, light_dist, light_idx, p_light, n_light, p_to):
@@ -390,6 +440,36 @@ def radiance_and_splats(scene, camera, cfg: "PathCfg", cfg_s, ctx, p_film, accel
                     )
                 w_mis = _mis_weight(scene, cpath, lpath, 0, t, ov)
                 L = L + jnp.where(ok[:, None], contrib * w_mis[:, None], 0.0)
+
+                if scene.has_env:
+                    # escaped camera path hits the env sphere (reference
+                    # bdpt.rs: infinite-light s==0 strategy).  Densities at
+                    # the env vertex stay solid-angle (matching its stored
+                    # pdf_fwd); the vertex BEFORE it takes the env light's
+                    # positional density 1/(pi r^2) x cos.
+                    is_env = (
+                        cpath.valid[:, cv]
+                        & (cpath.vtype[:, cv] == VT_LIGHT)
+                        & (cpath.light[:, cv] == ENV_LIGHT)
+                    )
+                    d_esc = -cpath.wo[:, cv]
+                    le_env = lt.env_le(scene, d_esc)
+                    contrib_e = cpath.beta[:, cv] * le_env
+                    ov_e = {
+                        ("c", cv, "pdf_rev"): _inf_light_density(
+                            scene, light_dist, d_esc
+                        )
+                    }
+                    if cv - 1 >= 1:
+                        wr = jnp.maximum(scene.world_radius, 1e-6)
+                        cos_prev = jnp.abs(vm.dot(cpath.ns[:, cv - 1], d_esc))
+                        ov_e[("c", cv - 1, "pdf_rev")] = (
+                            cos_prev / (vm.PI * wr * wr)
+                        )
+                    w_mis_e = _mis_weight(scene, cpath, lpath, 0, t, ov_e)
+                    L = L + jnp.where(
+                        is_env[:, None], contrib_e * w_mis_e[:, None], 0.0
+                    )
                 continue
 
             if s == 1:
@@ -431,6 +511,30 @@ def radiance_and_splats(scene, camera, cfg: "PathCfg", cfg_s, ctx, p_film, accel
                     pdf_c, cpath.p[:, cv], ls.p_target, ls.n_light
                 )
                 ov[("l", 0, "delta")] = ls.is_delta
+                if scene.has_env:
+                    # env sampled as the light: densities at the env vertex
+                    # stay solid-angle; toward the camera vertex the env's
+                    # positional density applies (bdpt.rs pdf_light for
+                    # infinite lights)
+                    from ...ops import gathers as gx
+
+                    la_s1 = gx.take_rows(scene.light_attr, li_idx)
+                    is_env_l = gx.coli(la_s1, sa.LA_TYPE) == sa.LIGHT_INFINITE
+                    wr = jnp.maximum(scene.world_radius, 1e-6)
+                    cos_cv = jnp.abs(vm.dot(cpath.ns[:, cv], ls.wi))
+                    ov[("c", cv, "pdf_rev")] = jnp.where(
+                        is_env_l,
+                        cos_cv / (vm.PI * wr * wr),
+                        ov[("c", cv, "pdf_rev")],
+                    )
+                    ov[("l", 0, "pdf_fwd")] = jnp.where(
+                        is_env_l,
+                        _inf_light_density(scene, light_dist, ls.wi),
+                        ov[("l", 0, "pdf_fwd")],
+                    )
+                    ov[("l", 0, "pdf_rev")] = jnp.where(
+                        is_env_l, pdf_c, ov[("l", 0, "pdf_rev")]
+                    )
                 w_mis = _mis_weight(scene, cpath, lpath, 1, t, ov,
                                     l0_is_delta=ls.is_delta)
                 L = L + jnp.where(ok[:, None], contrib * w_mis[:, None], 0.0)

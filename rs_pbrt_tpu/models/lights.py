@@ -479,6 +479,7 @@ def sample_le(scene: sa.Scene, light_idx, u_pos, u_dir) -> LeSample:
     is_spot = ltype == sa.LIGHT_SPOT
     is_dist = ltype == sa.LIGHT_DISTANT
     is_area = ltype == sa.LIGHT_AREA
+    is_inf = ltype == sa.LIGHT_INFINITE
 
     o = jnp.where(is_area[:, None], p_area, pos)
     o = jnp.where(is_dist[:, None], o_dist, o)
@@ -494,4 +495,34 @@ def sample_le(scene: sa.Scene, light_idx, u_pos, u_dir) -> LeSample:
     pdf_dir = jnp.where(is_spot, pdf_dir_spot, pdf_dir)
     pdf_dir = jnp.where(is_area, pdf_dir_area, pdf_dir)
     pdf_dir = jnp.where(is_dist, one, pdf_dir)
+
+    # --- infinite/env (infinite.rs sample_le): importance-sample the env
+    # direction, origin on a world-radius disk behind the scene ---
+    if scene.has_env:
+        uv, map_pdf = smp.sample_distribution_2d(scene.inf_dist, u_dir)
+        theta = uv[..., 1] * vm.PI
+        phi = uv[..., 0] * 2.0 * vm.PI
+        st_e = jnp.sin(theta)
+        d_env_l = vm.spherical_direction(st_e, jnp.cos(theta), phi)
+        w_env = vm.normalize(tr.xform_vector(scene.inf_l2w, d_env_l))  # toward env
+        d_inf = -w_env  # emitted into the scene
+        v1e, v2e = vm.coordinate_system(-d_inf)
+        cd_e = smp.concentric_sample_disk(u_pos)
+        wc = lp[:, sa.LP_WORLD_CENTER : sa.LP_WORLD_CENTER + 3]
+        p_disk = wc + world_r[:, None] * (
+            cd_e[:, 0:1] * v1e + cd_e[:, 1:2] * v2e
+        )
+        o_inf = p_disk - d_inf * world_r[:, None]
+        pdf_dir_inf = jnp.where(
+            st_e > 1e-9, map_pdf / (2.0 * vm.PI * vm.PI * jnp.maximum(st_e, 1e-9)), 0.0
+        )
+        le_inf = _env_lookup(scene, uv)
+        o = jnp.where(is_inf[:, None], o_inf, o)
+        d = jnp.where(is_inf[:, None], d_inf, d)
+        nl = jnp.where(is_inf[:, None], d_inf, nl)
+        le = jnp.where(is_inf[:, None], le_inf, le)
+        pdf_pos = jnp.where(
+            is_inf, 1.0 / jnp.maximum(vm.PI * world_r * world_r, 1e-12), pdf_pos
+        )
+        pdf_dir = jnp.where(is_inf, pdf_dir_inf, pdf_dir)
     return LeSample(o, d, nl, le, jnp.maximum(pdf_pos, 1e-20), jnp.maximum(pdf_dir, 1e-20))

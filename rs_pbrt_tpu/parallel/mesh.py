@@ -61,6 +61,11 @@ def render_sharded(
         filter_cfg = filmmod.make_filter(filmmod.FILTER_BOX)
     if mesh is None:
         mesh = make_mesh()
+    # lanes shard over ALL mesh axes: a 1-D ("d",) chip mesh and a 2-D
+    # ("h", "d") hosts-x-chips mesh (parallel/distributed.make_host_mesh)
+    # run the same program; the film psum over ("h", "d") lowers to an ICI
+    # reduce per host + one film all-reduce across hosts on DCN
+    axes = tuple(mesh.axis_names)
     n_dev = mesh.devices.size
     w, h = camera.resolution
     n_pix = w * h
@@ -87,13 +92,16 @@ def render_sharded(
 
         mega = pp.mega_cfg(scene, accel, None)
 
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
 
     @jax.jit
     @partial(
         shard_map,
         mesh=mesh,
-        in_specs=(P("d"), P("d"), P()),
+        in_specs=(P(axes), P(axes), P()),
         out_specs=P(),
     )
     def worker(pix_shard, snum_shard, scene):
@@ -112,11 +120,12 @@ def render_sharded(
         partial_film = filmmod.add_samples(
             filmmod.make_film((w, h)), filter_cfg, p_film, L
         )
-        # tile DP result reduction: per-device partial films -> psum on ICI
+        # tile DP result reduction: per-device partial films -> psum
+        # (ICI within a host; hierarchical ICI+DCN on a ("h", "d") mesh)
         return filmmod.Film(
-            jax.lax.psum(partial_film.rgb, "d"),
-            jax.lax.psum(partial_film.weight, "d"),
-            jax.lax.psum(partial_film.splat, "d"),
+            jax.lax.psum(partial_film.rgb, axes),
+            jax.lax.psum(partial_film.weight, axes),
+            jax.lax.psum(partial_film.splat, axes),
         )
 
     film = filmmod.make_film((w, h))

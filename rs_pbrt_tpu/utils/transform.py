@@ -27,10 +27,16 @@ class Transform(NamedTuple):
 
 
 def identity():
-    return Transform(jnp.eye(4, dtype=jnp.float32), jnp.eye(4, dtype=jnp.float32))
+    return Transform(np.eye(4, dtype=np.float32), np.eye(4, dtype=np.float32))
 
 
 def from_matrix(m):
+    """Type-preserving: host inputs build host transforms (scene-construction
+    path must never touch the device — a tunnel readback costs seconds);
+    traced inputs (grad wrt camera pose) stay traced."""
+    if isinstance(m, (np.ndarray, list, tuple)):
+        m64 = np.asarray(m, np.float64)
+        return Transform(m64.astype(np.float32), np.linalg.inv(m64).astype(np.float32))
     m = jnp.asarray(m, jnp.float32)
     return Transform(m, jnp.linalg.inv(m))
 
@@ -50,34 +56,34 @@ def translate(delta) -> Transform:
     m[:3, 3] = d
     mi = np.eye(4, dtype=np.float32)
     mi[:3, 3] = -d
-    return Transform(jnp.asarray(m), jnp.asarray(mi))
+    return Transform(m, mi)
 
 
 def scale(sx, sy, sz) -> Transform:
     m = np.diag(np.array([sx, sy, sz, 1.0], np.float32))
     mi = np.diag(np.array([1.0 / sx, 1.0 / sy, 1.0 / sz, 1.0], np.float32))
-    return Transform(jnp.asarray(m), jnp.asarray(mi))
+    return Transform(m, mi)
 
 
 def rotate_x(deg) -> Transform:
     s, c = np.sin(np.deg2rad(deg)), np.cos(np.deg2rad(deg))
     m = np.eye(4, dtype=np.float32)
     m[1, 1], m[1, 2], m[2, 1], m[2, 2] = c, -s, s, c
-    return Transform(jnp.asarray(m), jnp.asarray(m.T))
+    return Transform(m, m.T.copy())
 
 
 def rotate_y(deg) -> Transform:
     s, c = np.sin(np.deg2rad(deg)), np.cos(np.deg2rad(deg))
     m = np.eye(4, dtype=np.float32)
     m[0, 0], m[0, 2], m[2, 0], m[2, 2] = c, s, -s, c
-    return Transform(jnp.asarray(m), jnp.asarray(m.T))
+    return Transform(m, m.T.copy())
 
 
 def rotate_z(deg) -> Transform:
     s, c = np.sin(np.deg2rad(deg)), np.cos(np.deg2rad(deg))
     m = np.eye(4, dtype=np.float32)
     m[0, 0], m[0, 1], m[1, 0], m[1, 1] = c, -s, s, c
-    return Transform(jnp.asarray(m), jnp.asarray(m.T))
+    return Transform(m, m.T.copy())
 
 
 def rotate(deg, axis) -> Transform:
@@ -96,7 +102,7 @@ def rotate(deg, axis) -> Transform:
     m[2, 1] = a[1] * a[2] * (1 - c) + a[0] * s
     m[2, 2] = a[2] * a[2] + (1 - a[2] * a[2]) * c
     m = m.astype(np.float32)
-    return Transform(jnp.asarray(m), jnp.asarray(m.T))
+    return Transform(m, m.T.copy())
 
 
 def look_at(eye, look, up) -> Transform:
@@ -118,7 +124,7 @@ def look_at(eye, look, up) -> Transform:
     c2w[:3, 2] = d
     c2w[:3, 3] = eye
     c2w = c2w.astype(np.float32)
-    return Transform(jnp.asarray(c2w), jnp.asarray(np.linalg.inv(c2w.astype(np.float64)).astype(np.float32)))
+    return Transform(c2w, np.linalg.inv(c2w.astype(np.float64)).astype(np.float32))
 
 
 def perspective(fov_deg, znear, zfar) -> Transform:
@@ -129,7 +135,7 @@ def perspective(fov_deg, znear, zfar) -> Transform:
     persp[2, 3] = -zfar * znear / (zfar - znear)
     persp[3, 2] = 1.0
     inv_tan = 1.0 / np.tan(np.deg2rad(fov_deg) / 2.0)
-    t = from_matrix(jnp.asarray(persp))
+    t = from_matrix(persp)
     return compose(scale(inv_tan, inv_tan, 1.0), t)
 
 

@@ -196,6 +196,22 @@ class TestBDPT:
             assert np.isfinite(img).all()
             np.testing.assert_allclose(img.mean(), pimg.mean(), rtol=0.06)
 
+    def test_env_lit_matches_path(self):
+        """Infinite-light strategies (escaped camera vertices + env light
+        subpaths + env s=1, reference bdpt.rs:549-583): an env-lit scene
+        must converge to the path tracer's answer."""
+        from rs_pbrt_tpu.models.integrators import bdpt
+
+        scene, camera = presets.furnace_sphere(resolution=(10, 10), albedo=0.6)
+        scfg = smpl.make_sampler(smpl.RANDOM, 32, camera.resolution)
+        img = np.asarray(
+            bdpt.render_bdpt(scene, camera, spp=32, max_depth=3, sampler_cfg=scfg)
+        )
+        cfg = rdr.RenderCfg("path", spp=32, max_depth=3, rr_threshold=1.0)
+        pimg = np.asarray(rdr.render(scene, camera, cfg, scfg))
+        assert np.isfinite(img).all()
+        np.testing.assert_allclose(img.mean(), pimg.mean(), rtol=0.06)
+
 
 @pytest.mark.slow
 class TestMLT:
