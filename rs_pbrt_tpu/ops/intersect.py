@@ -257,6 +257,10 @@ def intersect_disk(o, d, t_max, height, radius, inner_radius, phi_max):
     dz = d[..., 2]
     t = (height - o[..., 2]) / jnp.where(dz == 0.0, 1.0, dz)
     p = o + t[..., None] * d
+    # reproject exactly onto the plane (disk.rs: p_hit.z = height) — a hit
+    # point off-plane by 1 ulp makes shadow rays stochastically
+    # self-occlude (t slightly > 0 on re-intersection)
+    p = jnp.stack([p[..., 0], p[..., 1], jnp.broadcast_to(height, t.shape)], axis=-1)
     dist2 = p[..., 0] ** 2 + p[..., 1] ** 2
     phi = jnp.arctan2(p[..., 1], p[..., 0])
     phi = jnp.where(phi < 0.0, phi + 2.0 * vm.PI, phi)

@@ -150,16 +150,56 @@ def _tri_interaction(scene: sa.Scene, o, d, hit: isect.TriHit):
 
 
 def _sphere_hits(scene: sa.Scene, o, d, t_max):
-    """Brute-force closest hit over all spheres; returns per-lane best."""
+    """Brute-force closest hit over all quadrics (sphere/cylinder/disk,
+    kind-dispatched; absent kinds compile to nothing via the static
+    quad_kind_mask).  Returns per-lane best."""
     S = scene.n_spheres
-    # object-space rays for each sphere: (N, S, 3)
+    # object-space rays for each quadric: (N, S, 3)
     w2o = scene.sph_w2o  # (S,4,4)
     o_obj = tr.xform_point(w2o[None, :], o[:, None, :])
     d_obj = tr.xform_vector(w2o[None, :], d[:, None, :])
     prm = scene.sph_params  # (S,4)
-    qh = isect.intersect_sphere(
-        o_obj, d_obj, t_max[:, None], prm[None, :, 0], prm[None, :, 1], prm[None, :, 2], prm[None, :, 3]
-    )
+    qmask = scene.quad_kind_mask
+    hasq = lambda k: qmask == 0 or bool(qmask & (1 << k))
+    kind = scene.sph_kind[None, :]  # (1,S)
+    valid = jnp.zeros(o_obj.shape[:-1], bool)
+    tq = jnp.full(o_obj.shape[:-1], isect.BIG_T, jnp.float32)
+    pq = jnp.zeros_like(o_obj)
+    phiq = jnp.zeros(o_obj.shape[:-1], jnp.float32)
+
+    def merge(m, qh):
+        nonlocal valid, tq, pq, phiq
+        sel = m & qh.valid
+        valid = valid | sel
+        tq = jnp.where(sel, qh.t, tq)
+        pq = jnp.where(sel[..., None], qh.p_obj, pq)
+        phiq = jnp.where(sel, qh.phi, phiq)
+
+    if hasq(sa.QK_SPHERE):
+        merge(
+            kind == sa.QK_SPHERE,
+            isect.intersect_sphere(
+                o_obj, d_obj, t_max[:, None],
+                prm[None, :, 0], prm[None, :, 1], prm[None, :, 2], prm[None, :, 3],
+            ),
+        )
+    if hasq(sa.QK_CYLINDER):
+        merge(
+            kind == sa.QK_CYLINDER,
+            isect.intersect_cylinder(
+                o_obj, d_obj, t_max[:, None],
+                prm[None, :, 0], prm[None, :, 1], prm[None, :, 2], prm[None, :, 3],
+            ),
+        )
+    if hasq(sa.QK_DISK):
+        # disk params: radius, inner_radius, height, phi_max
+        qh_d = isect.intersect_disk(
+            o_obj, d_obj, t_max[:, None],
+            prm[None, :, 2], prm[None, :, 0], prm[None, :, 1], prm[None, :, 3],
+        )
+        merge(kind == sa.QK_DISK, qh_d)
+
+    qh = isect.QuadricHit(valid, tq, pq, phiq)
     t = jnp.where(qh.valid, qh.t, isect.BIG_T)
     best = jnp.argmin(t, axis=1)
     take = lambda a: jnp.take_along_axis(a, best[:, None], axis=1)[:, 0]
@@ -178,6 +218,7 @@ def _sphere_interaction(scene: sa.Scene, sph_idx, p_obj, phi):
     z_min = gx.col(at, sa.SP_PARAMS + 1)
     z_max = gx.col(at, sa.SP_PARAMS + 2)
     phi_max = gx.col(at, sa.SP_PARAMS + 3)
+    kind = gx.coli(at, sa.SP_KIND)
     o2w = at[..., sa.SP_O2W : sa.SP_O2W + 16].reshape(at.shape[:-1] + (4, 4))
     w2o = at[..., sa.SP_W2O : sa.SP_W2O + 16].reshape(at.shape[:-1] + (4, 4))
     theta = jnp.arccos(jnp.clip(p_obj[..., 2] / radius, -1.0, 1.0))
@@ -186,6 +227,31 @@ def _sphere_interaction(scene: sa.Scene, sph_idx, p_obj, phi):
     u = phi / phi_max
     v = (theta - theta_min) / jnp.where(theta_max == theta_min, 1.0, theta_max - theta_min)
     n_obj = vm.normalize(p_obj)
+    qmask = scene.quad_kind_mask
+    hasq = lambda k: qmask == 0 or bool(qmask & (1 << k))
+    if hasq(sa.QK_CYLINDER):
+        # cylinder.rs: n = (x, y, 0); v runs along z
+        is_cyl = kind == sa.QK_CYLINDER
+        n_cyl = vm.normalize(
+            jnp.stack([p_obj[..., 0], p_obj[..., 1], jnp.zeros_like(phi)], -1)
+        )
+        v_cyl = (p_obj[..., 2] - z_min) / jnp.maximum(z_max - z_min, 1e-12)
+        n_obj = jnp.where(is_cyl[..., None], n_cyl, n_obj)
+        v = jnp.where(is_cyl, v_cyl, v)
+    if hasq(sa.QK_DISK):
+        # disk.rs: n = +z; params = (radius, inner, height, phi_max);
+        # v runs inward from the rim to the inner radius
+        is_dsk = kind == sa.QK_DISK
+        inner = z_min  # param slot 1
+        r_hit = jnp.sqrt(
+            jnp.maximum(p_obj[..., 0] ** 2 + p_obj[..., 1] ** 2, 1e-20)
+        )
+        v_dsk = (radius - r_hit) / jnp.maximum(radius - inner, 1e-12)
+        n_dsk = jnp.concatenate(
+            [jnp.zeros_like(p_obj[..., :2]), jnp.ones_like(phi)[..., None]], -1
+        )
+        n_obj = jnp.where(is_dsk[..., None], n_dsk, n_obj)
+        v = jnp.where(is_dsk, v_dsk, v)
     p, p_err_local = tr.xform_point_with_error(o2w, p_obj)
     # object-space hit error gamma(5)*|p_obj| transformed conservatively
     p_err = p_err_local + vm.gamma(5.0) * jnp.abs(p)

@@ -645,6 +645,30 @@ class PbrtAPI:
                 reverse_orientation=gs.reverse_orientation,
                 medium_interface=gs.medium_interface,
             )
+        elif kind == "cylinder" and al is None:
+            # analytic quadric (reference shapes/cylinder.rs); area-light
+            # cylinders fall back to tessellation (tri-range sampling)
+            b.add_cylinder(
+                object_to_world=o2w,
+                radius=ps.find_one(st.params, "radius", 1.0),
+                z_min=ps.find_one(st.params, "zmin", -1.0),
+                z_max=ps.find_one(st.params, "zmax", 1.0),
+                phi_max=ps.find_one(st.params, "phimax", 360.0),
+                material=gs.material,
+                reverse_orientation=gs.reverse_orientation,
+                medium_interface=gs.medium_interface,
+            )
+        elif kind == "disk" and al is None:
+            b.add_disk(
+                object_to_world=o2w,
+                height=ps.find_one(st.params, "height", 0.0),
+                radius=ps.find_one(st.params, "radius", 1.0),
+                inner_radius=ps.find_one(st.params, "innerradius", 0.0),
+                phi_max=ps.find_one(st.params, "phimax", 360.0),
+                material=gs.material,
+                reverse_orientation=gs.reverse_orientation,
+                medium_interface=gs.medium_interface,
+            )
         elif kind in ("disk", "cylinder", "paraboloid", "cone", "hyperboloid"):
             tris = _tessellate_quadric(kind, st.params)
             if tris is not None:

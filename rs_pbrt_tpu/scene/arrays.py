@@ -138,16 +138,35 @@ LA_TRI_END = N_LIGHT_PARAMS + 4
 LA_SHAPE_IDX = N_LIGHT_PARAMS + 5
 N_LIGHT_ATTR = N_LIGHT_PARAMS + 6
 
+# quadric (sph_*) family kinds: analytic sphere/cylinder/disk share one
+# SoA family (o2w/w2o + 4 params + kind), reference src/shapes/{sphere,
+# cylinder,disk}.rs.  Param layout per kind:
+#   SPHERE:   radius, z_min, z_max, phi_max
+#   CYLINDER: radius, z_min, z_max, phi_max
+#   DISK:     radius, inner_radius, height, phi_max
+QK_SPHERE = 0
+QK_CYLINDER = 1
+QK_DISK = 2
+
 # sph_attr columns
 SP_O2W = 0  # 16 (row-major 4x4)
 SP_W2O = 16
-SP_PARAMS = 32  # radius zmin zmax phimax
+SP_PARAMS = 32  # 4 params (per-kind layout above)
 SP_MAT = 36
 SP_LIGHT = 37
 SP_REVERSE = 38
 SP_MED_IN = 39
 SP_MED_OUT = 40
-N_SPH_ATTR = 41
+SP_KIND = 41
+N_SPH_ATTR = 42
+
+
+def quadric_bound_radius(params: np.ndarray, kind: np.ndarray) -> np.ndarray:
+    """Conservative object-space bounding radius per quadric (host)."""
+    r = params[:, 0]
+    zmag = np.maximum(np.abs(params[:, 1]), np.abs(params[:, 2]))
+    rb = np.sqrt(r * r + zmag * zmag)
+    return np.where(kind == QK_SPHERE, r, rb).astype(np.float32)
 
 
 class Scene(NamedTuple):
@@ -173,7 +192,8 @@ class Scene(NamedTuple):
     # --- spheres (object space + transform) ---
     sph_o2w: jnp.ndarray  # (S,4,4)
     sph_w2o: jnp.ndarray  # (S,4,4)
-    sph_params: jnp.ndarray  # (S,4): radius, zmin, zmax, phimax
+    sph_params: jnp.ndarray  # (S,4): per-kind layout (see QK_* above)
+    sph_kind: jnp.ndarray  # (S,) i32 QK_*
     sph_mat: jnp.ndarray  # (S,)
     sph_light: jnp.ndarray  # (S,)
     sph_reverse: jnp.ndarray  # (S,) bool
@@ -249,6 +269,10 @@ class Scene(NamedTuple):
     # (gates the sphere cone-sampling branch in models/lights.py)
     sphlight_flag: jnp.ndarray
 
+    # shape-encoded static bitmask of quadric kinds present (QK_*):
+    # sphere-only scenes compile no cylinder/disk intersection code
+    quad_kind_flag: jnp.ndarray  # (mask, 0)
+
     # shape-encoded static bitmasks (jitted code prunes absent branches):
     # tex_kind_flag.shape[0] = bitmask of texture TYPE tags present;
     # tex_slot_flag.shape[0] = bitmask of material texture SLOTS bound;
@@ -303,6 +327,10 @@ class Scene(NamedTuple):
         return self.alpha_flag.shape[0] > 0
 
     @property
+    def quad_kind_mask(self):
+        return self.quad_kind_flag.shape[0]
+
+    @property
     def has_sphere_lights(self):
         return self.sphlight_flag.shape[0] > 0
 
@@ -345,6 +373,7 @@ def empty_scene_arrays(n_tris=0, n_sph=0, n_mat=1, n_lights=0, alight_pad=1):
         sph_o2w=np.tile(np.eye(4, dtype=np.float32), (S, 1, 1)),
         sph_w2o=np.tile(np.eye(4, dtype=np.float32), (S, 1, 1)),
         sph_params=np.zeros((S, 4), np.float32),
+        sph_kind=np.zeros(S, np.int32),
         sph_mat=np.zeros(S, np.int32),
         sph_light=np.full(S, -1, np.int32),
         sph_reverse=np.zeros(S, bool),
@@ -414,7 +443,7 @@ def finalize_scene(arrs: dict) -> Scene:
         # conservative: transformed sphere centers +- scaled radius
         c = arrs["sph_o2w"][:, :3, 3]
         scale = np.linalg.norm(arrs["sph_o2w"][:, :3, :3], axis=(1, 2))
-        r = arrs["sph_params"][:, 0] * scale
+        r = quadric_bound_radius(arrs["sph_params"], arrs["sph_kind"]) * scale
         pts += [c - r[:, None], c + r[:, None]]
     if len(arrs.get("crv_attr", ())):
         cp = arrs["crv_attr"][:, 0:12].reshape(-1, 4, 3)
@@ -499,7 +528,12 @@ def finalize_scene(arrs: dict) -> Scene:
         sph_attr[:, SP_REVERSE] = arrs["sph_reverse"]
         sph_attr[:, SP_MED_IN] = arrs["sph_med"][:, 0]
         sph_attr[:, SP_MED_OUT] = arrs["sph_med"][:, 1]
+        sph_attr[:, SP_KIND] = arrs["sph_kind"]
     arrs["sph_attr"] = sph_attr
+    qmask = 0
+    for k in np.unique(np.asarray(arrs["sph_kind"], np.int64)) if S else ():
+        qmask |= 1 << int(k)
+    arrs["quad_kind_flag"] = np.zeros((qmask, 0), np.float32)
 
     arrs["hair_flag"] = np.zeros(
         1 if np.any(np.asarray(arrs["mat_type"]) == HAIR) else 0, np.float32

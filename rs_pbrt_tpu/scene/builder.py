@@ -24,7 +24,7 @@ class SceneBuilder:
         self.tris = {k: [] for k in (
             "p0", "p1", "p2", "n0", "n1", "n2", "uv0", "uv1", "uv2",
             "has_n", "mat", "light", "reverse")}
-        self.sphs = {k: [] for k in ("o2w", "w2o", "params", "mat", "light", "reverse")}
+        self.sphs = {k: [] for k in ("o2w", "w2o", "params", "kind", "mat", "light", "reverse")}
         self.curves = []  # list of packed (M_i, N_CURVE_ATTR) segment blocks
         self.bssrdfs = []  # list of per-material folded BSSRDF table dicts
         self.fourier_table = None  # single SCATFUN table dict (ops/fourier_bsdf)
@@ -319,16 +319,49 @@ class SceneBuilder:
                 geom_kind=sa.ALG_SPHERE, shape_idx=len(self.sphs["o2w"]),
                 area=area, two_sided=float(area_light.get("two_sided", False)),
             )
+        self._add_quadric(
+            o2w, sa.QK_SPHERE,
+            np.array([radius, z_min, z_max, np.deg2rad(phi_max)], np.float32),
+            material, light_id, reverse_orientation, medium_interface,
+        )
+        return light_id
+
+    def _add_quadric(self, o2w, kind, params, material, light_id,
+                     reverse_orientation, medium_interface):
         self.sphs["o2w"].append(np.asarray(o2w.m, np.float32))
         self.sphs["w2o"].append(np.asarray(o2w.m_inv, np.float32))
-        self.sphs["params"].append(
-            np.array([radius, z_min, z_max, np.deg2rad(phi_max)], np.float32)
-        )
+        self.sphs["params"].append(np.asarray(params, np.float32))
+        self.sphs["kind"].append(kind)
         self.sphs["mat"].append(material)
         self.sphs["light"].append(light_id)
         self.sphs["reverse"].append(reverse_orientation)
         self.sphs.setdefault("med", []).append(medium_interface)
-        return light_id
+
+    def add_cylinder(self, object_to_world=None, radius=1.0, z_min=-1.0,
+                     z_max=1.0, phi_max=360.0, material: int = 0,
+                     reverse_orientation: bool = False,
+                     medium_interface=(-1, -1)):
+        """Analytic cylinder (reference shapes/cylinder.rs)."""
+        o2w = object_to_world or tr.identity()
+        self._add_quadric(
+            o2w, sa.QK_CYLINDER,
+            np.array([radius, z_min, z_max, np.deg2rad(phi_max)], np.float32),
+            material, -1, reverse_orientation, medium_interface,
+        )
+        return -1
+
+    def add_disk(self, object_to_world=None, height=0.0, radius=1.0,
+                 inner_radius=0.0, phi_max=360.0, material: int = 0,
+                 reverse_orientation: bool = False,
+                 medium_interface=(-1, -1)):
+        """Analytic disk/annulus at z=height (reference shapes/disk.rs)."""
+        o2w = object_to_world or tr.identity()
+        self._add_quadric(
+            o2w, sa.QK_DISK,
+            np.array([radius, inner_radius, height, np.deg2rad(phi_max)], np.float32),
+            material, -1, reverse_orientation, medium_interface,
+        )
+        return -1
 
     def add_curve(
         self,
@@ -514,6 +547,7 @@ class SceneBuilder:
             arrs["sph_o2w"] = np.stack(self.sphs["o2w"])
             arrs["sph_w2o"] = np.stack(self.sphs["w2o"])
             arrs["sph_params"] = np.stack(self.sphs["params"])
+            arrs["sph_kind"] = np.asarray(self.sphs["kind"], np.int32)
             arrs["sph_mat"] = np.asarray(self.sphs["mat"], np.int32)
             arrs["sph_light"] = np.asarray(self.sphs["light"], np.int32)
             arrs["sph_reverse"] = np.asarray(self.sphs["reverse"], bool)

@@ -108,7 +108,9 @@ class TestAPI:
         from rs_pbrt_tpu.scene import arrays as sa
         assert int(scene.mat_type[int(scene.sph_mat[0])]) == sa.MIRROR
 
-    def test_quadric_tessellation(self):
+    def test_disk_is_analytic(self):
+        from rs_pbrt_tpu.scene import arrays as sa
+
         api = PbrtAPI()
         for st in ps.parse_statements('''
             WorldBegin
@@ -117,6 +119,20 @@ class TestAPI:
         '''):
             api.do_statement(st)
         scene = api.builder.finalize()
+        # analytic quadric, not a tessellation (shapes/disk.rs parity)
+        assert scene.n_tris == 0
+        assert scene.n_spheres == 1
+        assert int(np.asarray(scene.sph_kind)[0]) == sa.QK_DISK
+        prm = np.asarray(scene.sph_params)[0]
+        np.testing.assert_allclose(prm[:3], [2.0, 0.0, 1.0], atol=1e-6)
+
+    def test_cone_still_tessellates(self):
+        api = PbrtAPI()
+        for st in ps.parse_statements('''
+            WorldBegin
+            Shape "cone" "float radius" 1 "float height" 2
+            WorldEnd
+        '''):
+            api.do_statement(st)
+        scene = api.builder.finalize()
         assert scene.n_tris > 32
-        p = np.asarray(scene.tri_p0)
-        np.testing.assert_allclose(p[:, 2], 1.0, atol=1e-5)  # height plane
