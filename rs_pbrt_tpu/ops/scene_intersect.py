@@ -30,6 +30,7 @@ class Accel(NamedTuple):
 
     tri: Optional[bvhmod.LBVH]
     crv: Optional[bvhmod.LBVH]
+    inst: Optional[object] = None  # instancing.InstanceAccel
 
 
 def _as_accel(accel) -> Accel:
@@ -363,6 +364,76 @@ def scene_intersect(
     return it
 
 
+def _instance_interaction(scene: sa.Scene, ih):
+    """Interaction fields for a two-level instancing hit (object-space
+    prototype attrs -> world via the instance transform; reference
+    primitive.rs:236-265 TransformedPrimitive::intersect)."""
+    from . import gathers as gx
+
+    tri = jnp.clip(ih.tri, 0, scene.proto_attr.shape[0] - 1)
+    at = gx.take_rows(scene.proto_attr, tri)
+    b0, b1 = ih.b0, ih.b1
+    b2 = 1.0 - b0 - b1
+    p0 = gx.col3(at, sa.TA_P0)
+    p1 = gx.col3(at, sa.TA_P1)
+    p2 = gx.col3(at, sa.TA_P2)
+    p_obj = b0[..., None] * p0 + b1[..., None] * p1 + b2[..., None] * p2
+    perr_obj = vm.gamma(7.0) * (
+        jnp.abs(b0[..., None] * p0) + jnp.abs(b1[..., None] * p1)
+        + jnp.abs(b2[..., None] * p2)
+    )
+    ng_obj = vm.normalize(vm.cross(p0 - p2, p1 - p2))
+    ns_obj = (
+        b0[..., None] * gx.col3(at, sa.TA_N0)
+        + b1[..., None] * gx.col3(at, sa.TA_N1)
+        + b2[..., None] * gx.col3(at, sa.TA_N2)
+    )
+    ns_len = jnp.sqrt(jnp.maximum(vm.length_squared(ns_obj), 1e-20))
+    has_n = gx.colb(at, sa.TA_HAS_N) & (ns_len > 1e-8)
+    ns_obj = jnp.where(
+        has_n[..., None], ns_obj / jnp.maximum(ns_len, 1e-8)[..., None], ng_obj
+    )
+    ng_obj = jnp.where(has_n[..., None], vm.face_forward(ng_obj, ns_obj), ng_obj)
+    uv = (
+        b0[..., None] * gx.col2(at, sa.TA_UV0)
+        + b1[..., None] * gx.col2(at, sa.TA_UV1)
+        + b2[..., None] * gx.col2(at, sa.TA_UV2)
+    )
+    ii = jnp.clip(ih.inst, 0, scene.n_instances - 1)
+    o2w = scene.inst_o2w[ii]
+    w2o = scene.inst_w2o[ii]
+    p, terr = tr.xform_point_with_error(o2w, p_obj)
+    # propagate the object-space hit error through the transform, plus the
+    # transform's own round-off (transform.rs:662-814 semantics, bounded)
+    p_err = terr + jnp.abs(
+        jnp.einsum("...ij,...j->...i", jnp.abs(o2w[..., :3, :3]), perr_obj)
+    )
+    ng = vm.normalize(tr.xform_normal(w2o, ng_obj))
+    ns = vm.normalize(tr.xform_normal(w2o, ns_obj))
+    dpdu_obj = p1 - p0
+    dpdu = tr.xform_vector(o2w, dpdu_obj)
+    degen = vm.length_squared(dpdu) < 1e-16
+    dpdu_fb, _ = vm.coordinate_system(ng)
+    dpdu = jnp.where(degen[..., None], dpdu_fb, dpdu)
+    mat_ov = scene.inst_mat[ii]
+    mat = jnp.where(mat_ov >= 0, mat_ov, gx.coli(at, sa.TA_MAT))
+    return p, p_err, ng, ns, uv, mat, dpdu
+
+
+def _instance_hit(scene: sa.Scene, o, d, t_cur, accel: Accel):
+    from . import instancing as inst
+
+    if accel.inst is None:
+        raise ValueError(
+            "scene has instanced geometry; build the accelerator first "
+            "(ops.scene_intersect.build_accel) and pass it to "
+            "scene_intersect/render"
+        )
+    return inst.instance_intersect(
+        o, d, t_cur, accel.inst, scene.proto_p0, scene.proto_p1, scene.proto_p2
+    )
+
+
 def _scene_intersect_once(
     scene: sa.Scene, o, d, t_max, accel: Accel
 ) -> Interaction:
@@ -465,6 +536,27 @@ def _scene_intersect_once(
         light = jnp.where(use_crv, -1, light)
         prim = jnp.where(use_crv, scene.n_tris + scene.n_spheres + ch.seg, prim)
 
+    if scene.n_instances > 0:
+        ih = _instance_hit(scene, o, d, t, accel)
+        use_inst = ih.valid & (~valid | (ih.t < t))
+        ip, iperr, ing, ins_, iuv, imat, idpdu = _instance_interaction(scene, ih)
+        seli = use_inst[..., None]
+        p = jnp.where(seli, ip, p)
+        p_err = jnp.where(seli, iperr, p_err)
+        ng = jnp.where(seli, ing, ng)
+        ns = jnp.where(seli, ins_, ns)
+        uv = jnp.where(seli, iuv, uv)
+        dpdu = jnp.where(seli, idpdu, dpdu)
+        mat = jnp.where(use_inst, imat, mat)
+        light = jnp.where(use_inst, -1, light)  # no area lights on instances
+        prim = jnp.where(
+            use_inst,
+            scene.n_tris + scene.n_spheres + scene.n_curve_segs + ih.tri,
+            prim,
+        )
+        t = jnp.where(use_inst, ih.t, t)
+        valid = valid | use_inst
+
     return Interaction(
         valid, t, p, p_err, ng, ns, uv, -vm.normalize(d),
         jnp.where(valid, mat, 0), jnp.where(valid, light, -1),
@@ -501,6 +593,9 @@ def scene_intersect_p(scene: sa.Scene, o, d, t_max, accel=None):
             ).valid
         else:
             occ = occ | crv.intersect_curves_brute(o, d, t_max, scene.crv_attr).valid
+    if scene.n_instances > 0:
+        ih = _instance_hit(scene, o, d, jnp.asarray(t_max, jnp.float32), accel)
+        occ = occ | ih.valid
     return occ
 
 
@@ -537,4 +632,28 @@ def build_accel(scene: sa.Scene, kind: str = "bvh") -> Accel:
         cp = at[:, crv.CV_CP : crv.CV_CP + 12].reshape(-1, 4, 3)
         hw = np.maximum(at[:, crv.CV_W0], at[:, crv.CV_W1])[:, None] * 0.5
         crv_bvh = _build_lbvh_pref_native(cp.min(1) - hw, cp.max(1) + hw)
-    return Accel(tri_bvh, crv_bvh)
+    inst_acc = None
+    if scene.n_instances > 0:
+        from . import instancing as inst
+
+        p0 = np.asarray(scene.proto_p0)
+        p1 = np.asarray(scene.proto_p1)
+        p2 = np.asarray(scene.proto_p2)
+        pr = np.asarray(scene.proto_range)
+        pb = np.stack(
+            [
+                np.stack(
+                    [np.minimum(np.minimum(p0[a:b], p1[a:b]), p2[a:b]).min(0),
+                     np.maximum(np.maximum(p0[a:b], p1[a:b]), p2[a:b]).max(0)]
+                )
+                for a, b in pr
+            ]
+        )  # (P,2,3)
+        inst_acc = inst.build_instance_accel(
+            [tuple(r) for r in pr], pb,
+            np.asarray(scene.inst_proto), np.asarray(scene.inst_o2w),
+            np.asarray(scene.inst_mat),
+            np.minimum(np.minimum(p0, p1), p2),
+            np.maximum(np.maximum(p0, p1), p2),
+        )
+    return Accel(tri_bvh, crv_bvh, inst_acc)

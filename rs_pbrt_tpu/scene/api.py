@@ -84,6 +84,7 @@ class PbrtAPI:
         self.named_media = {}  # name -> medium id (MakeNamedMedium)
         self.objects = {}  # ObjectBegin name -> list of deferred shape stmts
         self.current_object = None
+        self.instance_uses = []  # (object name, use-time CTM) pairs
         self.output_name = "pbrt.png"
 
     # ---- transforms ----
@@ -201,7 +202,8 @@ class PbrtAPI:
         self.named_coord_systems["world"] = self.ctm.copy()
 
     def _st_worldend(self, st):
-        pass
+        self._resolve_instances()
+        self.instance_uses = []
 
     def _st_attributebegin(self, st):
         self.gs_stack.append(copy.deepcopy(self.gs))
@@ -779,11 +781,72 @@ class PbrtAPI:
         self._st_attributeend(st)
         self.current_object = None
 
+    # Flattening duplicates geometry per instance (O(uses x tris) memory);
+    # objects whose flattened footprint exceeds this use the two-level BVH
+    # (ops/instancing.py, reference primitive.rs:198-265).  Small objects
+    # keep flattening — cheaper than a second traversal level.
+    FLATTEN_INSTANCE_LIMIT = 50_000
+
     def _st_objectinstance(self, st):
-        shapes = self.objects.get(st.args[0], [])
-        for shape_st, shape_ctm, shape_gs in shapes:
-            # flatten: instance CTM * shape CTM
-            self._create_shape(shape_st, self.ctm @ shape_ctm, shape_gs)
+        # deferred: _resolve_instances (at finish) decides flatten vs
+        # two-level instancing once the total use count is known
+        self.instance_uses.append((st.args[0], self.ctm.copy()))
+
+    def _realize_object_tris(self, name):
+        """Replay an object's shapes into a scratch triangle table (object
+        space).  Returns the tris dict, or None if the object contains
+        non-triangle shapes or area lights (those flatten)."""
+        shapes = self.objects.get(name, [])
+        b = self.builder
+        saved_tris = b.tris
+        n_sph0, n_crv0 = len(b.sphs["o2w"]), len(b.curves)
+        n_lights0 = len(b.lights)
+        b.tris = {k: [] for k in saved_tris}
+        try:
+            for shape_st, shape_ctm, shape_gs in shapes:
+                self._create_shape(shape_st, shape_ctm, shape_gs)
+            ok = (
+                len(b.sphs["o2w"]) == n_sph0
+                and len(b.curves) == n_crv0
+                and len(b.lights) == n_lights0
+                and len(b.tris["p0"]) > 0
+            )
+            if not ok:
+                # roll back any quadric/curve/light side effects and flatten
+                for k in b.sphs:
+                    del b.sphs[k][n_sph0:]
+                del b.curves[n_crv0:]
+                del b.lights[n_lights0:]
+                return None
+            return b.tris
+        finally:
+            b.tris = saved_tris
+
+    def _resolve_instances(self):
+        if not self.instance_uses:
+            return
+        from collections import Counter
+
+        counts = Counter(n for n, _ in self.instance_uses)
+        proto_ids = {}
+        for name, cnt in counts.items():
+            shapes = self.objects.get(name, [])
+            if not shapes:
+                continue
+            realized = self._realize_object_tris(name)
+            if realized is None:
+                continue
+            n_tri = len(realized["p0"])
+            if n_tri * cnt > self.FLATTEN_INSTANCE_LIMIT:
+                proto_ids[name] = self.builder.add_prototype_tris(realized)
+        for name, ctm in self.instance_uses:
+            if name in proto_ids:
+                self.builder.add_instance(
+                    proto_ids[name], tr.from_matrix(ctm)
+                )
+            else:
+                for shape_st, shape_ctm, shape_gs in self.objects.get(name, []):
+                    self._create_shape(shape_st, ctm @ shape_ctm, shape_gs)
 
     def _st_makenamedmedium(self, st):
         """MakeNamedMedium (reference api.rs pbrt_make_named_medium +

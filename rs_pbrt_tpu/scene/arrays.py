@@ -202,6 +202,20 @@ class Scene(NamedTuple):
     # packed rows per ops/curves.py CV_* layout (world-space control points)
     crv_attr: jnp.ndarray  # (C, curves.N_CURVE_ATTR)
 
+    # --- two-level instancing (reference core/primitive.rs
+    # TransformedPrimitive :198-265): shared OBJECT-SPACE prototype
+    # triangles + per-instance transforms.  Ecosys-class scenes keep one
+    # geometry copy instead of O(instances x tris) flattening. ---
+    proto_p0: jnp.ndarray  # (PT,3) object space
+    proto_p1: jnp.ndarray
+    proto_p2: jnp.ndarray
+    proto_attr: jnp.ndarray  # (max(PT,1), N_TRI_ATTR) tri_attr layout
+    proto_range: jnp.ndarray  # (P,2) [tri0, tri1) per prototype
+    inst_o2w: jnp.ndarray  # (I,4,4)
+    inst_w2o: jnp.ndarray  # (I,4,4)
+    inst_proto: jnp.ndarray  # (I,) prototype index
+    inst_mat: jnp.ndarray  # (I,) material override (-1 -> prototype's)
+
     # --- materials ---
     mat_type: jnp.ndarray  # (M,) i32
     mat_params: jnp.ndarray  # (M, N_MAT_PARAMS)
@@ -311,6 +325,10 @@ class Scene(NamedTuple):
         return self.crv_attr.shape[0]
 
     @property
+    def n_instances(self):
+        return self.inst_o2w.shape[0]
+
+    @property
     def n_lights(self):
         return self.light_type.shape[0]
 
@@ -378,6 +396,15 @@ def empty_scene_arrays(n_tris=0, n_sph=0, n_mat=1, n_lights=0, alight_pad=1):
         sph_light=np.full(S, -1, np.int32),
         sph_reverse=np.zeros(S, bool),
         crv_attr=np.zeros((0, 26), np.float32),  # curves.N_CURVE_ATTR
+        proto_p0=np.zeros((0, 3), np.float32),
+        proto_p1=np.zeros((0, 3), np.float32),
+        proto_p2=np.zeros((0, 3), np.float32),
+        proto_attr=np.zeros((1, N_TRI_ATTR), np.float32),
+        proto_range=np.zeros((0, 2), np.int32),
+        inst_o2w=np.zeros((0, 4, 4), np.float32),
+        inst_w2o=np.zeros((0, 4, 4), np.float32),
+        inst_proto=np.zeros(0, np.int32),
+        inst_mat=np.full(0, -1, np.int32),
         mat_type=np.zeros(M, np.int32),
         mat_params=np.zeros((M, N_MAT_PARAMS), np.float32),
         mat_tex=np.full((M, N_TEX_SLOTS), -1, np.int32),
@@ -445,6 +472,22 @@ def finalize_scene(arrs: dict) -> Scene:
         scale = np.linalg.norm(arrs["sph_o2w"][:, :3, :3], axis=(1, 2))
         r = quadric_bound_radius(arrs["sph_params"], arrs["sph_kind"]) * scale
         pts += [c - r[:, None], c + r[:, None]]
+    if len(arrs.get("inst_o2w", ())):
+        pp = np.stack([arrs["proto_p0"], arrs["proto_p1"], arrs["proto_p2"]])
+        pr = np.asarray(arrs["proto_range"], np.int64)
+        plo = np.stack([pp[:, a:b].min((0, 1)) for a, b in pr])  # (P,3)
+        phi = np.stack([pp[:, a:b].max((0, 1)) for a, b in pr])
+        ip = np.asarray(arrs["inst_proto"], np.int64)
+        lo, hi = plo[ip], phi[ip]
+        corners = np.stack(
+            [np.stack([np.where(m & 1, hi[:, 0], lo[:, 0]),
+                       np.where(m & 2, hi[:, 1], lo[:, 1]),
+                       np.where(m & 4, hi[:, 2], lo[:, 2])], -1)
+             for m in range(8)], 1)  # (I,8,3)
+        R3 = arrs["inst_o2w"][:, :3, :3]
+        t3 = arrs["inst_o2w"][:, :3, 3]
+        wc = np.einsum("ikj,icj->ick", R3, corners) + t3[:, None, :]
+        pts += [wc.min(1).astype(np.float32), wc.max(1).astype(np.float32)]
     if len(arrs.get("crv_attr", ())):
         cp = arrs["crv_attr"][:, 0:12].reshape(-1, 4, 3)
         hw = arrs["crv_attr"][:, 12:14].max(1)[:, None] * 0.5

@@ -26,6 +26,10 @@ class SceneBuilder:
             "has_n", "mat", "light", "reverse")}
         self.sphs = {k: [] for k in ("o2w", "w2o", "params", "kind", "mat", "light", "reverse")}
         self.curves = []  # list of packed (M_i, N_CURVE_ATTR) segment blocks
+        # two-level instancing (primitive.rs TransformedPrimitive): shared
+        # object-space prototype meshes + per-instance transforms
+        self.protos = []  # list of dict(p0,p1,p2,attr) numpy blocks
+        self.instances = []  # list of (proto_id, o2w(4,4), mat_override)
         self.bssrdfs = []  # list of per-material folded BSSRDF table dicts
         self.fourier_table = None  # single SCATFUN table dict (ops/fourier_bsdf)
         self.mats = []  # list of (type, params, tex)
@@ -518,6 +522,72 @@ class SceneBuilder:
 
     # ---- finalize ----
 
+    def add_prototype_mesh(self, indices, positions, normals=None, uvs=None,
+                           material: int = 0):
+        """Register a shared OBJECT-SPACE mesh for instancing.  Returns a
+        prototype id for add_instance.  (reference primitive.rs:198-265 —
+        one geometry copy however many instances reference it.)"""
+        F = np.asarray(indices, np.int64).reshape(-1, 3)
+        P = np.asarray(positions, np.float32).reshape(-1, 3)
+        p0, p1, p2 = P[F[:, 0]], P[F[:, 1]], P[F[:, 2]]
+        n = F.shape[0]
+        attr = np.zeros((n, sa.N_TRI_ATTR), np.float32)
+        attr[:, sa.TA_P0 : sa.TA_P0 + 3] = p0
+        attr[:, sa.TA_P1 : sa.TA_P1 + 3] = p1
+        attr[:, sa.TA_P2 : sa.TA_P2 + 3] = p2
+        if normals is not None:
+            N = np.asarray(normals, np.float32).reshape(-1, 3)
+            attr[:, sa.TA_N0 : sa.TA_N0 + 3] = N[F[:, 0]]
+            attr[:, sa.TA_N1 : sa.TA_N1 + 3] = N[F[:, 1]]
+            attr[:, sa.TA_N2 : sa.TA_N2 + 3] = N[F[:, 2]]
+            attr[:, sa.TA_HAS_N] = 1.0
+        if uvs is not None:
+            U = np.asarray(uvs, np.float32).reshape(-1, 2)
+            attr[:, sa.TA_UV0 : sa.TA_UV0 + 2] = U[F[:, 0]]
+            attr[:, sa.TA_UV1 : sa.TA_UV1 + 2] = U[F[:, 1]]
+            attr[:, sa.TA_UV2 : sa.TA_UV2 + 2] = U[F[:, 2]]
+        else:
+            attr[:, sa.TA_UV1] = 1.0
+            attr[:, sa.TA_UV2 : sa.TA_UV2 + 2] = 1.0
+        attr[:, sa.TA_MAT] = material
+        attr[:, sa.TA_LIGHT] = -1
+        attr[:, sa.TA_ALPHA] = -1
+        attr[:, sa.TA_SALPHA] = -1
+        self.protos.append(dict(p0=p0, p1=p1, p2=p2, attr=attr))
+        return len(self.protos) - 1
+
+    def add_prototype_tris(self, tris: dict):
+        """Register a prototype directly from a realized tris dict (the
+        scene/api.py ObjectInstance path: shapes already expanded to
+        per-triangle lists in object space)."""
+        p0 = np.stack(tris["p0"]).astype(np.float32)
+        p1 = np.stack(tris["p1"]).astype(np.float32)
+        p2 = np.stack(tris["p2"]).astype(np.float32)
+        n = p0.shape[0]
+        attr = np.zeros((n, sa.N_TRI_ATTR), np.float32)
+        attr[:, sa.TA_P0 : sa.TA_P0 + 3] = p0
+        attr[:, sa.TA_P1 : sa.TA_P1 + 3] = p1
+        attr[:, sa.TA_P2 : sa.TA_P2 + 3] = p2
+        attr[:, sa.TA_N0 : sa.TA_N0 + 3] = np.stack(tris["n0"])
+        attr[:, sa.TA_N1 : sa.TA_N1 + 3] = np.stack(tris["n1"])
+        attr[:, sa.TA_N2 : sa.TA_N2 + 3] = np.stack(tris["n2"])
+        attr[:, sa.TA_HAS_N] = np.asarray(tris["has_n"], np.float32)
+        attr[:, sa.TA_UV0 : sa.TA_UV0 + 2] = np.stack(tris["uv0"])
+        attr[:, sa.TA_UV1 : sa.TA_UV1 + 2] = np.stack(tris["uv1"])
+        attr[:, sa.TA_UV2 : sa.TA_UV2 + 2] = np.stack(tris["uv2"])
+        attr[:, sa.TA_MAT] = np.asarray(tris["mat"], np.float32)
+        attr[:, sa.TA_LIGHT] = -1.0
+        attr[:, sa.TA_REVERSE] = np.asarray(tris["reverse"], np.float32)
+        attr[:, sa.TA_ALPHA] = -1.0
+        attr[:, sa.TA_SALPHA] = -1.0
+        self.protos.append(dict(p0=p0, p1=p1, p2=p2, attr=attr))
+        return len(self.protos) - 1
+
+    def add_instance(self, proto_id: int, object_to_world=None,
+                     material: int = -1):
+        o2w = object_to_world or tr.identity()
+        self.instances.append((proto_id, np.asarray(o2w.m, np.float32), material))
+
     def finalize(self) -> sa.Scene:
         n_tri = len(self.tris["p0"])
         n_sph = len(self.sphs["o2w"])
@@ -543,6 +613,18 @@ class SceneBuilder:
             if self.tris.get("alpha"):
                 arrs["tri_alpha"] = np.asarray(self.tris["alpha"], np.int32)
                 arrs["tri_salpha"] = np.asarray(self.tris["salpha"], np.int32)
+        if self.instances:
+            arrs["proto_p0"] = np.concatenate([pr["p0"] for pr in self.protos])
+            arrs["proto_p1"] = np.concatenate([pr["p1"] for pr in self.protos])
+            arrs["proto_p2"] = np.concatenate([pr["p2"] for pr in self.protos])
+            arrs["proto_attr"] = np.concatenate([pr["attr"] for pr in self.protos])
+            offs = np.cumsum([0] + [pr["p0"].shape[0] for pr in self.protos])
+            arrs["proto_range"] = np.stack([offs[:-1], offs[1:]], -1).astype(np.int32)
+            o2ws = np.stack([i[1] for i in self.instances])
+            arrs["inst_o2w"] = o2ws
+            arrs["inst_w2o"] = np.linalg.inv(o2ws.astype(np.float64)).astype(np.float32)
+            arrs["inst_proto"] = np.asarray([i[0] for i in self.instances], np.int32)
+            arrs["inst_mat"] = np.asarray([i[2] for i in self.instances], np.int32)
         if n_sph:
             arrs["sph_o2w"] = np.stack(self.sphs["o2w"])
             arrs["sph_w2o"] = np.stack(self.sphs["w2o"])
