@@ -182,7 +182,19 @@ def _walk(scene, cfg_s, ctx, o0, d0, beta0, pdf_dir0, max_verts, dim_base, accel
     return path
 
 
-def generate_camera_subpath(scene, camera, cfg_s, ctx, p_film, max_verts, accel):
+def dim_bases(max_verts_cam, max_verts_light):
+    """Non-overlapping PSS dimension streams (reference mlt.rs:28-64
+    3-stream MLTSampler): camera walk, light walk, and per-strategy
+    connection dims each get a disjoint range whatever the depth — deep
+    paths no longer alias camera perturbations into light dims."""
+    cam_base = 40
+    light_base = cam_base + 3 * max_verts_cam + 2
+    s1_base = light_base + 3 * max_verts_light + 6
+    return cam_base, light_base, s1_base
+
+
+def generate_camera_subpath(scene, camera, cfg_s, ctx, p_film, max_verts, accel,
+                            dim_base=40):
     """reference bdpt.rs:1108."""
     n = p_film.shape[0]
     rays = cam.generate_rays(camera, p_film, smpl.get_2d(cfg_s, ctx, 3), smpl.get_1d(cfg_s, ctx, 2))
@@ -198,11 +210,12 @@ def generate_camera_subpath(scene, camera, cfg_s, ctx, p_film, max_verts, accel)
     _, pdf_dir = cam.camera_pdf_we(camera, rays.o, rays.d)
     return _walk(
         scene, cfg_s, ctx, rays.o, rays.d, jnp.ones((n, 3), jnp.float32),
-        pdf_dir, max_verts, 40, accel, path, mode_importance=False,
+        pdf_dir, max_verts, dim_base, accel, path, mode_importance=False,
     )
 
 
-def generate_light_subpath(scene, cfg_s, ctx, n, max_verts, light_dist, accel):
+def generate_light_subpath(scene, cfg_s, ctx, n, max_verts, light_dist, accel,
+                           dim_base=60):
     """reference bdpt.rs:1161."""
     u_sel = smpl.get_1d(cfg_s, ctx, 20)
     li_idx, sel_pdf, _ = smp.sample_distribution_1d_discrete(light_dist, u_sel)
@@ -233,7 +246,7 @@ def generate_light_subpath(scene, cfg_s, ctx, n, max_verts, light_dist, accel):
     )[:, None]
     walked = _walk(
         scene, cfg_s, ctx, ls.o + ls.d * 1e-3, ls.d, beta0, ls.pdf_dir,
-        max_verts, 60, accel, path, mode_importance=True,
+        max_verts, dim_base, accel, path, mode_importance=True,
         prev0_env=is_inf if scene.has_env else None,
     )
     if scene.has_env:
@@ -368,9 +381,12 @@ def radiance_and_splats(scene, camera, cfg: "PathCfg", cfg_s, ctx, p_film, accel
     s_max = cfg.max_depth + 1
     light_dist = _light_select_dist(scene)
 
-    cpath = generate_camera_subpath(scene, camera, cfg_s, ctx, p_film, t_max, accel)
+    cam_base, light_base, s1_base = dim_bases(t_max, s_max)
+    cpath = generate_camera_subpath(
+        scene, camera, cfg_s, ctx, p_film, t_max, accel, dim_base=cam_base
+    )
     lpath, l0_idx, l0_sel = generate_light_subpath(
-        scene, cfg_s, ctx, n, s_max, light_dist, accel
+        scene, cfg_s, ctx, n, s_max, light_dist, accel, dim_base=light_base
     )
 
     L = jnp.zeros((n, 3), jnp.float32)
@@ -474,8 +490,8 @@ def radiance_and_splats(scene, camera, cfg: "PathCfg", cfg_s, ctx, p_film, accel
 
             if s == 1:
                 # NEE-style: fresh light sample toward camera vertex
-                u_sel = smpl.get_1d(cfg_s, ctx, 80 + 3 * t)
-                u_l = smpl.get_2d(cfg_s, ctx, 81 + 3 * t)
+                u_sel = smpl.get_1d(cfg_s, ctx, s1_base + 3 * t)
+                u_l = smpl.get_2d(cfg_s, ctx, s1_base + 1 + 3 * t)
                 li_idx, sel_pdf, _ = smp.sample_distribution_1d_discrete(light_dist, u_sel)
                 ls = lt.sample_li(scene, li_idx, cpath.p[:, cv], u_l)
                 f, pdf_c, pdf_rev_c = _vertex_f(scene, cpath, cv, ls.wi)
