@@ -280,7 +280,7 @@ def bk_pdf_wh(wo, wh, ax, ay):
 
 # ---- per-lane BSDF parameter block ----
 
-N_LOBE_KINDS = 18
+N_LOBE_KINDS = 19
 (
     LOBE_NONE,
     LOBE_LAMBERT,
@@ -300,6 +300,7 @@ N_LOBE_KINDS = 18
     LOBE_SPEC_TRANS_PASS,  # SpecularTransmission(t, 1, 1): uber opacity
     LOBE_SPEC_REFL_FR,  # SpecularReflection with dielectric fresnel (uber kr)
     LOBE_DISNEY_CLEARCOAT,  # disney.rs DisneyClearcoat (GTR1)
+    LOBE_DISNEY_SHEEN,  # disney.rs DisneySheen (Schlick-weight grazing lobe)
 ) = range(N_LOBE_KINDS)
 
 # transmission-side lobes (used by sidedness masks)
@@ -771,7 +772,9 @@ def _mat_lobes():
                       LOBE_SPEC_TRANS, LOBE_SPEC_TRANS_PASS),
             sa.TRANSLUCENT: (LOBE_LAMBERT, LOBE_LAMBERT_TRANS,
                              LOBE_MICROFACET_REFL, LOBE_MICROFACET_TRANS),
-            sa.DISNEY: (LOBE_DISNEY_DIFFUSE, LOBE_DISNEY_GLOSS),
+            sa.DISNEY: (LOBE_DISNEY_DIFFUSE, LOBE_DISNEY_GLOSS,
+                        LOBE_DISNEY_CLEARCOAT, LOBE_DISNEY_SHEEN,
+                        LOBE_MICROFACET_TRANS),
             sa.HAIR: (LOBE_HAIR,),
             sa.FOURIER: (LOBE_FOURIER,),
             # mix blends params into the first material's type at build time
@@ -824,7 +827,8 @@ def make_bsdf(mat_type, params, uv=None, enable_hair=True, fou=None, mat_mask=-1
     r0 = jnp.zeros((n, 3), jnp.float32)
     r1 = jnp.zeros((n, 3), jnp.float32)
     # slots 2/3 only exist when the material set can need >2 lobes (STATIC)
-    need4 = hasm(sa.UBER) or hasm(sa.TRANSLUCENT) or hasm(sa.MIXMAT)
+    need4 = (hasm(sa.UBER) or hasm(sa.TRANSLUCENT) or hasm(sa.MIXMAT)
+             or hasm(sa.DISNEY))
     if need4:
         kind2 = z + LOBE_NONE
         kind3 = z + LOBE_NONE
@@ -832,6 +836,7 @@ def make_bsdf(mat_type, params, uv=None, enable_hair=True, fou=None, mat_mask=-1
         r3 = jnp.zeros((n, 3), jnp.float32)
     else:
         kind2 = kind3 = r2 = r3 = None
+    ax2 = ay2 = eta2 = sigma2 = None  # per-slot overrides (disney/mix)
 
     is_black = lambda c: jnp.all(c == 0.0, axis=-1)
 
@@ -907,20 +912,72 @@ def make_bsdf(mat_type, params, uv=None, enable_hair=True, fou=None, mat_mask=-1
         r3 = jnp.where(m[:, None], t_pass, r3)
 
     if hasm(sa.DISNEY) or hasm(sa.MIXMAT):
-        # DISNEY (materials/disney.rs): base*(1-metallic) diffuse+retro lobe +
-        # metallic GGX with Schlick F0 = lerp(0.04, base, metallic).
-        # Param mapping: MP_KS slot = (metallic, sheen, clearcoat) scalars.
+        # DISNEY (materials/disney.rs:640): diffuse+retro, tinted
+        # anisotropic GGX, GTR1 clearcoat (slot 2), sheen OR specular
+        # transmission (slot 3).  Scalar packing (builder.add_disney):
+        # MP_KS = (metallic, sheen, clearcoat);
+        # MP_OPACITY = (spec_tint, anisotropic, spec_trans);
+        # MP_KR = (clearcoat_gloss, sheen_tint, -).
         m = mat_type == sa.DISNEY
         metallic = params[:, sa.MP_KS]
-        f0 = vm.lerp(metallic[:, None], 0.04 * jnp.ones_like(kd), kd)
+        sheen_w = params[:, sa.MP_KS + 1]
+        cc_w = params[:, sa.MP_KS + 2]
+        spec_tint = params[:, sa.MP_OPACITY]
+        aniso = params[:, sa.MP_OPACITY + 1]
+        s_trans = params[:, sa.MP_OPACITY + 2]
+        cc_gloss = params[:, sa.MP_KR]
+        sheen_tint = params[:, sa.MP_KR + 1]
+        # tint color: hue/saturation of the base (disney.rs CalculateTint)
+        lum = jnp.einsum("...c,c->...", kd, jnp.asarray([0.2126, 0.7152, 0.0722]))
+        ctint = jnp.where(lum[:, None] > 0, kd / jnp.maximum(lum[:, None], 1e-6), 1.0)
+        white = jnp.ones_like(kd)
+        # DisneyFresnel Cspec0: lerp(metallic, 0.04*lerp(specTint,1,tint), base)
+        spec0 = 0.04 * vm.lerp(spec_tint[:, None], white, ctint)
+        f0 = vm.lerp(metallic[:, None], spec0, kd)
         kind0 = jnp.where(m, LOBE_DISNEY_DIFFUSE, kind0)
         kind1 = jnp.where(m, LOBE_DISNEY_GLOSS, kind1)
-        r0 = jnp.where(m[:, None], kd * (1.0 - metallic)[:, None], r0)
+        diff_w = (1.0 - metallic) * (1.0 - s_trans)
+        r0 = jnp.where(m[:, None], kd * diff_w[:, None], r0)
         r1 = jnp.where(m[:, None], f0, r1)
-        # disney roughness remaps alpha = rough^2 (not the TR fit)
-        ax = jnp.where(m, jnp.maximum(rough_u * rough_u, 1e-4), ax)
-        ay = jnp.where(m, jnp.maximum(jnp.where(rough_v > 0, rough_v, rough_u) ** 2, 1e-4), ay)
+        # disney roughness remaps alpha = rough^2 (not the TR fit), split
+        # by the anisotropy aspect (disney.rs: aspect = sqrt(1-0.9*aniso))
+        aspect = jnp.sqrt(jnp.maximum(1.0 - 0.9 * aniso, 1e-4))
+        r2_alpha = jnp.maximum(rough_u * rough_u, 1e-4)
+        ax = jnp.where(m, r2_alpha / aspect, ax)
+        ay = jnp.where(m, r2_alpha * aspect, ay)
         sigma = jnp.where(m, rough_u, sigma)  # disney diffuse retro uses roughness
+        if need4:
+            # slot 2: clearcoat (weight in r2.x, GTR1 alpha in sigma2)
+            kind2 = jnp.where(m & (cc_w > 0), LOBE_DISNEY_CLEARCOAT, kind2)
+            r2 = jnp.where(
+                m[:, None], jnp.stack([cc_w, cc_w * 0, cc_w * 0], -1), r2
+            )
+            alpha_cc = vm.lerp(cc_gloss, 0.1, 0.001)
+            sigma2_new = jnp.where(m, alpha_cc, 1.0)
+            sigma2 = sigma2_new if sigma2 is None else jnp.where(m, alpha_cc, sigma2)
+            # slot 3: specular transmission beats sheen when both set
+            csheen = vm.lerp(sheen_tint[:, None], white, ctint)
+            trans_col = jnp.sqrt(jnp.maximum(kd, 0.0)) * (
+                (1.0 - metallic) * s_trans
+            )[:, None]
+            use_trans = s_trans > 0
+            kind3 = jnp.where(
+                m & use_trans, LOBE_MICROFACET_TRANS,
+                jnp.where(m & (sheen_w > 0), LOBE_DISNEY_SHEEN, kind3),
+            )
+            r3 = jnp.where(
+                m[:, None],
+                jnp.where(
+                    use_trans[:, None], trans_col,
+                    sheen_w[:, None] * diff_w[:, None] * csheen,
+                ),
+                r3,
+            )
+            # transmission distribution shares the disney alphas; eta 1.5
+            ax2 = ax if ax2 is None else jnp.where(m, ax, ax2)
+            ay2 = ay if ay2 is None else jnp.where(m, ay, ay2)
+            eta2_new = jnp.where(m, eta, 1.5)
+            eta2 = eta2_new if eta2 is None else jnp.where(m, eta, eta2)
 
     if hasm(sa.TRANSLUCENT) or hasm(sa.MIXMAT):
         # TRANSLUCENT (materials/translucent.rs:82-185): the full 4-lobe
@@ -970,10 +1027,15 @@ def make_bsdf(mat_type, params, uv=None, enable_hair=True, fou=None, mat_mask=-1
         h = jnp.zeros(n, jnp.float32)
     else:
         h = jnp.clip(-1.0 + 2.0 * uv[..., 1], -1.0, 1.0)
+    if ax2 is not None and sigma2 is None:
+        sigma2 = sigma
+    if sigma2 is not None and ax2 is None:
+        ax2, ay2, eta2 = ax, ay, eta
     return Bsdf(
         kind0, kind1, r0, r1, ax, ay, eta, sigma, eta3, k3, kt, h,
         bool(enable_hair), fou, lobe_mask_of(mat_mask),
         kind2, kind3, r2, r3,
+        ax2, ay2, eta2, sigma2,
     )
 
 
@@ -1142,6 +1204,16 @@ def _lobe_f(kind, color, b: Bsdf, wo, wi, reflect, slot23: bool = False):
             (kind == LOBE_DISNEY_CLEARCOAT)[..., None],
             disney_clearcoat_f(color, sigma, wo, wi), out,
         )
+    if hasl(LOBE_DISNEY_SHEEN):
+        # DisneySheen::f (disney.rs): R * SchlickWeight(|wi . wh|)
+        wh_s = wi + wo
+        wh_ok_s = jnp.any(wh_s != 0.0, axis=-1)
+        cos_d = vm.absdot(wi, vm.normalize(wh_s))
+        out = jnp.where(
+            (kind == LOBE_DISNEY_SHEEN)[..., None],
+            color * (_pow5(1.0 - cos_d) * jnp.where(wh_ok_s, 1.0, 0.0))[..., None],
+            out,
+        )
     # reflective lobes contribute only when geometric sidedness says reflect
     out = jnp.where(reflect[..., None], out, 0.0)
     # and only when wo/wi are in the same shading hemisphere
@@ -1182,9 +1254,11 @@ def _lobe_pdf(kind, b: Bsdf, wo, wi, slot23: bool = False):
                or hasl(LOBE_DISNEY_CLEARCOAT))
     same = same_hemisphere(wo, wi)
     out = jnp.zeros_like(pdf_cos)
-    if hasl(LOBE_LAMBERT) or hasl(LOBE_ORENNAYAR) or hasl(LOBE_DISNEY_DIFFUSE):
+    if (hasl(LOBE_LAMBERT) or hasl(LOBE_ORENNAYAR) or hasl(LOBE_DISNEY_DIFFUSE)
+            or hasl(LOBE_DISNEY_SHEEN)):
         out = jnp.where(
-            (kind == LOBE_LAMBERT) | (kind == LOBE_ORENNAYAR) | (kind == LOBE_DISNEY_DIFFUSE),
+            (kind == LOBE_LAMBERT) | (kind == LOBE_ORENNAYAR)
+            | (kind == LOBE_DISNEY_DIFFUSE) | (kind == LOBE_DISNEY_SHEEN),
             pdf_cos, out,
         )
     if need_mf:

@@ -324,6 +324,11 @@ class PbrtAPI:
                 sheen=ps.find_one(params, "sheen", 0.0),
                 clearcoat=ps.find_one(params, "clearcoat", 0.0),
                 eta=ps.find_one(params, "eta", 1.5),
+                spec_tint=ps.find_one(params, "speculartint", 0.0),
+                anisotropic=ps.find_one(params, "anisotropic", 0.0),
+                spec_trans=ps.find_one(params, "spectrans", 0.0),
+                clearcoat_gloss=ps.find_one(params, "clearcoatgloss", 1.0),
+                sheen_tint=ps.find_one(params, "sheentint", 0.5),
             )
         if mtype == "subsurface":
             return b.add_subsurface(
