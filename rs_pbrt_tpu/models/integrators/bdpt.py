@@ -269,12 +269,7 @@ def _vertex_f(scene, path: Subpath, slot: int, wi_world):
     """BSDF f at a surface vertex toward wi_world (reference Vertex::f)."""
     from ...ops import gathers as gx
 
-    ma = gx.take_rows(scene.mat_attr, path.mat[:, slot])
-    b = bx.make_bsdf(
-        gx.coli(ma, sa.MA_TYPE), ma[..., sa.MA_PARAMS : sa.MA_PARAMS + sa.N_MAT_PARAMS],
-        enable_hair=scene.has_hair,
-        mat_mask=scene.mat_kind_mask,
-    )
+    b = bx.make_bsdf_from_mat(scene, path.mat[:, slot])
     ns = path.ns[:, slot]
     ss, ts = _shading_frame(ns)
     wo_l = _to_local(path.wo[:, slot], ss, ts, ns)

@@ -242,13 +242,7 @@ def _photon_pass(scene, vps: VisiblePoints, grid: Grid, radius, n_photons: int,
                 near = in_bucket & (vm.length_squared(dp) <= r * r) & vps.valid[vp_i]
                 from ...ops import gathers as gx
 
-                ma = gx.take_rows(scene.mat_attr, vps.mat[vp_i])
-                b_vp = bx.make_bsdf(
-                    gx.coli(ma, sa.MA_TYPE),
-                    ma[..., sa.MA_PARAMS : sa.MA_PARAMS + sa.N_MAT_PARAMS],
-                    enable_hair=scene.has_hair,
-                    mat_mask=scene.mat_kind_mask,
-                )
+                b_vp = bx.make_bsdf_from_mat(scene, vps.mat[vp_i])
                 ns_vp = vps.ns[vp_i]
                 ss, ts = _shading_frame(ns_vp)
                 wo_l = _to_local(vps.wo[vp_i], ss, ts, ns_vp)

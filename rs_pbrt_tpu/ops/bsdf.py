@@ -655,27 +655,34 @@ def make_bsdf_at(scene, it):
     """Build the per-lane BSDF at hits, resolving textured parameter slots
     (replaces Material::compute_scattering_functions + per-material texture
     evaluate calls, material.rs:63 + src/materials/*)."""
+    return make_bsdf_from_mat(scene, it.mat, it.uv, it.p)
+
+
+def make_bsdf_from_mat(scene, mat_idx, uv=None, p_hit=None):
+    """BSDF from material indices; uv/p_hit enable texture overrides (the
+    BDPT/SPPM vertex-reevaluation path passes uv=None: mix materials still
+    resolve, textures fall back to their base params)."""
     from ..scene import arrays as sa
     from . import gathers as gx
 
-    ma = gx.take_rows(scene.mat_attr, it.mat)  # one-hot matmul
+    ma = gx.take_rows(scene.mat_attr, mat_idx)  # one-hot matmul
     mat_type = gx.coli(ma, sa.MA_TYPE)
     params = ma[..., sa.MA_PARAMS : sa.MA_PARAMS + sa.N_MAT_PARAMS]
-    if scene.tex_type.shape[0] > 1 and scene.tex_slot_mask:  # static gates
+    if uv is not None and scene.tex_type.shape[0] > 1 and scene.tex_slot_mask:
         from . import texture as tx
 
         mt = jnp.round(ma[..., sa.MA_TEX : sa.MA_TEX + sa.N_TEX_SLOTS]).astype(jnp.int32)
 
         def override3(params, slot, col):
             tid = mt[:, slot]
-            val = tx.eval_texture(scene, tid, it.uv, it.p)
+            val = tx.eval_texture(scene, tid, uv, p_hit)
             cur = params[:, col : col + 3]
             new = jnp.where((tid >= 0)[:, None], val, cur)
             return params.at[:, col : col + 3].set(new)
 
         def override1(params, slot, col):
             tid = mt[:, slot]
-            val = tx.eval_texture(scene, tid, it.uv, it.p)[..., 0]
+            val = tx.eval_texture(scene, tid, uv, p_hit)[..., 0]
             new = jnp.where(tid >= 0, val, params[:, col])
             return params.at[:, col].set(new)
 
@@ -706,8 +713,57 @@ def make_bsdf_at(scene, it):
             scene.fou_mu, scene.fou_dense, scene.fou_m, scene.fou_cdf,
             scene.fou_a0, scene.fou_eta, jnp.int32(3),
         )
+
+    if scene.mat_kind_mask & (1 << sa.MIXMAT):
+        # MIX (reference materials/mixmat.rs): true per-bxdf scaling —
+        # child A's two lobes in slots 0/1 scaled by amt, child B's in
+        # slots 2/3 scaled by (1-amt), with B's microfacet/eta params in
+        # the slot-2/3 overrides.  (Children are limited to their primary
+        # two lobes; the reference unions up to 8 BxDFs.)
+        is_mix = mat_type == sa.MIXMAT
+        amt = params[:, sa.MP_KD : sa.MP_KD + 3]
+        aid = jnp.round(params[:, sa.MP_KS]).astype(jnp.int32)
+        bid = jnp.round(params[:, sa.MP_KS + 1]).astype(jnp.int32)
+        maA = gx.take_rows(scene.mat_attr, jnp.where(is_mix, aid, mat_idx))
+        maB = gx.take_rows(scene.mat_attr, jnp.where(is_mix, bid, mat_idx))
+        tA = jnp.where(is_mix, gx.coli(maA, sa.MA_TYPE), mat_type)
+        pA = jnp.where(
+            is_mix[:, None],
+            maA[..., sa.MA_PARAMS : sa.MA_PARAMS + sa.N_MAT_PARAMS], params,
+        )
+        tB = gx.coli(maB, sa.MA_TYPE)
+        pB = maB[..., sa.MA_PARAMS : sa.MA_PARAMS + sa.N_MAT_PARAMS]
+        bA = make_bsdf(tA, pA, uv=uv, enable_hair=scene.has_hair, fou=fou,
+                       mat_mask=scene.mat_kind_mask)
+        bB = make_bsdf(tB, pB, uv=uv, enable_hair=scene.has_hair, fou=fou,
+                       mat_mask=scene.mat_kind_mask)
+        mix1 = is_mix[:, None]
+        one_m = 1.0 - amt
+
+        def pick2(cur, bval):
+            if cur is None:
+                return None
+            return jnp.where(is_mix, bval, cur)
+
+        return bA.replace(
+            r0=jnp.where(mix1, bA.r0 * amt, bA.r0),
+            r1=jnp.where(mix1, bA.r1 * amt, bA.r1),
+            kind2=jnp.where(is_mix, bB.kind0, bA.kind2)
+            if bA.kind2 is not None else bB.kind0,
+            kind3=jnp.where(is_mix, bB.kind1, bA.kind3)
+            if bA.kind3 is not None else bB.kind1,
+            r2=jnp.where(mix1, bB.r0 * one_m, bA.r2)
+            if bA.r2 is not None else bB.r0 * one_m,
+            r3=jnp.where(mix1, bB.r1 * one_m, bA.r3)
+            if bA.r3 is not None else bB.r1 * one_m,
+            ax2=pick2(bA.ax2 if bA.ax2 is not None else bA.ax, bB.ax),
+            ay2=pick2(bA.ay2 if bA.ay2 is not None else bA.ay, bB.ay),
+            eta2=pick2(bA.eta2 if bA.eta2 is not None else bA.eta, bB.eta),
+            sigma2=pick2(bA.sigma2 if bA.sigma2 is not None else bA.sigma, bB.sigma),
+        )
+
     return make_bsdf(
-        mat_type, params, uv=it.uv, enable_hair=scene.has_hair, fou=fou,
+        mat_type, params, uv=uv, enable_hair=scene.has_hair, fou=fou,
         mat_mask=scene.mat_kind_mask,
     )
 

@@ -183,18 +183,18 @@ class SceneBuilder:
         return self._add_material(sa.FOURIER)
 
     def add_mix(self, mat1: int, mat2: int, amount=(0.5,) * 3):
-        """Mix material (reference materials/mixmat.rs).  Approximated by
-        blending the two children's parameter vectors when they share a
-        type, else the dominant child is used (exact lobe-union mixing
-        needs >2 lobe slots; noted limitation)."""
-        t1, p1, _ = self.mats[mat1]
-        t2, p2, _ = self.mats[mat2]
-        amt = float(np.mean(amount))
-        if t1 == t2:
-            p = p1 * amt + p2 * (1 - amt)
-            self.mats.append((t1, p.astype(np.float32), np.full(sa.N_TEX_SLOTS, -1, np.int32)))
-        else:
-            self.mats.append(self.mats[mat1 if amt >= 0.5 else mat2])
+        """Mix material (reference materials/mixmat.rs): true per-bxdf
+        scaling — child A's lobes x amount + child B's lobes x (1-amount),
+        resolved at shade time through the 4-slot stack
+        (ops/bsdf.make_bsdf_at).  Packing: MP_KD = amount rgb,
+        MP_KS[0/1] = child material ids.  Children contribute their two
+        primary lobes (the reference unions up to 8 BxDFs)."""
+        p = np.zeros(sa.N_MAT_PARAMS, np.float32)
+        p[sa.MP_KD : sa.MP_KD + 3] = amount
+        p[sa.MP_KS] = float(mat1)
+        p[sa.MP_KS + 1] = float(mat2)
+        p[sa.MP_BSSRDF] = -1
+        self.mats.append((sa.MIXMAT, p, np.full(sa.N_TEX_SLOTS, -1, np.int32)))
         return len(self.mats) - 1
 
     def add_texture(self, tex_type, params=None, children=(-1, -1),
