@@ -66,9 +66,12 @@ def build_lbvh_native(bmin, bmax) -> LBVH:
     )
     if rc != 0:
         raise RuntimeError(f"lbvh_build failed rc={rc}")
+    from .bvh import pack_nodes
+
     return LBVH(
         jnp.asarray(child_l), jnp.asarray(child_r),
         jnp.asarray(bmin_l), jnp.asarray(bmax_l),
         jnp.asarray(bmin_r), jnp.asarray(bmax_r),
         jnp.asarray(prim_ids),
+        jnp.asarray(pack_nodes(child_l, child_r, bmin_l, bmax_l, bmin_r, bmax_r)),
     )
