@@ -16,7 +16,13 @@ temporaries).
 Scope notes vs the reference: infinite-light (env) strategies are
 implemented (escaped camera vertices, env light subpaths, env s=1 samples
 — bdpt.rs:549-583 semantics with solid-angle densities at env vertices);
-medium vertices are masked out; delta lights are handled (no s=0).
+delta lights are handled (no s=0).  MEDIUM vertices (bdpt.rs Vertex::Medium,
+random_walk's mi branch) are supported for homogeneous media: the walk
+distance-samples the current medium per segment, scattering events become
+VT_MEDIUM vertices with HG phase f/pdf (densities converted without a
+cosine), and connections attenuate by the closed-form transmittance of the
+camera-side vertex's medium (the same single-medium-segment approximation
+volpath._shadow_tr uses).  Grid media stay surface-only in BDPT.
 """
 
 from __future__ import annotations
@@ -40,6 +46,7 @@ from .path import _light_select_dist, _shading_frame, _shading_frame_du, _to_loc
 VT_CAMERA = 0
 VT_LIGHT = 1
 VT_SURFACE = 2
+VT_MEDIUM = 3
 
 # sentinel in Subpath.light for a camera-subpath vertex on the environment
 # sphere (reference bdpt.rs: escaped rays become light vertices at infinity,
@@ -65,6 +72,8 @@ class Subpath(NamedTuple):
     vtype: jnp.ndarray  # (N, D)
     valid: jnp.ndarray  # (N, D)
     count: jnp.ndarray  # (N,) number of valid vertices
+    med: jnp.ndarray  # (N, D) medium id the arriving segment traveled in
+    #                   (-1 vacuum); the vertex's own medium for VT_MEDIUM
 
 
 def _empty_subpath(n, depth):
@@ -72,7 +81,10 @@ def _empty_subpath(n, depth):
     z1 = jnp.zeros((n, depth), jnp.float32)
     zi = jnp.zeros((n, depth), jnp.int32)
     zb = jnp.zeros((n, depth), bool)
-    return Subpath(z3, z3, z3, z3, z3, zi, zi - 1, z1, z1, zb, zi, zb, jnp.zeros(n, jnp.int32))
+    return Subpath(
+        z3, z3, z3, z3, z3, zi, zi - 1, z1, z1, zb, zi, zb,
+        jnp.zeros(n, jnp.int32), zi - 1,
+    )
 
 
 def _set(path: Subpath, slot: int, mask, **kw):
@@ -85,12 +97,17 @@ def _set(path: Subpath, slot: int, mask, **kw):
     return path._replace(**upd)
 
 
-def _convert_density(pdf_solid, p_from, p_to, n_to):
-    """Solid angle -> area measure (reference bdpt.rs convert_density)."""
+def _convert_density(pdf_solid, p_from, p_to, n_to, to_is_med=None):
+    """Solid angle -> area measure (reference bdpt.rs convert_density).
+
+    Medium target vertices have no surface cosine (reference Vertex::
+    convert_density's is_on_surface() test): pass to_is_med to drop it."""
     d = p_to - p_from
     d2 = jnp.maximum(vm.length_squared(d), 1e-12)
     w = d / jnp.sqrt(d2)[..., None]
     cos = jnp.abs(vm.dot(n_to, w))
+    if to_is_med is not None:
+        cos = jnp.where(to_is_med, 1.0, cos)
     return pdf_solid * cos / d2
 
 
@@ -100,13 +117,19 @@ def _remap0(x):
 
 
 def _walk(scene, cfg_s, ctx, o0, d0, beta0, pdf_dir0, max_verts, dim_base, accel,
-          start: Subpath, mode_importance: bool, prev0_env=None):
+          start: Subpath, mode_importance: bool, prev0_env=None, med0=None):
     """Random walk filling slots 1.. of `start` (slot 0 pre-filled).
 
     reference bdpt.rs random_walk :1237.  In camera mode with an env map,
     escaped rays append an ENV_LIGHT vertex on the world sphere whose
     pdf_fwd stays in solid-angle measure.  prev0_env: mask that slot 0 is
-    an env light origin (its pdf_rev write skips area conversion)."""
+    an env light origin (its pdf_rev write skips area conversion).
+    med0: (N,) starting medium ids when scene.has_media (camera/exterior
+    medium) — each segment distance-samples the current homogeneous medium
+    and scattering events become VT_MEDIUM vertices (reference random_walk's
+    medium-interaction branch)."""
+    from ...ops import medium as med
+
     path = start
     n = o0.shape[0]
     o, d = o0, d0
@@ -115,10 +138,31 @@ def _walk(scene, cfg_s, ctx, o0, d0, beta0, pdf_dir0, max_verts, dim_base, accel
     alive = jnp.any(beta > 0, axis=-1) & (pdf_dir0 > 0)
     prev_p = path.p[:, 0]
     prev_ns = path.ns[:, 0]
+    prev_is_med = jnp.zeros(n, bool)
+    has_med = scene.has_media
+    dims_per = 5 if has_med else 3
+    if has_med:
+        cur_med = med0 if med0 is not None else jnp.full(n, -1, jnp.int32)
 
     for slot in range(1, max_verts):
         it = si.scene_intersect(scene, o, d, jnp.full(n, vm.INFINITY), accel)
-        hit = it.valid & alive
+        dim0 = dim_base + (slot - 1) * dims_per
+        if has_med:
+            # distance-sample the current medium on [0, t_hit]
+            in_med = alive & (cur_med >= 0)
+            mid = jnp.maximum(cur_med, 0)
+            seg_t = jnp.where(it.valid, it.t, 8.0 * jnp.maximum(scene.world_radius, 1.0))
+            u_ch = smpl.get_1d(cfg_s, ctx, dim0 + 3)
+            u_dist = smpl.get_1d(cfg_s, ctx, dim0 + 4)
+            ms = med.homogeneous_sample(
+                scene.med_sigma_a[mid], scene.med_sigma_s[mid], u_ch, u_dist, seg_t
+            )
+            med_scatter = in_med & ms.sampled
+            beta = jnp.where(in_med[:, None], beta * ms.weight, beta)
+            p_med = o + ms.t[:, None] * d
+        else:
+            med_scatter = jnp.zeros(n, bool)
+        hit = it.valid & alive & ~med_scatter
         pdf_area = _convert_density(pdf_fwd_solid, prev_p, it.p, it.ns)
         path = _set(
             path, slot, hit,
@@ -126,10 +170,26 @@ def _walk(scene, cfg_s, ctx, o0, d0, beta0, pdf_dir0, max_verts, dim_base, accel
             mat=it.mat, light=it.light, pdf_fwd=pdf_area,
             vtype=jnp.full(n, VT_SURFACE, jnp.int32), valid=hit,
         )
-        path = path._replace(count=path.count + hit.astype(jnp.int32))
+        if has_med:
+            path = _set(path, slot, hit, med=cur_med)
+            # medium scattering event -> VT_MEDIUM vertex; density converts
+            # without a cosine (Vertex::convert_density for media)
+            d2_med = jnp.maximum(vm.length_squared(p_med - prev_p), 1e-12)
+            path = _set(
+                path, slot, med_scatter,
+                p=p_med, ns=d, ng=d, wo=-d, beta=beta,
+                mat=jnp.full(n, -1, jnp.int32),
+                light=jnp.full(n, -1, jnp.int32),
+                pdf_fwd=pdf_fwd_solid / d2_med,
+                vtype=jnp.full(n, VT_MEDIUM, jnp.int32), valid=med_scatter,
+                med=cur_med,
+            )
+        path = path._replace(
+            count=path.count + (hit | med_scatter).astype(jnp.int32)
+        )
         if scene.has_env and not mode_importance:
             # escaped camera ray -> env vertex (pdf_fwd unconverted)
-            miss = alive & ~it.valid
+            miss = alive & ~it.valid & ~med_scatter
             wr = 2.0 * jnp.maximum(scene.world_radius, 1.0)
             path = _set(
                 path, slot, miss,
@@ -139,57 +199,92 @@ def _walk(scene, cfg_s, ctx, o0, d0, beta0, pdf_dir0, max_verts, dim_base, accel
                 vtype=jnp.full(n, VT_LIGHT, jnp.int32), valid=miss,
             )
             path = path._replace(count=path.count + miss.astype(jnp.int32))
-        alive = hit
+        alive = hit | med_scatter
 
         b = bx.make_bsdf_at(scene, it)
         ss, ts = _shading_frame_du(it.ns, it.dpdu)
         wo_l = _to_local(it.wo, ss, ts, it.ns)
-        dim0 = dim_base + (slot - 1) * 3
         u2 = smpl.get_2d(cfg_s, ctx, dim0)
         uc = smpl.get_1d(cfg_s, ctx, dim0 + 2)
         bs = bx.bsdf_sample(b, wo_l, u2, uc)
         wi_w = _to_world(bs.wi, ss, ts, it.ns)
         cos_wi = vm.absdot(wi_w, it.ns)
         ok = (bs.pdf > 0.0) & jnp.any(bs.f > 0.0, axis=-1)
-        # record specularity of this vertex
+        # record specularity of this vertex (medium vertices never delta)
         path = _set(path, slot, hit, delta=bs.is_specular)
 
         # reverse pdf: probability of sampling wo given wi (symmetric for
         # our lobe set except specular); write to the PREVIOUS vertex
         wi_l = _to_local(wi_w, ss, ts, it.ns)
         pdf_rev_solid = bx.bsdf_pdf(b, wi_l, wo_l)
-        prev_rev = _convert_density(pdf_rev_solid, it.p, prev_p, prev_ns)
+        if has_med:
+            # phase sample for medium lanes (reuses the bsdf u2 dims — each
+            # lane consumes either the bsdf or the phase stream)
+            g_hg = scene.med_g[mid]
+            wi_med, ph = med.hg_sample_phase(-d, u2, g_hg)
+            wi_w = jnp.where(med_scatter[:, None], wi_med, wi_w)
+            ok = jnp.where(med_scatter, ph > 0.0, ok)
+            # HG is symmetric: reverse pdf equals the sampled value
+            pdf_rev_solid = jnp.where(med_scatter, ph, pdf_rev_solid)
+        here_p = jnp.where(med_scatter[:, None], p_med, it.p) if has_med else it.p
+        prev_rev = _convert_density(
+            pdf_rev_solid, here_p, prev_p, prev_ns,
+            to_is_med=prev_is_med if has_med else None,
+        )
         if slot == 1 and prev0_env is not None:
             # env light origin: densities at an env vertex stay solid-angle
             prev_rev = jnp.where(prev0_env, pdf_rev_solid, prev_rev)
+        wrote = hit | med_scatter
         path = path._replace(
             pdf_rev=path.pdf_rev.at[:, slot - 1].set(
-                jnp.where(hit, prev_rev, path.pdf_rev[:, slot - 1])
+                jnp.where(wrote, prev_rev, path.pdf_rev[:, slot - 1])
             )
         )
 
+        # beta: surface lanes scale by f*cos/pdf; medium lanes are unchanged
+        # (HG phase value == its own pdf)
+        surf_cont = hit & ok
         beta = jnp.where(
-            (alive & ok)[:, None],
+            surf_cont[:, None],
             beta * bs.f * (cos_wi / jnp.maximum(bs.pdf, 1e-12))[:, None],
             beta,
         )
         alive = alive & ok
-        pdf_fwd_solid = jnp.where(bs.is_specular, 1.0, bs.pdf)
-        prev_p, prev_ns = it.p, it.ns
-        o = jnp.where(alive[:, None], vm.offset_ray_origin(it.p, it.p_error, it.ng, wi_w), o)
+        pdf_fwd_solid = jnp.where(bs.is_specular & hit, 1.0, bs.pdf)
+        if has_med:
+            pdf_fwd_solid = jnp.where(med_scatter, ph, pdf_fwd_solid)
+            # medium transitions at surface crossings (spawn_ray semantics;
+            # only real interfaces m_in != m_out switch the ray medium)
+            from .volpath import _prim_media
+
+            m_in, m_out = _prim_media(scene, it)
+            entering = vm.dot(wi_w, it.ng) < 0.0
+            cur_med = jnp.where(
+                hit & alive & (m_in != m_out),
+                jnp.where(entering, m_in, m_out), cur_med,
+            )
+        prev_p = jnp.where(med_scatter[:, None], p_med, it.p) if has_med else it.p
+        prev_ns = it.ns
+        prev_is_med = med_scatter
+        o_next = vm.offset_ray_origin(it.p, it.p_error, it.ng, wi_w)
+        if has_med:
+            o_next = jnp.where(med_scatter[:, None], p_med, o_next)
+        o = jnp.where(alive[:, None], o_next, o)
         d = jnp.where(alive[:, None], wi_w, d)
 
     return path
 
 
-def dim_bases(max_verts_cam, max_verts_light):
+def dim_bases(max_verts_cam, max_verts_light, has_media=False):
     """Non-overlapping PSS dimension streams (reference mlt.rs:28-64
     3-stream MLTSampler): camera walk, light walk, and per-strategy
     connection dims each get a disjoint range whatever the depth — deep
-    paths no longer alias camera perturbations into light dims."""
+    paths no longer alias camera perturbations into light dims.  Media
+    scenes consume 2 extra dims per walk vertex (channel + distance)."""
+    per_vert = 5 if has_media else 3
     cam_base = 40
-    light_base = cam_base + 3 * max_verts_cam + 2
-    s1_base = light_base + 3 * max_verts_light + 6
+    light_base = cam_base + per_vert * max_verts_cam + 2
+    s1_base = light_base + per_vert * max_verts_light + 6
     return cam_base, light_base, s1_base
 
 
@@ -208,9 +303,14 @@ def generate_camera_subpath(scene, camera, cfg_s, ctx, p_film, max_verts, accel,
     )
     path = path._replace(count=jnp.ones(n, jnp.int32))
     _, pdf_dir = cam.camera_pdf_we(camera, rays.o, rays.d)
+    med0 = (
+        jnp.full(n, 1, jnp.int32) * scene.camera_medium
+        if scene.has_media else None
+    )
     return _walk(
         scene, cfg_s, ctx, rays.o, rays.d, jnp.ones((n, 3), jnp.float32),
         pdf_dir, max_verts, dim_base, accel, path, mode_importance=False,
+        med0=med0,
     )
 
 
@@ -230,12 +330,17 @@ def generate_light_subpath(scene, cfg_s, ctx, n, max_verts, light_dist, accel,
 
     path = _empty_subpath(n, max_verts)
     true_n = jnp.ones(n, bool)
+    # NOTE: the vertex's `delta` field stays False even for delta LIGHTS —
+    # it marks delta BSDF/phase distributions only (reference Vertex.delta).
+    # is_delta_light masking applies solely to the i=0 hypothetical-origin
+    # term via _mis_weight's l0_is_delta (reference bdpt.rs :2190); setting
+    # it here would also wrongly mask the i=1 term (the (s-1, t+1)
+    # strategy), double-counting splat + NEE for point/spot/distant lights.
     path = _set(
         path, 0, true_n,
         p=ls.o, ns=ls.n_light, ng=ls.n_light, beta=ls.le / jnp.maximum(sel_pdf * ls.pdf_pos, 1e-20)[:, None],
         light=li_idx, pdf_fwd=sel_pdf * ls.pdf_pos,
         vtype=jnp.full(n, VT_LIGHT, jnp.int32), valid=true_n,
-        delta=is_delta_l,
     )
     path = path._replace(count=jnp.ones(n, jnp.int32))
     cos0 = jnp.abs(vm.dot(ls.n_light, ls.d))
@@ -244,10 +349,16 @@ def generate_light_subpath(scene, cfg_s, ctx, n, max_verts, light_dist, accel,
     beta0 = ls.le * jnp.where(is_area, cos0, 1.0)[:, None] / jnp.maximum(
         sel_pdf * ls.pdf_pos * ls.pdf_dir, 1e-20
     )[:, None]
+    # lights are assumed to sit in the exterior (camera) medium — the
+    # reference threads each light's MediumInterface instead
+    med0_l = (
+        jnp.full(n, 1, jnp.int32) * scene.camera_medium
+        if scene.has_media else None
+    )
     walked = _walk(
         scene, cfg_s, ctx, ls.o + ls.d * 1e-3, ls.d, beta0, ls.pdf_dir,
         max_verts, dim_base, accel, path, mode_importance=True,
-        prev0_env=is_inf if scene.has_env else None,
+        prev0_env=is_inf if scene.has_env else None, med0=med0_l,
     )
     if scene.has_env:
         # reference bdpt.rs "correct subpath sampling densities for infinite
@@ -262,14 +373,15 @@ def generate_light_subpath(scene, cfg_s, ctx, n, max_verts, light_dist, accel,
             )
             pf = pf.at[:, 1].set(fix1)
         walked = walked._replace(pdf_fwd=pf)
-    return walked, li_idx, sel_pdf
+    return walked, li_idx, sel_pdf, is_delta_l
 
 
 def _vertex_f(scene, path: Subpath, slot: int, wi_world):
-    """BSDF f at a surface vertex toward wi_world (reference Vertex::f)."""
+    """BSDF f at a surface vertex toward wi_world (reference Vertex::f);
+    HG phase value for VT_MEDIUM vertices (value == pdf, symmetric)."""
     from ...ops import gathers as gx
 
-    b = bx.make_bsdf_from_mat(scene, path.mat[:, slot])
+    b = bx.make_bsdf_from_mat(scene, jnp.maximum(path.mat[:, slot], 0))
     ns = path.ns[:, slot]
     ss, ts = _shading_frame(ns)
     wo_l = _to_local(path.wo[:, slot], ss, ts, ns)
@@ -278,19 +390,53 @@ def _vertex_f(scene, path: Subpath, slot: int, wi_world):
     f = bx.bsdf_f(b, wo_l, wi_l, reflect)
     pdf = bx.bsdf_pdf(b, wo_l, wi_l)
     pdf_rev = bx.bsdf_pdf(b, wi_l, wo_l)
+    if scene.has_media:
+        from ...ops import medium as med
+
+        is_med = path.vtype[:, slot] == VT_MEDIUM
+        g_hg = scene.med_g[jnp.maximum(path.med[:, slot], 0)]
+        ph = med.phase_hg(vm.dot(path.wo[:, slot], wi_world), g_hg)
+        f = jnp.where(is_med[:, None], ph[:, None], f)
+        pdf = jnp.where(is_med, ph, pdf)
+        pdf_rev = jnp.where(is_med, ph, pdf_rev)
     return f, pdf, pdf_rev
 
 
-def _g_term(scene, p_a, n_a, p_b, n_b, accel):
-    """Geometric term with visibility (reference bdpt.rs:1450)."""
+def _seg_tr(scene, seg_med, dist):
+    """Closed-form transmittance of a connection segment through the
+    camera-side vertex's homogeneous medium (volpath._shadow_tr's
+    single-medium approximation of reference scene.rs intersect_tr)."""
+    from ...ops import medium as med
+
+    in_med = seg_med >= 0
+    mid = jnp.maximum(seg_med, 0)
+    sigma_t = scene.med_sigma_a[mid] + scene.med_sigma_s[mid]
+    return jnp.where(in_med[:, None], med.homogeneous_tr(sigma_t, dist), 1.0)
+
+
+def _g_term(scene, p_a, n_a, p_b, n_b, accel, a_is_med=None, b_is_med=None,
+            seg_med=None):
+    """Geometric term with visibility (reference bdpt.rs:1450).  Medium
+    endpoints contribute no cosine; seg_med attenuates by transmittance.
+    Returns (g, w, tr)."""
     d = p_b - p_a
     d2 = jnp.maximum(vm.length_squared(d), 1e-12)
     w = d / jnp.sqrt(d2)[..., None]
-    g = jnp.abs(vm.dot(n_a, w)) * jnp.abs(vm.dot(n_b, w)) / d2
+    cos_a = jnp.abs(vm.dot(n_a, w))
+    cos_b = jnp.abs(vm.dot(n_b, w))
+    if a_is_med is not None:
+        cos_a = jnp.where(a_is_med, 1.0, cos_a)
+    if b_is_med is not None:
+        cos_b = jnp.where(b_is_med, 1.0, cos_b)
+    g = cos_a * cos_b / d2
     o = p_a + w * 1e-3
     dist = jnp.sqrt(d2)
     occ = si.scene_intersect_p(scene, o, w, dist * (1 - 2e-3), accel)
-    return jnp.where(occ, 0.0, g), w
+    if scene.has_media and seg_med is not None:
+        tr = _seg_tr(scene, seg_med, dist)
+    else:
+        tr = jnp.ones((p_a.shape[0], 3), jnp.float32)
+    return jnp.where(occ, 0.0, g), w, tr
 
 
 def _mis_weight(scene, cpath, lpath, s, t, overrides, l0_is_delta=None):
@@ -351,24 +497,55 @@ def _inf_light_density(scene, light_dist, w):
 
 def _light_origin_pdfs(scene, light_dist, light_idx, p_light, n_light, p_to):
     """(pdf of choosing+positioning the light vertex, directional pdf toward
-    p_to converted to area at p_to) — used for MIS overrides."""
+    p_to) — used for MIS overrides.  Mirrors the per-type emission densities
+    of lights.sample_le (reference Vertex::pdf_light / pdf_light_origin):
+    area lights emit cosine-hemisphere, point lights uniform-sphere, spots
+    uniform-cone, distant lights have a delta direction (density 0, remapped
+    by remap0 in the ratio products; the origin term is masked by
+    l0_is_delta anyway)."""
     sel_pdf = smp.distribution_1d_discrete_pdf(light_dist, jnp.maximum(light_idx, 0))
     from ...ops import gathers as gx
 
     la = gx.take_rows(scene.light_attr, jnp.maximum(light_idx, 0))
+    ltype = gx.coli(la, sa.LA_TYPE)
+    is_area = ltype == sa.LIGHT_AREA
+    is_pt = ltype == sa.LIGHT_POINT
+    is_spot = ltype == sa.LIGHT_SPOT
+    is_dist = ltype == sa.LIGHT_DISTANT
     area = jnp.maximum(la[:, sa.LP_AREA], 1e-12)
-    pdf_pos = 1.0 / area
     d = p_to - p_light
     d2 = jnp.maximum(vm.length_squared(d), 1e-12)
     w = d / jnp.sqrt(d2)[..., None]
     cos_l = jnp.abs(vm.dot(n_light, w))
-    pdf_dir_solid = cos_l * vm.INV_PI  # cosine-hemisphere emission
+
+    pdf_pos = jnp.where(is_area, 1.0 / area, 1.0)
+    wr = la[:, sa.LP_WORLD_RADIUS]
+    pdf_pos = jnp.where(
+        is_dist, 1.0 / jnp.maximum(vm.PI * wr * wr, 1e-12), pdf_pos
+    )
+
+    pdf_dir_solid = cos_l * vm.INV_PI  # area: cosine-hemisphere emission
+    pdf_dir_solid = jnp.where(is_pt, smp.UNIFORM_SPHERE_PDF, pdf_dir_solid)
+    spot_dir = vm.normalize(la[:, sa.LP_WORLD_CENTER : sa.LP_WORLD_CENTER + 3])
+    ct_total = la[:, sa.LP_COS_TOTAL]
+    in_cone = vm.dot(spot_dir, w) >= ct_total
+    pdf_dir_solid = jnp.where(
+        is_spot,
+        jnp.where(in_cone, smp.uniform_cone_pdf(ct_total), 0.0),
+        pdf_dir_solid,
+    )
+    pdf_dir_solid = jnp.where(is_dist, 0.0, pdf_dir_solid)
     return sel_pdf * pdf_pos, pdf_dir_solid
 
 
-def radiance_and_splats(scene, camera, cfg: "PathCfg", cfg_s, ctx, p_film, accel=None):
+def radiance_and_splats(scene, camera, cfg: "PathCfg", cfg_s, ctx, p_film, accel=None,
+                        strategy_filter=None):
     """Full BDPT estimate for a wavefront.  Returns (L (N,3),
-    splat_raster (N*(smax),2), splat_L).  reference bdpt.rs:924-1048."""
+    splat_raster (N*(smax),2), splat_L).  reference bdpt.rs:924-1048.
+
+    strategy_filter: optional (s, t) -> bool predicate restricting which
+    connection strategies run (debug/visualization — the reference's
+    "Debug FILM splats per strategy" analogue)."""
     from .path import PathCfg  # noqa
 
     n = p_film.shape[0]
@@ -376,17 +553,29 @@ def radiance_and_splats(scene, camera, cfg: "PathCfg", cfg_s, ctx, p_film, accel
     s_max = cfg.max_depth + 1
     light_dist = _light_select_dist(scene)
 
-    cam_base, light_base, s1_base = dim_bases(t_max, s_max)
+    cam_base, light_base, s1_base = dim_bases(t_max, s_max, scene.has_media)
     cpath = generate_camera_subpath(
         scene, camera, cfg_s, ctx, p_film, t_max, accel, dim_base=cam_base
     )
-    lpath, l0_idx, l0_sel = generate_light_subpath(
+    lpath, l0_idx, l0_sel, l0_delta = generate_light_subpath(
         scene, cfg_s, ctx, n, s_max, light_dist, accel, dim_base=light_base
     )
 
     L = jnp.zeros((n, 3), jnp.float32)
     splat_p = []
     splat_l = []
+
+    def _is_med(path, i):
+        """(N,) medium-vertex mask at slot i, or None when media absent."""
+        return (path.vtype[:, i] == VT_MEDIUM) if scene.has_media else None
+
+    def _connectible(path, i):
+        """Valid non-delta surface-or-medium vertex at slot i."""
+        vt = path.vtype[:, i]
+        m = vt == VT_SURFACE
+        if scene.has_media:
+            m = m | (vt == VT_MEDIUM)
+        return path.valid[:, i] & m
 
     for t in range(1, t_max + 1):
         for s in range(0, s_max + 1):
@@ -395,39 +584,52 @@ def radiance_and_splats(scene, camera, cfg: "PathCfg", cfg_s, ctx, p_film, accel
                 continue
             if t == 1 and s == 1:
                 continue  # direct camera-light handled by t=2,s=0 + s=1
+            if strategy_filter is not None and not strategy_filter(s, t):
+                continue
             if t == 1:
                 # light subpath vertex s-1 connects to the camera -> splat
-                ok = lpath.valid[:, s - 1] & (lpath.vtype[:, s - 1] == VT_SURFACE) & ~lpath.delta[:, s - 1]
+                lv_med = _is_med(lpath, s - 1)
+                ok = _connectible(lpath, s - 1) & ~lpath.delta[:, s - 1]
                 pv = lpath.p[:, s - 1]
                 wi, we, pdf, p_raster, cam_p = cam.camera_sample_wi(camera, pv)
                 f, pdf_c, pdf_rev_c = _vertex_f(scene, lpath, s - 1, wi)
-                g, w = _g_term(scene, pv, lpath.ns[:, s - 1], cam_p, wi, accel)
+                g, w, tr = _g_term(
+                    scene, pv, lpath.ns[:, s - 1], cam_p, wi, accel,
+                    a_is_med=lv_med,
+                    seg_med=lpath.med[:, s - 1] if scene.has_media else None,
+                )
                 # G includes both cosines; camera "normal" cosine folded in We
                 d2 = jnp.maximum(vm.length_squared(cam_p - pv), 1e-12)
                 cos_v = jnp.abs(vm.dot(lpath.ns[:, s - 1], wi))
+                if lv_med is not None:
+                    cos_v = jnp.where(lv_med, 1.0, cos_v)
                 occ = g == 0.0
                 contrib = (
                     lpath.beta[:, s - 1]
-                    * f
+                    * f * tr
                     * (we * cos_v / jnp.maximum(pdf, 1e-12))[:, None]
                 )
                 contrib = jnp.where((ok & ~occ & (pdf > 0))[:, None], contrib, 0.0)
                 # MIS: override camera endpoint rev pdfs
                 ov = {}
                 pdf_cam_pos, pdf_cam_dir = cam.camera_pdf_we(camera, cam_p, -wi)
-                ov[("l", s - 1, "pdf_rev")] = _convert_density(pdf_cam_dir, cam_p, pv, lpath.ns[:, s - 1])
+                ov[("l", s - 1, "pdf_rev")] = _convert_density(
+                    pdf_cam_dir, cam_p, pv, lpath.ns[:, s - 1], to_is_med=lv_med
+                )
                 if s >= 2:
                     ov[("l", s - 2, "pdf_rev")] = _convert_density(
-                        pdf_rev_c, pv, lpath.p[:, s - 2], lpath.ns[:, s - 2]
+                        pdf_rev_c, pv, lpath.p[:, s - 2], lpath.ns[:, s - 2],
+                        to_is_med=_is_med(lpath, s - 2),
                     )
                 w_mis = _mis_weight(scene, cpath, lpath, s, 1, ov,
-                                    l0_is_delta=lpath.delta[:, 0])
+                                    l0_is_delta=l0_delta)
                 splat_p.append(jnp.where(ok[:, None], p_raster, -10.0))
                 splat_l.append(contrib * w_mis[:, None])
                 continue
 
             cv = t - 1  # camera endpoint slot
-            c_ok = cpath.valid[:, cv] & (cpath.vtype[:, cv] == VT_SURFACE)
+            cv_med = _is_med(cpath, cv)
+            c_ok = _connectible(cpath, cv)
 
             if s == 0:
                 # camera path alone: endpoint must be emissive (bdpt.rs
@@ -447,7 +649,8 @@ def radiance_and_splats(scene, camera, cfg: "PathCfg", cfg_s, ctx, p_film, accel
                 ov = {("c", cv, "pdf_rev"): pdf_orig}
                 if cv - 1 >= 0:
                     ov[("c", cv - 1, "pdf_rev")] = _convert_density(
-                        pdf_dir_solid, cpath.p[:, cv], prev, cpath.ns[:, cv - 1]
+                        pdf_dir_solid, cpath.p[:, cv], prev, cpath.ns[:, cv - 1],
+                        to_is_med=_is_med(cpath, cv - 1),
                     )
                 w_mis = _mis_weight(scene, cpath, lpath, 0, t, ov)
                 L = L + jnp.where(ok[:, None], contrib * w_mis[:, None], 0.0)
@@ -494,13 +697,20 @@ def radiance_and_splats(scene, camera, cfg: "PathCfg", cfg_s, ctx, p_film, accel
                 o_sh = vm.offset_ray_origin(
                     cpath.p[:, cv], jnp.zeros_like(ls.wi) + 1e-4, cpath.ng[:, cv], ls.wi
                 )
+                if cv_med is not None:
+                    cos_c = jnp.where(cv_med, 1.0, cos_c)
+                    o_sh = jnp.where(cv_med[:, None], cpath.p[:, cv], o_sh)
                 dist = vm.length(ls.p_target - o_sh)
                 occ = si.scene_intersect_p(
                     scene, o_sh, ls.wi, dist * (1 - 1e-3), accel
                 )
+                tr_s1 = (
+                    _seg_tr(scene, cpath.med[:, cv], dist)
+                    if scene.has_media else 1.0
+                )
                 ok = c_ok & (ls.pdf > 0) & jnp.any(ls.li > 0, -1) & ~occ & ~cpath.delta[:, cv]
                 contrib = (
-                    cpath.beta[:, cv] * f * ls.li
+                    cpath.beta[:, cv] * f * ls.li * tr_s1
                     * (cos_c / jnp.maximum(ls.pdf * sel_pdf, 1e-12))[:, None]
                 )
                 ov = {}
@@ -509,11 +719,13 @@ def radiance_and_splats(scene, camera, cfg: "PathCfg", cfg_s, ctx, p_film, accel
                 )
                 # c_{t-1} rev: light emits toward it
                 ov[("c", cv, "pdf_rev")] = _convert_density(
-                    pdf_dir_solid, ls.p_target, cpath.p[:, cv], cpath.ns[:, cv]
+                    pdf_dir_solid, ls.p_target, cpath.p[:, cv], cpath.ns[:, cv],
+                    to_is_med=cv_med,
                 )
                 if cv - 1 >= 0:
                     ov[("c", cv - 1, "pdf_rev")] = _convert_density(
-                        pdf_rev_c, cpath.p[:, cv], cpath.p[:, cv - 1], cpath.ns[:, cv - 1]
+                        pdf_rev_c, cpath.p[:, cv], cpath.p[:, cv - 1], cpath.ns[:, cv - 1],
+                        to_is_med=_is_med(cpath, cv - 1),
                     )
                 # SAMPLED light vertex replaces lpath slot 0 for this
                 # strategy (reference :1533-1624 "update sampled vertex")
@@ -533,6 +745,8 @@ def radiance_and_splats(scene, camera, cfg: "PathCfg", cfg_s, ctx, p_film, accel
                     is_env_l = gx.coli(la_s1, sa.LA_TYPE) == sa.LIGHT_INFINITE
                     wr = jnp.maximum(scene.world_radius, 1e-6)
                     cos_cv = jnp.abs(vm.dot(cpath.ns[:, cv], ls.wi))
+                    if cv_med is not None:
+                        cos_cv = jnp.where(cv_med, 1.0, cos_cv)
                     ov[("c", cv, "pdf_rev")] = jnp.where(
                         is_env_l,
                         cos_cv / (vm.PI * wr * wr),
@@ -553,28 +767,39 @@ def radiance_and_splats(scene, camera, cfg: "PathCfg", cfg_s, ctx, p_film, accel
 
             # general s>=2, t>=2 connection
             lv = s - 1
-            l_ok = lpath.valid[:, lv] & (lpath.vtype[:, lv] == VT_SURFACE)
+            lv_med = _is_med(lpath, lv)
+            l_ok = _connectible(lpath, lv)
             pc = cpath.p[:, cv]
             pl = lpath.p[:, lv]
-            g, w = _g_term(scene, pc, cpath.ns[:, cv], pl, lpath.ns[:, lv], accel)
+            g, w, tr_c = _g_term(
+                scene, pc, cpath.ns[:, cv], pl, lpath.ns[:, lv], accel,
+                a_is_med=cv_med, b_is_med=lv_med,
+                seg_med=cpath.med[:, cv] if scene.has_media else None,
+            )
             f_c, pdf_c_fwd, pdf_c_rev = _vertex_f(scene, cpath, cv, w)
             f_l, pdf_l_fwd, pdf_l_rev = _vertex_f(scene, lpath, lv, -w)
             ok = c_ok & l_ok & ~cpath.delta[:, cv] & ~lpath.delta[:, lv] & (g > 0)
-            contrib = cpath.beta[:, cv] * f_c * f_l * lpath.beta[:, lv] * g[:, None]
+            contrib = cpath.beta[:, cv] * f_c * f_l * lpath.beta[:, lv] * g[:, None] * tr_c
             ov = {
-                ("c", cv, "pdf_rev"): _convert_density(pdf_l_fwd, pl, pc, cpath.ns[:, cv]),
-                ("l", lv, "pdf_rev"): _convert_density(pdf_c_fwd, pc, pl, lpath.ns[:, lv]),
+                ("c", cv, "pdf_rev"): _convert_density(
+                    pdf_l_fwd, pl, pc, cpath.ns[:, cv], to_is_med=cv_med
+                ),
+                ("l", lv, "pdf_rev"): _convert_density(
+                    pdf_c_fwd, pc, pl, lpath.ns[:, lv], to_is_med=lv_med
+                ),
             }
             if cv - 1 >= 0:
                 ov[("c", cv - 1, "pdf_rev")] = _convert_density(
-                    pdf_c_rev, pc, cpath.p[:, cv - 1], cpath.ns[:, cv - 1]
+                    pdf_c_rev, pc, cpath.p[:, cv - 1], cpath.ns[:, cv - 1],
+                    to_is_med=_is_med(cpath, cv - 1),
                 )
             if lv - 1 >= 0:
                 ov[("l", lv - 1, "pdf_rev")] = _convert_density(
-                    pdf_l_rev, pl, lpath.p[:, lv - 1], lpath.ns[:, lv - 1]
+                    pdf_l_rev, pl, lpath.p[:, lv - 1], lpath.ns[:, lv - 1],
+                    to_is_med=_is_med(lpath, lv - 1),
                 )
             w_mis = _mis_weight(scene, cpath, lpath, s, t, ov,
-                                l0_is_delta=lpath.delta[:, 0])
+                                l0_is_delta=l0_delta)
             L = L + jnp.where(ok[:, None], contrib * w_mis[:, None], 0.0)
 
     if splat_p:

@@ -36,11 +36,11 @@ SIGMA = 0.01  # small-step stddev (reference mlt.rs default)
 P_LARGE = 0.3  # large-step probability (reference default)
 
 
-def n_pss_for_depth(max_depth: int) -> int:
+def n_pss_for_depth(max_depth: int, has_media: bool = False) -> int:
     """Dimensions needed for disjoint PSS streams at this depth."""
     t_max = max_depth + 2
     s_max = max_depth + 1
-    _, _, s1_base = bdptmod.dim_bases(t_max, s_max)
+    _, _, s1_base = bdptmod.dim_bases(t_max, s_max, has_media)
     return s1_base + 3 * (t_max + 1) + 4
 
 
@@ -84,7 +84,7 @@ def render_mlt(
     pcfg = PathCfg(max_depth, 1.0)
     cfg_s = smpl.make_sampler(smpl.RANDOM, 1, camera.resolution)
     key = jax.random.PRNGKey(seed)
-    n_pss = n_pss_for_depth(max_depth)
+    n_pss = n_pss_for_depth(max_depth, scene.has_media)
 
     # --- bootstrap (reference :418-476) ---
     key, k1 = jax.random.split(key)

@@ -319,8 +319,12 @@ def radiance(
             )
 
         # --- medium transitions at surface crossings ---
+        # only surfaces with a REAL medium interface (inside != outside)
+        # change the ray medium (reference medium.rs MediumInterface::
+        # is_medium_transition; interaction.rs spawn_ray) — a plain surface
+        # inside fog must not reset the ray to vacuum
         m_in, m_out = _prim_media(scene, it)
-        crossed = alive & ~med_scatter & it.valid
+        crossed = alive & ~med_scatter & it.valid & (m_in != m_out)
         entering = vm.dot(new_d, it.ng) < 0.0
         new_med = jnp.where(entering, m_in, m_out)
         cur_med = jnp.where(crossed, new_med, cur_med)

@@ -283,6 +283,11 @@ class Scene(NamedTuple):
     # (gates the sphere cone-sampling branch in models/lights.py)
     sphlight_flag: jnp.ndarray
 
+    # shape-encoded static flag: (1,) if any primitive or the camera carries
+    # a medium interface (gates medium vertices in BDPT and medium code in
+    # other integrators without a traced branch)
+    med_flag: jnp.ndarray
+
     # shape-encoded static bitmask of quadric kinds present (QK_*):
     # sphere-only scenes compile no cylinder/disk intersection code
     quad_kind_flag: jnp.ndarray  # (mask, 0)
@@ -351,6 +356,10 @@ class Scene(NamedTuple):
     @property
     def has_sphere_lights(self):
         return self.sphlight_flag.shape[0] > 0
+
+    @property
+    def has_media(self):
+        return self.med_flag.shape[0] > 0
 
     @property
     def has_subsurface(self):
@@ -440,6 +449,7 @@ def empty_scene_arrays(n_tris=0, n_sph=0, n_mat=1, n_lights=0, alight_pad=1):
         world_center=np.zeros(3, np.float32),
         world_radius=np.float32(1.0),
         hair_flag=np.zeros(0, np.float32),
+        med_flag=np.zeros(0, np.float32),
         bss_profile=np.zeros((0, 3, 64), np.float32),
         bss_cdf=np.zeros((0, 3, 64), np.float32),
         bss_rho_eff=np.zeros((0, 3), np.float32),
@@ -590,6 +600,14 @@ def finalize_scene(arrs: dict) -> Scene:
     )
     arrs["sphlight_flag"] = np.zeros(
         1 if np.any(np.asarray(arrs["light_geom_kind"]) == ALG_SPHERE) else 0,
+        np.float32,
+    )
+    arrs["med_flag"] = np.zeros(
+        1
+        if (np.any(np.asarray(arrs["tri_med"]) >= 0)
+            or np.any(np.asarray(arrs["sph_med"]) >= 0)
+            or int(arrs["camera_medium"]) >= 0)
+        else 0,
         np.float32,
     )
     kind_mask = 0

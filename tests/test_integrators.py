@@ -212,6 +212,59 @@ class TestBDPT:
         assert np.isfinite(img).all()
         np.testing.assert_allclose(img.mean(), pimg.mean(), rtol=0.06)
 
+    def test_medium_beer_lambert(self):
+        """VT_MEDIUM walk support: camera in a pure absorber looking at an
+        emissive wall must converge to Le*exp(-sigma_a*d) (the s=0
+        strategies accumulate the distance-sampling weights)."""
+        from rs_pbrt_tpu.models.integrators import bdpt
+
+        b = SceneBuilder()
+        black = b.add_matte(kd=(0, 0, 0))
+        d = 5.0
+        sig = 0.2
+        b.add_triangle_mesh(
+            [[0, 1, 2], [0, 2, 3]],
+            [[-50, -50, d], [50, -50, d], [50, 50, d], [-50, 50, d]],
+            material=black,
+            area_light=dict(L=(2.0,) * 3, two_sided=True),
+        )
+        mid = b.add_medium(sigma_a=(sig,) * 3, sigma_s=(0.0,) * 3)
+        b.camera_medium = mid
+        scene = b.finalize()
+        camera = cam.make_perspective(
+            tr.look_at([0, 0, 0], [0, 0, d], [0, 1, 0]), (9, 9), fov=30.0
+        )
+        scfg = smpl.make_sampler(smpl.RANDOM, 64, camera.resolution)
+        img = np.asarray(
+            bdpt.render_bdpt(scene, camera, spp=64, max_depth=2, sampler_cfg=scfg)
+        )
+        want = 2.0 * np.exp(-sig * d)
+        np.testing.assert_allclose(img[4, 4], want, rtol=0.15)
+
+    def test_scattering_medium_matches_volpath(self):
+        """Medium vertices in connections: a scattering fog scene must agree
+        with the volpath estimator in the mean."""
+        from rs_pbrt_tpu.models.integrators import bdpt
+
+        b = SceneBuilder()
+        m = b.add_matte(kd=(0.5,) * 3)
+        pos = [[-30, 0, -30], [30, 0, -30], [30, 0, 30], [-30, 0, 30]]
+        b.add_triangle_mesh([[0, 1, 2], [0, 2, 3]], pos, material=m)
+        b.add_point_light(p=(0.0, 6.0, 0.0), I=(60.0,) * 3)
+        mid = b.add_medium(sigma_a=(0.02,) * 3, sigma_s=(0.08,) * 3, g=0.0)
+        b.camera_medium = mid
+        scene = b.finalize()
+        camera = cam.make_perspective(
+            tr.look_at([0, 4, -9], [0, 0, 0], [0, 1, 0]), (10, 10), fov=45.0
+        )
+        scfg = smpl.make_sampler(smpl.RANDOM, 64, camera.resolution)
+        img = np.asarray(
+            bdpt.render_bdpt(scene, camera, spp=64, max_depth=3, sampler_cfg=scfg)
+        )
+        vimg = _render(scene, camera, "volpath", spp=64, max_depth=3)
+        assert np.isfinite(img).all()
+        np.testing.assert_allclose(img.mean(), vimg.mean(), rtol=0.12)
+
 
 @pytest.mark.slow
 class TestMLT:
