@@ -539,13 +539,19 @@ def _light_origin_pdfs(scene, light_dist, light_idx, p_light, n_light, p_to):
 
 
 def radiance_and_splats(scene, camera, cfg: "PathCfg", cfg_s, ctx, p_film, accel=None,
-                        strategy_filter=None):
+                        strategy_filter=None, strategy_select=None):
     """Full BDPT estimate for a wavefront.  Returns (L (N,3),
     splat_raster (N*(smax),2), splat_L).  reference bdpt.rs:924-1048.
 
     strategy_filter: optional (s, t) -> bool predicate restricting which
     connection strategies run (debug/visualization — the reference's
-    "Debug FILM splats per strategy" analogue)."""
+    "Debug FILM splats per strategy" analogue).
+    strategy_select: optional per-lane (depth_sel (N,), s_sel (N,)) pair
+    implementing the reference MLT's depth-stratified single-(s,t) target
+    (mlt.rs:310-406): each lane keeps only its selected strategy, scaled by
+    the per-depth strategy count.  On the SIMD wavefront every strategy
+    still executes (static loop), so this matches reference SEMANTICS
+    without the reference's CPU cost saving."""
     from .path import PathCfg  # noqa
 
     n = p_film.shape[0]
@@ -586,6 +592,20 @@ def radiance_and_splats(scene, camera, cfg: "PathCfg", cfg_s, ctx, p_film, accel
                 continue  # direct camera-light handled by t=2,s=0 + s=1
             if strategy_filter is not None and not strategy_filter(s, t):
                 continue
+            if strategy_select is not None:
+                # reference MLT depth stratification: only the lane's chosen
+                # (depth, s) strategy survives, scaled by the strategy count
+                # at that depth (mlt.rs:310-406 nStrategies = depth + 2)
+                d_sel, s_sel = strategy_select
+                sel_scale = jnp.where(
+                    (d_sel == depth) & (s_sel == s),
+                    float((s + t) * (cfg.max_depth + 1)), 0.0,
+                )
+            else:
+                sel_scale = None
+
+            def _sel(x):
+                return x if sel_scale is None else x * sel_scale[:, None]
             if t == 1:
                 # light subpath vertex s-1 connects to the camera -> splat
                 lv_med = _is_med(lpath, s - 1)
@@ -624,7 +644,7 @@ def radiance_and_splats(scene, camera, cfg: "PathCfg", cfg_s, ctx, p_film, accel
                 w_mis = _mis_weight(scene, cpath, lpath, s, 1, ov,
                                     l0_is_delta=l0_delta)
                 splat_p.append(jnp.where(ok[:, None], p_raster, -10.0))
-                splat_l.append(contrib * w_mis[:, None])
+                splat_l.append(_sel(contrib * w_mis[:, None]))
                 continue
 
             cv = t - 1  # camera endpoint slot
@@ -653,7 +673,7 @@ def radiance_and_splats(scene, camera, cfg: "PathCfg", cfg_s, ctx, p_film, accel
                         to_is_med=_is_med(cpath, cv - 1),
                     )
                 w_mis = _mis_weight(scene, cpath, lpath, 0, t, ov)
-                L = L + jnp.where(ok[:, None], contrib * w_mis[:, None], 0.0)
+                L = L + _sel(jnp.where(ok[:, None], contrib * w_mis[:, None], 0.0))
 
                 if scene.has_env:
                     # escaped camera path hits the env sphere (reference
@@ -681,9 +701,9 @@ def radiance_and_splats(scene, camera, cfg: "PathCfg", cfg_s, ctx, p_film, accel
                             cos_prev / (vm.PI * wr * wr)
                         )
                     w_mis_e = _mis_weight(scene, cpath, lpath, 0, t, ov_e)
-                    L = L + jnp.where(
+                    L = L + _sel(jnp.where(
                         is_env[:, None], contrib_e * w_mis_e[:, None], 0.0
-                    )
+                    ))
                 continue
 
             if s == 1:
@@ -762,7 +782,7 @@ def radiance_and_splats(scene, camera, cfg: "PathCfg", cfg_s, ctx, p_film, accel
                     )
                 w_mis = _mis_weight(scene, cpath, lpath, 1, t, ov,
                                     l0_is_delta=ls.is_delta)
-                L = L + jnp.where(ok[:, None], contrib * w_mis[:, None], 0.0)
+                L = L + _sel(jnp.where(ok[:, None], contrib * w_mis[:, None], 0.0))
                 continue
 
             # general s>=2, t>=2 connection
@@ -800,7 +820,7 @@ def radiance_and_splats(scene, camera, cfg: "PathCfg", cfg_s, ctx, p_film, accel
                 )
             w_mis = _mis_weight(scene, cpath, lpath, s, t, ov,
                                 l0_is_delta=l0_delta)
-            L = L + jnp.where(ok[:, None], contrib * w_mis[:, None], 0.0)
+            L = L + _sel(jnp.where(ok[:, None], contrib * w_mis[:, None], 0.0))
 
     if splat_p:
         splat_p = jnp.concatenate(splat_p, axis=0)

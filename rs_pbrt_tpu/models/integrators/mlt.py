@@ -44,9 +44,15 @@ def n_pss_for_depth(max_depth: int, has_media: bool = False) -> int:
     return s1_base + 3 * (t_max + 1) + 4
 
 
-def _eval_target(scene, camera, pcfg, cfg_s, pss, accel):
+def _eval_target(scene, camera, pcfg, cfg_s, pss, accel, depth_stratified=False):
     """BDPT evaluation of a PSS vector batch.  Returns (lum, film positions
-    + contributions for splatting)."""
+    + contributions for splatting).
+
+    depth_stratified: reference mlt.rs:310-406 semantics — PSS dims 4/5
+    select one depth and one (s, t) per lane, with the per-depth strategy
+    count as the unbiasing scale (see radiance_and_splats strategy_select).
+    Default False: the full strategy sum is the target, which on a SIMD
+    wavefront costs the same compute and has strictly lower variance."""
     n = pss.shape[0]
     w, h = camera.resolution
     ctx = smpl.SampleCtx(
@@ -55,8 +61,21 @@ def _eval_target(scene, camera, pcfg, cfg_s, pss, accel):
         pss,
     )
     p_film = jnp.stack([pss[:, 0] * w, pss[:, 1] * h], axis=-1)
+    sel = None
+    if depth_stratified:
+        # dims 6/7: depth + strategy selection (dims 3/4 are lens, 2 time).
+        # The per-lane scale in radiance_and_splats is n_strategies; the
+        # (max_depth+1) depth-selection factor is folded in HERE so the
+        # stratified target integrates to the full-sum target (the
+        # reference gets the same factor via its bootstrap normalization,
+        # mlt.rs sampling nBootstrap*(maxDepth+1) seeds).
+        md = pcfg.max_depth
+        d_sel = jnp.clip((pss[:, 6] * (md + 1)).astype(jnp.int32), 0, md)
+        n_str = d_sel + 2  # strategies at this depth (s in 0..d+1, t>=1)
+        s_sel = jnp.clip((pss[:, 7] * n_str).astype(jnp.int32), 0, n_str - 1)
+        sel = (d_sel, s_sel)
     L, sp, sl = bdptmod.radiance_and_splats(
-        scene, camera, pcfg, cfg_s, ctx, p_film, accel
+        scene, camera, pcfg, cfg_s, ctx, p_film, accel, strategy_select=sel
     )
     lum_main = jnp.sum(L * jnp.asarray([0.2126, 0.7152, 0.0722]), axis=-1)
     # splats belong to the same chains (t=1 strategies): group by chain
@@ -78,6 +97,7 @@ def render_mlt(
     n_bootstrap: int = 16384,
     accel=None,
     seed: int = 7,
+    depth_stratified: bool = False,
 ):
     """reference MLTIntegrator::render mlt.rs:407."""
     w, h = camera.resolution
@@ -89,7 +109,13 @@ def render_mlt(
     # --- bootstrap (reference :418-476) ---
     key, k1 = jax.random.split(key)
     boot = jax.random.uniform(k1, (n_bootstrap, n_pss))
-    eval_j = jax.jit(lambda pss: _eval_target(scene, camera, pcfg, cfg_s, pss, accel))
+    if depth_stratified:
+        # stratify the depth-selection dim across bootstrap samples (the
+        # reference allocates nBootstrap x (maxDepth+1) seeds, one per
+        # depth — same variance reduction for the normalization constant b)
+        strata = (jnp.arange(n_bootstrap) % (max_depth + 1)).astype(jnp.float32)
+        boot = boot.at[:, 6].set((strata + boot[:, 6]) / (max_depth + 1))
+    eval_j = jax.jit(lambda pss: _eval_target(scene, camera, pcfg, cfg_s, pss, accel, depth_stratified))
     lum_b = []
     chunk = 4096
     for i in range(0, n_bootstrap, chunk):
@@ -124,7 +150,7 @@ def render_mlt(
 
         # ONE evaluation per mutation: the proposal's (current is cached)
         lum_prop, pf_p, L_p, sp_p, sl_p = _eval_target(
-            scene, camera, pcfg, cfg_s, pss_prop, accel
+            scene, camera, pcfg, cfg_s, pss_prop, accel, depth_stratified
         )
         a = jnp.clip(lum_prop / jnp.maximum(lum_cur, 1e-12), 0.0, 1.0)
 

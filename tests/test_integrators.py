@@ -280,6 +280,21 @@ class TestMLT:
         pimg = _render(scene, camera, "path", spp=64, max_depth=3)
         np.testing.assert_allclose(img.mean(), pimg.mean(), rtol=0.15)
 
+    def test_depth_stratified_converges(self):
+        """Reference mlt.rs:310-406 depth-stratified single-(s,t) target:
+        same chain stationary distribution, so the image must converge to
+        the same answer as the full-sum target."""
+        from rs_pbrt_tpu.models.integrators import mlt
+
+        scene, camera = presets.cornell_box(resolution=(12, 12))
+        img = np.asarray(
+            mlt.render_mlt(scene, camera, mutations_per_pixel=48, max_depth=3,
+                           n_chains=512, n_bootstrap=4096, depth_stratified=True)
+        )
+        assert np.isfinite(img).all() and (img >= 0).all()
+        pimg = _render(scene, camera, "path", spp=64, max_depth=3)
+        np.testing.assert_allclose(img.mean(), pimg.mean(), rtol=0.2)
+
 
 @pytest.mark.slow
 class TestGridMedia:
