@@ -41,18 +41,55 @@ class LBVH(NamedTuple):
     # instead of six scattered gathers (the XLA TPU gather unit is the
     # traversal bottleneck; contiguous 64B rows are ~6x fewer descriptors).
     nodes16: jnp.ndarray = None  # (N-1, 16) f32, child ids bitcast
+    # packed per-LEAF triangle row in leaf order: [p0(3), p1(3), p2(3),
+    # prim_id(bits), pad...] — ONE row gather per leaf test instead of
+    # four (p0/p1/p2/prim_ids).  None for non-triangle BVHs (curves,
+    # instances).
+    tris16: jnp.ndarray = None  # (N, 16) f32
+    # unified rope-traversal node stream (internal rows then leaf rows),
+    # built when triangle data is supplied — see build_stream below
+    stream16: jnp.ndarray = None  # (2N-1, 16) f32
 
 
 def pack_nodes(child_l, child_r, bmin_l, bmax_l, bmin_r, bmax_r):
-    """Host packing of the traversal node row (numpy)."""
+    """Host packing of the traversal node row (numpy).  Cols 14/15 carry
+    parent and internal-sibling links for the stackless bit-trail
+    traversal (bvh_intersect_tris_trail)."""
     n = len(child_l)
+    cl = np.asarray(child_l, np.int32)
+    cr = np.asarray(child_r, np.int32)
     out = np.zeros((n, 16), np.float32)
-    out[:, 0] = np.asarray(child_l, np.int32).view(np.float32)
-    out[:, 1] = np.asarray(child_r, np.int32).view(np.float32)
+    out[:, 0] = cl.view(np.float32)
+    out[:, 1] = cr.view(np.float32)
     out[:, 2:5] = bmin_l
     out[:, 5:8] = bmax_l
     out[:, 8:11] = bmin_r
     out[:, 11:14] = bmax_r
+    # parent + sibling of each INTERNAL node (links among internal ids;
+    # only consulted when BOTH children of the parent are internal)
+    parent = np.full(n, -1, np.int32)
+    sib = np.full(n, -1, np.int32)
+    ids = np.arange(n, dtype=np.int32)
+    li = cl >= 0
+    ri = cr >= 0
+    parent[cl[li]] = ids[li]
+    parent[cr[ri]] = ids[ri]
+    sib[cl[li]] = cr[li]
+    sib[cr[ri]] = cl[ri]
+    out[:, 14] = parent.view(np.float32)
+    out[:, 15] = sib.view(np.float32)
+    return out
+
+
+def pack_leaf_tris(prim_ids, p0, p1, p2):
+    """Host packing of leaf-ordered triangle rows (numpy): leaf k holds the
+    vertices and the ORIGINAL primitive id (bitcast) of prim_ids[k]."""
+    ids = np.asarray(prim_ids, np.int64)
+    out = np.zeros((len(ids), 16), np.float32)
+    out[:, 0:3] = np.asarray(p0, np.float32)[ids]
+    out[:, 3:6] = np.asarray(p1, np.float32)[ids]
+    out[:, 6:9] = np.asarray(p2, np.float32)[ids]
+    out[:, 9] = ids.astype(np.int32).view(np.float32)
     return out
 
 
@@ -73,10 +110,12 @@ def morton3(x, y, z):
     )
 
 
-def build_lbvh(bmin, bmax) -> LBVH:
+def build_lbvh(bmin, bmax, tris=None) -> LBVH:
     """Build from per-primitive AABBs (numpy arrays, host-side).
 
-    bmin/bmax: (N,3) float32.  Returns device-ready LBVH pytree.
+    bmin/bmax: (N,3) float32.  tris: optional (p0, p1, p2) numpy arrays —
+    when given, leaf-ordered packed triangle rows are attached (tris16) so
+    traversal does one gather per leaf test.  Returns device-ready LBVH.
     """
     bmin = np.asarray(bmin, np.float32)
     bmax = np.asarray(bmax, np.float32)
@@ -97,6 +136,12 @@ def build_lbvh(bmin, bmax) -> LBVH:
                 np.asarray([-1]), np.asarray([-1]),
                 bmin[None, 0], bmax[None, 0], bmin[None, 0], bmax[None, 0],
             )),
+            None if tris is None else jnp.asarray(
+                pack_leaf_tris(np.asarray([0]), *tris)
+            ),
+            None if tris is None else jnp.asarray(
+                _stream_single(bmin[0], bmax[0], *tris)
+            ),
         )
 
     centroid = 0.5 * (bmin + bmax)
@@ -223,6 +268,11 @@ def build_lbvh(bmin, bmax) -> LBVH:
         jnp.asarray(
             pack_nodes(child_l, child_r, bmin_l, bmax_l, bmin_r, bmax_r)
         ),
+        None if tris is None else jnp.asarray(pack_leaf_tris(prim_ids, *tris)),
+        None if tris is None else jnp.asarray(build_stream(
+            (child_l, child_r), bmin_l, bmax_l, bmin_r, bmax_r, prim_ids,
+            *tris,
+        )),
     )
 
 
@@ -257,8 +307,16 @@ def bvh_intersect_tris(o, d, t_max, bvh: LBVH, p0, p1, p2, any_hit: bool = False
     def leaf_test(c, is_leaf_mask, best):
         best_t, best_tri, best_b0, best_b1 = best
         leaf = jnp.where(is_leaf_mask, ~c, 0)
-        prim = bvh.prim_ids[leaf]
-        hit, t, b0, b1 = intersect_tri(o, d, best_t, p0[prim], p1[prim], p2[prim])
+        if bvh.tris16 is not None:
+            # one 64B leaf-row gather: vertices + original prim id
+            row = bvh.tris16[leaf]
+            prim = jax.lax.bitcast_convert_type(row[:, 9], jnp.int32)
+            hit, t, b0, b1 = intersect_tri(
+                o, d, best_t, row[:, 0:3], row[:, 3:6], row[:, 6:9]
+            )
+        else:
+            prim = bvh.prim_ids[leaf]
+            hit, t, b0, b1 = intersect_tri(o, d, best_t, p0[prim], p1[prim], p2[prim])
         hit &= is_leaf_mask
         upd = hit & (t < best_t)
         return (
@@ -326,5 +384,162 @@ def bvh_intersect_tris(o, d, t_max, bvh: LBVH, p0, p1, p2, any_hit: bool = False
     state = (stack, sp, best_t, best_tri, best_b0, best_b1)
     state = jax.lax.while_loop(cond, body, state)
     _, _, best_t, best_tri, best_b0, best_b1 = state
+    valid = best_tri >= 0
+    return TriHit(valid, best_t, best_tri, best_b0, best_b1)
+
+
+# ---------------------------------------------------------------------------
+# Stackless escape-link ("rope") traversal
+# ---------------------------------------------------------------------------
+# The per-lane short-stack traversal above needs a (R, STACK) scatter-write
+# and gather per step; on TPU those per-lane 2D dynamic updates cost ~2.5ms
+# per 65k lanes — 100x the node-row gather (0.04ms) — making the stacked
+# walk non-viable at scale.  The rope traversal keeps per-ray state to ONE
+# node id: every node knows where the DFS goes on hit (first child) and on
+# miss (escape link to the next unvisited subtree).  Each step is a single
+# contiguous row gather + vector tests + a where() — zero scatters.  The
+# fixed DFS order loses front-to-back ordering (the reference's
+# dir_is_neg stack ordering, bvh.rs:420-461), costing ~1.5-2x more leaf
+# tests, repaid 100x by the vectorization.
+
+def _stream_single(bmin0, bmax0, p0, p1, p2):
+    """Degenerate 1-primitive rope stream: internal root -> leaf -> done
+    (the fake root's duplicated child must NOT self-link)."""
+    out = np.zeros((2, 16), np.float32)
+    out[0, 0:3] = bmin0
+    out[0, 3:6] = bmax0
+    out[0, 9] = np.int32(1).view(np.float32)
+    out[0, 10] = np.int32(-1).view(np.float32)
+    out[1, 0:3] = np.asarray(p0, np.float32)[0]
+    out[1, 3:6] = np.asarray(p1, np.float32)[0]
+    out[1, 6:9] = np.asarray(p2, np.float32)[0]
+    out[1, 10] = np.int32(-1).view(np.float32)
+    out[1, 12] = np.int32(0).view(np.float32)
+    out[1, 15] = 1.0
+    return out
+
+
+def build_stream(lbvh_np_children, bmin_l, bmax_l, bmin_r, bmax_r, prim_ids,
+                 p0, p1, p2):
+    """Host build of the unified rope node stream (numpy).
+
+    Row layout (16 f32 cols), discriminated by col 15 (0=internal, 1=leaf):
+      internal: [bmin(0:3), bmax(3:6), -, -, -, hit(9), miss(10), ...]
+      leaf:     [p0(0:3), p1(3:6), p2(6:9), -, miss(10), -, prim(12), ...]
+    Links are row ids bitcast to f32; -1 terminates.  Internal node i's own
+    AABB is the union of its child boxes (child boxes are what the stacked
+    LBVH stores).  Leaf k maps to row (n-1)+k.
+    """
+    child_l, child_r = lbvh_np_children
+    n1 = len(child_l)  # internal count = n-1
+    n = n1 + 1
+
+    def row_of(c):
+        # child ref -> row id (internal id, or (n-1)+leaf for c<0)
+        c = np.asarray(c, np.int64)
+        return np.where(c < 0, n1 + (~c), c).astype(np.int64)
+
+    rl = row_of(child_l)
+    rr = row_of(child_r)
+
+    # parent + is-left-child per row (root row 0 has none)
+    n_rows = n1 + n
+    parent = np.full(n_rows, -1, np.int64)
+    is_left = np.zeros(n_rows, bool)
+    parent[rl] = np.arange(n1)
+    is_left[rl] = True
+    parent[rr] = np.arange(n1)
+    sibling_right = np.full(n_rows, -1, np.int64)
+    sibling_right[rl] = rr  # left child's right sibling
+
+    # miss links: miss(root)=-1; miss(left)=right sibling;
+    # miss(right)=miss(parent) — resolved by iterating the parent
+    # recurrence until fixpoint (<= tree depth rounds, all vectorized)
+    miss = np.full(n_rows, -2, np.int64)  # -2 = unresolved
+    miss[0] = -1
+    rows = np.arange(n_rows)
+    par = parent[rows]
+    for _ in range(64 + 2):
+        unresolved = miss == -2
+        if not unresolved.any():
+            break
+        # left children: escape to the right sibling (always resolvable)
+        cand = np.where(is_left & (par >= 0), rr[np.maximum(par, 0)], -2)
+        # right children: inherit parent's miss (may still be unresolved)
+        par_miss = miss[np.maximum(par, 0)]
+        cand = np.where(~is_left & (par >= 0), par_miss, cand)
+        miss = np.where(unresolved & (cand != -2), cand, miss)
+    miss = np.where(miss == -2, -1, miss)
+
+    out = np.zeros((n_rows, 16), np.float32)
+    # internal rows
+    bmin_own = np.minimum(bmin_l, bmin_r)
+    bmax_own = np.maximum(bmax_l, bmax_r)
+    out[:n1, 0:3] = bmin_own
+    out[:n1, 3:6] = bmax_own
+    out[:n1, 9] = rl.astype(np.int32).view(np.float32)
+    out[:n1, 10] = miss[:n1].astype(np.int32).view(np.float32)
+    # leaf rows
+    ids = np.asarray(prim_ids, np.int64)
+    out[n1:, 0:3] = np.asarray(p0, np.float32)[ids]
+    out[n1:, 3:6] = np.asarray(p1, np.float32)[ids]
+    out[n1:, 6:9] = np.asarray(p2, np.float32)[ids]
+    out[n1:, 10] = miss[n1:].astype(np.int32).view(np.float32)
+    out[n1:, 12] = ids.astype(np.int32).view(np.float32)
+    out[n1:, 15] = 1.0
+    return out
+
+
+def bvh_intersect_tris_stream(o, d, t_max, stream16, any_hit: bool = False):
+    """Closest-hit (or any-hit) rope traversal over the unified node
+    stream.  o, d, t_max: (R, ·); stream16: (2N-1, 16) device array."""
+    R = o.shape[0]
+    inv_d = 1.0 / jnp.where(d == 0.0, 1e-20, d)
+
+    cur = jnp.zeros((R,), jnp.int32)  # root row
+    best_t = jnp.asarray(t_max, jnp.float32)
+    best_tri = jnp.full((R,), -1, jnp.int32)
+    best_b0 = jnp.zeros((R,), jnp.float32)
+    best_b1 = jnp.zeros((R,), jnp.float32)
+
+    def cond(state):
+        cur = state[0]
+        if any_hit:
+            return jnp.any((cur >= 0) & (state[2] < 0))
+        return jnp.any(cur >= 0)
+
+    def body(state):
+        cur, best_t, best_tri, best_b0, best_b1 = state
+        active = cur >= 0
+        if any_hit:
+            active &= best_tri < 0
+        row = stream16[jnp.maximum(cur, 0)]
+        is_leaf = row[:, 15] > 0.5
+        # internal: slab test of the node's own box
+        t_lo = (row[:, 0:3] - o) * inv_d
+        t_hi = (row[:, 3:6] - o) * inv_d
+        t_near = jnp.max(jnp.minimum(t_lo, t_hi), axis=-1)
+        t_far = jnp.min(jnp.maximum(t_lo, t_hi), axis=-1) * (1.0 + 2.0 * vm.gamma(3.0))
+        box_hit = (t_near <= t_far) & (t_far > 0.0) & (t_near < best_t)
+        hit_link = jax.lax.bitcast_convert_type(row[:, 9], jnp.int32)
+        miss_link = jax.lax.bitcast_convert_type(row[:, 10], jnp.int32)
+        nxt_internal = jnp.where(box_hit, hit_link, miss_link)
+        # leaf: watertight triangle test on the same row
+        prim = jax.lax.bitcast_convert_type(row[:, 12], jnp.int32)
+        hit, t, b0, b1 = intersect_tri(
+            o, d, best_t, row[:, 0:3], row[:, 3:6], row[:, 6:9]
+        )
+        upd = active & is_leaf & hit & (t < best_t)
+        best_t = jnp.where(upd, t, best_t)
+        best_tri = jnp.where(upd, prim, best_tri)
+        best_b0 = jnp.where(upd, b0, best_b0)
+        best_b1 = jnp.where(upd, b1, best_b1)
+        nxt = jnp.where(is_leaf, miss_link, nxt_internal)
+        cur = jnp.where(active, nxt, cur)
+        return cur, best_t, best_tri, best_b0, best_b1
+
+    state = (cur, best_t, best_tri, best_b0, best_b1)
+    state = jax.lax.while_loop(cond, body, state)
+    _, best_t, best_tri, best_b0, best_b1 = state
     valid = best_tri >= 0
     return TriHit(valid, best_t, best_tri, best_b0, best_b1)

@@ -47,8 +47,10 @@ def native_available() -> bool:
         return False
 
 
-def build_lbvh_native(bmin, bmax) -> LBVH:
-    """bmin/bmax: (N,3) float32 numpy arrays -> device LBVH pytree."""
+def build_lbvh_native(bmin, bmax, tris=None) -> LBVH:
+    """bmin/bmax: (N,3) float32 numpy arrays -> device LBVH pytree.
+    tris: optional (p0, p1, p2) — also packs leaf triangle rows and the
+    rope-traversal node stream (see bvh.build_stream)."""
     lib = _load()
     bmin = np.ascontiguousarray(bmin, np.float32)
     bmax = np.ascontiguousarray(bmax, np.float32)
@@ -66,7 +68,7 @@ def build_lbvh_native(bmin, bmax) -> LBVH:
     )
     if rc != 0:
         raise RuntimeError(f"lbvh_build failed rc={rc}")
-    from .bvh import pack_nodes
+    from .bvh import build_stream, pack_leaf_tris, pack_nodes
 
     return LBVH(
         jnp.asarray(child_l), jnp.asarray(child_r),
@@ -74,4 +76,8 @@ def build_lbvh_native(bmin, bmax) -> LBVH:
         jnp.asarray(bmin_r), jnp.asarray(bmax_r),
         jnp.asarray(prim_ids),
         jnp.asarray(pack_nodes(child_l, child_r, bmin_l, bmax_l, bmin_r, bmax_r)),
+        None if tris is None else jnp.asarray(pack_leaf_tris(prim_ids, *tris)),
+        None if tris is None else jnp.asarray(build_stream(
+            (child_l, child_r), bmin_l, bmax_l, bmin_r, bmax_r, prim_ids, *tris
+        )),
     )

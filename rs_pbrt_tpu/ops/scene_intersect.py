@@ -55,6 +55,10 @@ def _tri_accel_hit(o, d, t_max, tree, p0, p1, p2, any_hit: bool = False):
 
     if isinstance(tree, kdmod.KdTree):
         return kdmod.kdtree_intersect_tris(o, d, t_max, tree, p0, p1, p2, any_hit=any_hit)
+    if tree.stream16 is not None:
+        # stackless rope traversal: no per-lane stack scatters (those cost
+        # ~100x the node gather on TPU — see bvh.py rope section)
+        return bvhmod.bvh_intersect_tris_stream(o, d, t_max, tree.stream16, any_hit=any_hit)
     return bvhmod.bvh_intersect_tris(o, d, t_max, tree, p0, p1, p2, any_hit=any_hit)
 
 
@@ -599,14 +603,17 @@ def scene_intersect_p(scene: sa.Scene, o, d, t_max, accel=None):
     return occ
 
 
-def _build_lbvh_pref_native(bmin, bmax):
+def _build_lbvh_pref_native(bmin, bmax, tris=None):
     """Prefers the native C++ builder (native/lbvh.cpp, ~18x the numpy build
-    at Ganesha scale); falls back to the vectorized numpy Karras build."""
+    at Ganesha scale); falls back to the vectorized numpy Karras build.
+    tris: optional (p0, p1, p2) — attaches leaf-ordered packed triangle
+    rows for the single-gather leaf test."""
     from . import bvh_native
 
     if bvh_native.native_available():
-        return bvh_native.build_lbvh_native(bmin, bmax)
-    return bvhmod.build_lbvh(bmin, bmax)
+        lb = bvh_native.build_lbvh_native(bmin, bmax, tris=tris)
+        return lb
+    return bvhmod.build_lbvh(bmin, bmax, tris=tris)
 
 
 def build_accel(scene: sa.Scene, kind: str = "bvh") -> Accel:
@@ -626,7 +633,7 @@ def build_accel(scene: sa.Scene, kind: str = "bvh") -> Accel:
 
             tri_bvh = kdmod.build_kdtree(bmin, bmax)
         else:
-            tri_bvh = _build_lbvh_pref_native(bmin, bmax)
+            tri_bvh = _build_lbvh_pref_native(bmin, bmax, tris=(p0, p1, p2))
     if scene.n_curve_segs > BRUTE_FORCE_MAX_CURVES:
         at = np.asarray(scene.crv_attr)
         cp = at[:, crv.CV_CP : crv.CV_CP + 12].reshape(-1, 4, 3)

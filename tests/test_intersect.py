@@ -198,6 +198,33 @@ class TestLBVH:
         )
         np.testing.assert_array_equal(np.asarray(hv.valid), np.asarray(hb.valid))
 
+    @pytest.mark.parametrize("n_tris,n_rays", [(1, 32), (2, 64), (37, 256), (1000, 512)])
+    def test_rope_stream_matches_brute_force(self, n_tris, n_rays):
+        """Stackless escape-link traversal (bvh.build_stream) must agree
+        with brute force — closest hit, winner ids, and any-hit mode."""
+        p0, p1, p2 = random_tris(n_tris, seed=100 + n_tris)
+        o, d = random_rays(n_rays, seed=200 + n_rays)
+        t_max = jnp.full(n_rays, 1e6, jnp.float32)
+        bmin = np.minimum(np.minimum(p0, p1), p2)
+        bmax = np.maximum(np.maximum(p0, p1), p2)
+        bvh = bvhmod.build_lbvh(bmin, bmax, tris=(p0, p1, p2))
+        assert bvh.stream16 is not None
+        hb = isect.intersect_tris_brute(
+            jnp.asarray(o), jnp.asarray(d), t_max,
+            jnp.asarray(p0), jnp.asarray(p1), jnp.asarray(p2),
+        )
+        hv = bvhmod.bvh_intersect_tris_stream(
+            jnp.asarray(o), jnp.asarray(d), t_max, bvh.stream16
+        )
+        np.testing.assert_array_equal(np.asarray(hv.valid), np.asarray(hb.valid))
+        v = np.asarray(hb.valid)
+        np.testing.assert_array_equal(np.asarray(hv.tri)[v], np.asarray(hb.tri)[v])
+        np.testing.assert_allclose(np.asarray(hv.t)[v], np.asarray(hb.t)[v], rtol=1e-6)
+        ha = bvhmod.bvh_intersect_tris_stream(
+            jnp.asarray(o), jnp.asarray(d), t_max, bvh.stream16, any_hit=True
+        )
+        np.testing.assert_array_equal(np.asarray(ha.valid), np.asarray(hb.valid))
+
     def test_single_triangle(self):
         p0, p1, p2 = random_tris(1, seed=11)
         bmin = np.minimum(np.minimum(p0, p1), p2)
