@@ -595,11 +595,14 @@ def radiance_and_splats(scene, camera, cfg: "PathCfg", cfg_s, ctx, p_film, accel
             if strategy_select is not None:
                 # reference MLT depth stratification: only the lane's chosen
                 # (depth, s) strategy survives, scaled by the strategy count
-                # at that depth (mlt.rs:310-406 nStrategies = depth + 2)
+                # at that depth (mlt.rs:310-406 nStrategies = depth + 2,
+                # EXCEPT depth 0 where (s=1,t=1) is skipped so it is 1 —
+                # mlt.rs:326-333)
                 d_sel, s_sel = strategy_select
+                n_strategies = 1 if depth == 0 else depth + 2
                 sel_scale = jnp.where(
                     (d_sel == depth) & (s_sel == s),
-                    float((s + t) * (cfg.max_depth + 1)), 0.0,
+                    float(n_strategies * (cfg.max_depth + 1)), 0.0,
                 )
             else:
                 sel_scale = None

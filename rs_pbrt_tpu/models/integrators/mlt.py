@@ -48,7 +48,7 @@ def _eval_target(scene, camera, pcfg, cfg_s, pss, accel, depth_stratified=False)
     """BDPT evaluation of a PSS vector batch.  Returns (lum, film positions
     + contributions for splatting).
 
-    depth_stratified: reference mlt.rs:310-406 semantics — PSS dims 4/5
+    depth_stratified: reference mlt.rs:310-406 semantics — PSS dims 6/7
     select one depth and one (s, t) per lane, with the per-depth strategy
     count as the unbiasing scale (see radiance_and_splats strategy_select).
     Default False: the full strategy sum is the target, which on a SIMD
@@ -71,7 +71,11 @@ def _eval_target(scene, camera, pcfg, cfg_s, pss, accel, depth_stratified=False)
         # mlt.rs sampling nBootstrap*(maxDepth+1) seeds).
         md = pcfg.max_depth
         d_sel = jnp.clip((pss[:, 6] * (md + 1)).astype(jnp.int32), 0, md)
-        n_str = d_sel + 2  # strategies at this depth (s in 0..d+1, t>=1)
+        # strategies at this depth: s in 0..d+1 with t>=1 — EXCEPT depth 0,
+        # where (s=1,t=1) is skipped and only (s=0,t=2) remains, so
+        # n_strategies=1 (reference mlt.rs:326-333; ADVICE r2 #2 — the
+        # former d+2 wasted half the depth-0 proposals on a zero target)
+        n_str = jnp.where(d_sel == 0, 1, d_sel + 2)
         s_sel = jnp.clip((pss[:, 7] * n_str).astype(jnp.int32), 0, n_str - 1)
         sel = (d_sel, s_sel)
     L, sp, sl = bdptmod.radiance_and_splats(

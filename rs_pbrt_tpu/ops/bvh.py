@@ -52,9 +52,9 @@ class LBVH(NamedTuple):
 
 
 def pack_nodes(child_l, child_r, bmin_l, bmax_l, bmin_r, bmax_r):
-    """Host packing of the traversal node row (numpy).  Cols 14/15 carry
-    parent and internal-sibling links for the stackless bit-trail
-    traversal (bvh_intersect_tris_trail)."""
+    """Host packing of the traversal node row (numpy).  Cols 14/15 are
+    reserved padding (the row is padded to 64B so one gather fetches the
+    whole node)."""
     n = len(child_l)
     cl = np.asarray(child_l, np.int32)
     cr = np.asarray(child_r, np.int32)
@@ -65,19 +65,6 @@ def pack_nodes(child_l, child_r, bmin_l, bmax_l, bmin_r, bmax_r):
     out[:, 5:8] = bmax_l
     out[:, 8:11] = bmin_r
     out[:, 11:14] = bmax_r
-    # parent + sibling of each INTERNAL node (links among internal ids;
-    # only consulted when BOTH children of the parent are internal)
-    parent = np.full(n, -1, np.int32)
-    sib = np.full(n, -1, np.int32)
-    ids = np.arange(n, dtype=np.int32)
-    li = cl >= 0
-    ri = cr >= 0
-    parent[cl[li]] = ids[li]
-    parent[cr[ri]] = ids[ri]
-    sib[cl[li]] = cr[li]
-    sib[cr[ri]] = cl[ri]
-    out[:, 14] = parent.view(np.float32)
-    out[:, 15] = sib.view(np.float32)
     return out
 
 
@@ -469,7 +456,14 @@ def build_stream(lbvh_np_children, bmin_l, bmax_l, bmin_r, bmax_r, prim_ids,
         par_miss = miss[np.maximum(par, 0)]
         cand = np.where(~is_left & (par >= 0), par_miss, cand)
         miss = np.where(unresolved & (cand != -2), cand, miss)
-    miss = np.where(miss == -2, -1, miss)
+    # a deeper-than-expected tree must fail loudly at build time, not drop
+    # subtrees silently during traversal (ADVICE r2 #3); 64-bit morton|index
+    # keys bound the radix-tree depth at 64, so this never fires today
+    if (miss == -2).any():
+        raise AssertionError(
+            f"BVH rope build: {int((miss == -2).sum())} miss links "
+            "unresolved after 66 rounds (tree deeper than 64?)"
+        )
 
     out = np.zeros((n_rows, 16), np.float32)
     # internal rows

@@ -51,10 +51,18 @@ def build_lbvh_native(bmin, bmax, tris=None) -> LBVH:
     """bmin/bmax: (N,3) float32 numpy arrays -> device LBVH pytree.
     tris: optional (p0, p1, p2) — also packs leaf triangle rows and the
     rope-traversal node stream (see bvh.build_stream)."""
-    lib = _load()
     bmin = np.ascontiguousarray(bmin, np.float32)
     bmax = np.ascontiguousarray(bmax, np.float32)
     n = bmin.shape[0]
+    if n == 1:
+        # degenerate single-primitive tree: the native builder emits a fake
+        # root with a duplicated leaf child, which build_stream would give a
+        # self-referencing miss link (device hang); the numpy path has the
+        # _stream_single guard — delegate to it (ADVICE r2 #1)
+        from .bvh import build_lbvh
+
+        return build_lbvh(bmin, bmax, tris=tris)
+    lib = _load()
     m = max(n - 1, 1)
     child_l = np.empty(m, np.int32)
     child_r = np.empty(m, np.int32)

@@ -93,11 +93,12 @@ LP_TEX = 14  # texture id for projection/goniometric maps (-1 none)
 LP_TAN_FOV = 15  # projection light: tan(fov/2)
 N_LIGHT_PARAMS = 16
 
-# area-light geometry kinds
+# area-light geometry kinds (disk/cylinder area lights tessellate to
+# ALG_TRI_RANGE at build time — scene/api.py:655-657 — so there is no
+# dedicated disk kind)
 ALG_NONE = 0
 ALG_TRI_RANGE = 1  # triangles [light_tri_start, light_tri_end)
 ALG_SPHERE = 2
-ALG_DISK = 3
 
 # ---- packed per-object attribute tables (one-hot-matmul gather targets;
 # see ops/gathers.py — per-lane gathers from small tables are turned into
