@@ -1,28 +1,40 @@
 #!/usr/bin/env python
-"""Headline benchmark: Cornell box path tracing throughput on one chip.
-
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""Headline benchmarks on one chip.  Prints ONE JSON line per config:
+{"metric", "value", "unit", "vs_baseline"}.
 
 Baseline: the reference renderer's only published throughput signal is the
 Cornell progress bar — 1024 16x16 tiles at 1828.38 tiles/s for 500x500 @
 8spp on a 28-core CPU (reference docs/source/getting_started.rst:163-174),
 i.e. ~3.57M camera paths/s.  vs_baseline is our paths/s over that.
+
+Config #2 (Ganesha-scale, BASELINE.md row 3) is wrapped in try/except so a
+fault cannot zero the whole artifact (VERDICT r2 weak #1), and the built
+scene+accel are cached on disk (scene assembly is 25-140s of host numpy
+with high variance, VERDICT r2 weak #7).
+
+Timing forces host materialization of the image: block_until_ready through
+the axon tunnel does not reliably wait for dispatch completion (measured
+852 TFLOP/s "matmuls" without it, tools/tpu_probe2.py).
 """
 
 import json
+import pickle
 import sys
 import time
 
 import numpy as np
 
+CACHE = "/tmp/rs_pbrt_bench_statue.pkl"
+BASELINE = 3.57e6  # reference 28-core CPU camera paths/s
 
-def main():
+
+def timed_render(rdr, *args, **kw):
+    img = rdr.render(*args, **kw)
+    return np.asarray(img)  # host materialization = true completion
+
+
+def bench_cornell():
     import jax
-    import jax.numpy as jnp
-
-    # warm the device (first op through the tunnel is slow)
-    x = jnp.ones((256, 256))
-    (x @ x).block_until_ready()
 
     from rs_pbrt_tpu.models import samplers as smpl
     from rs_pbrt_tpu.models.integrators import render as rdr
@@ -39,47 +51,77 @@ def main():
     # input recompiles for its device-chosen layout).  Warm-up compiles the
     # exact timed signature.
     lanes = 1 << 23
-    jax.block_until_ready(rdr.render(scene, camera, cfg, scfg, max_lanes=lanes))
-
+    timed_render(rdr, scene, camera, cfg, scfg, max_lanes=lanes)
     t0 = time.time()
-    img = rdr.render(scene, camera, cfg, scfg, max_lanes=lanes)
-    jax.block_until_ready(img)
+    timed_render(rdr, scene, camera, cfg, scfg, max_lanes=lanes)
     dt = time.time() - t0
-
     paths = res[0] * res[1] * spp
-    paths_per_s = paths / dt
-    baseline = 3.57e6  # reference 28-core CPU camera paths/s
     print(
         json.dumps(
             {
                 "metric": "camera_paths/s/chip (Cornell 256x256 path 64spp sobol)",
-                "value": round(paths_per_s, 1),
+                "value": round(paths / dt, 1),
                 "unit": "paths/s",
-                "vs_baseline": round(paths_per_s / baseline, 3),
+                "vs_baseline": round(paths / dt / BASELINE, 3),
             }
-        )
+        ),
+        flush=True,
     )
 
-    # ---- config #2: Ganesha-scale (BASELINE.md row 3) — 1.31M-triangle
-    # displaced icosphere exercising LBVH traversal end to end.  The
-    # reference publishes no throughput for its 4.3M-tri statue scene;
-    # vs_baseline reuses the only published CPU signal (Cornell tiles/s),
-    # which overstates the reference at this scale — conservative for us.
+
+def _statue_cached():
+    import jax
+    import jax.numpy as jnp
+
+    try:
+        with open(CACHE, "rb") as f:
+            host = pickle.load(f)
+        scene = jax.tree.map(
+            lambda a: jnp.asarray(a) if isinstance(a, np.ndarray) else a, host["scene"]
+        )
+        camera = host["camera"]
+        accel = jax.tree.map(
+            lambda a: jnp.asarray(a) if isinstance(a, np.ndarray) else a, host["accel"]
+        )
+        return scene, camera, accel
+    except (OSError, EOFError, pickle.PickleError):
+        pass
     from rs_pbrt_tpu.ops.scene_intersect import build_accel
     from rs_pbrt_tpu.scene import bigscene
 
+    scene, camera = bigscene.statue_scene(resolution=(256, 256), subdivisions=8)
+    accel = build_accel(scene, kind="bvh")
+    tonp = lambda t: jax.tree.map(
+        lambda a: np.asarray(a) if hasattr(a, "shape") else a, t
+    )
+    try:
+        with open(CACHE, "wb") as f:
+            pickle.dump(
+                {"scene": tonp(scene), "camera": camera, "accel": tonp(accel)}, f
+            )
+    except OSError:
+        pass
+    return scene, camera, accel
+
+
+def bench_statue():
+    # Ganesha-scale: 1.31M-triangle displaced icosphere exercising LBVH
+    # frontier-sweep traversal end to end.  The reference publishes no
+    # throughput for its 4.3M-tri statue scene; vs_baseline reuses the only
+    # published CPU signal (Cornell tiles/s), which overstates the
+    # reference at this scale — conservative for us.
+    from rs_pbrt_tpu.models import samplers as smpl
+    from rs_pbrt_tpu.models.integrators import render as rdr
+
+    scene, camera, accel = _statue_cached()
     res2 = (256, 256)
     spp2 = 8
-    scene2, camera2 = bigscene.statue_scene(resolution=res2, subdivisions=8)
-    accel2 = build_accel(scene2, kind="bvh")
     cfg2 = rdr.RenderCfg("path", spp=spp2, max_depth=5, rr_threshold=1.0)
     scfg2 = smpl.make_sampler(smpl.SOBOL, spp2, res2)
-    jax.block_until_ready(
-        rdr.render(scene2, camera2, cfg2, scfg2, accel=accel2, max_lanes=lanes)
-    )
+    lanes = 1 << 23
+    timed_render(rdr, scene, camera, cfg2, scfg2, accel=accel, max_lanes=lanes)
     t0 = time.time()
-    img2 = rdr.render(scene2, camera2, cfg2, scfg2, accel=accel2, max_lanes=lanes)
-    jax.block_until_ready(img2)
+    timed_render(rdr, scene, camera, cfg2, scfg2, accel=accel, max_lanes=lanes)
     dt2 = time.time() - t0
     paths2 = res2[0] * res2[1] * spp2
     print(
@@ -88,11 +130,32 @@ def main():
                 "metric": "camera_paths/s/chip (1.31M-tri statue 256x256 path 8spp, LBVH)",
                 "value": round(paths2 / dt2, 1),
                 "unit": "paths/s",
-                "vs_baseline": round(paths2 / dt2 / baseline, 3),
+                "vs_baseline": round(paths2 / dt2 / BASELINE, 3),
             }
-        )
+        ),
+        flush=True,
     )
-    return 0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    # warm the device (first op through the tunnel is slow)
+    x = jnp.ones((256, 256))
+    (x @ x).block_until_ready()
+
+    rc = 0
+    try:
+        bench_cornell()
+    except Exception as e:  # noqa: BLE001
+        print(f"cornell bench failed: {type(e).__name__}: {e}", file=sys.stderr)
+        rc = 1
+    try:
+        bench_statue()
+    except Exception as e:  # noqa: BLE001
+        print(f"statue bench failed: {type(e).__name__}: {e}", file=sys.stderr)
+    return rc
 
 
 if __name__ == "__main__":

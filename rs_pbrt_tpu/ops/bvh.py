@@ -27,6 +27,15 @@ from .intersect import TriHit, intersect_tri
 
 STACK_DEPTH = 64  # mirrors the 64-slot traversal stack of reference bvh.rs:420
 
+# frontier-sweep window (rows per dynamic_slice chunk); also the stream
+# row-count alignment.  2048 keeps the one-hot gather matmul at
+# (lanes, 2048) @ (2048, 16) — comfortably MXU-sized.
+SWEEP_CHUNK = 2048
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
 
 class LBVH(NamedTuple):
     child_l: jnp.ndarray  # (N-1,) int32
@@ -392,30 +401,42 @@ def bvh_intersect_tris(o, d, t_max, bvh: LBVH, p0, p1, p2, any_hit: bool = False
 def _stream_single(bmin0, bmax0, p0, p1, p2):
     """Degenerate 1-primitive rope stream: internal root -> leaf -> done
     (the fake root's duplicated child must NOT self-link)."""
-    out = np.zeros((2, 16), np.float32)
+    done = SWEEP_CHUNK
+    out = np.zeros((done, 16), np.float32)
     out[0, 0:3] = bmin0
     out[0, 3:6] = bmax0
-    out[0, 9] = np.int32(1).view(np.float32)
-    out[0, 10] = np.int32(-1).view(np.float32)
+    out[0, 9] = 1.0
+    out[0, 10] = float(done)
     out[1, 0:3] = np.asarray(p0, np.float32)[0]
     out[1, 3:6] = np.asarray(p1, np.float32)[0]
     out[1, 6:9] = np.asarray(p2, np.float32)[0]
-    out[1, 10] = np.int32(-1).view(np.float32)
-    out[1, 12] = np.int32(0).view(np.float32)
+    out[1, 10] = float(done)
+    out[1, 12] = 0.0
     out[1, 15] = 1.0
+    out[2:, 10] = float(done)
+    out[2:, 15] = 1.0
     return out
 
 
 def build_stream(lbvh_np_children, bmin_l, bmax_l, bmin_r, bmax_r, prim_ids,
                  p0, p1, p2):
-    """Host build of the unified rope node stream (numpy).
+    """Host build of the unified rope node stream (numpy), in DFS
+    PRE-ORDER with all links stored as plain f32 VALUES.
 
     Row layout (16 f32 cols), discriminated by col 15 (0=internal, 1=leaf):
       internal: [bmin(0:3), bmax(3:6), -, -, -, hit(9), miss(10), ...]
       leaf:     [p0(0:3), p1(3:6), p2(6:9), -, miss(10), -, prim(12), ...]
-    Links are row ids bitcast to f32; -1 terminates.  Internal node i's own
-    AABB is the union of its child boxes (child boxes are what the stacked
-    LBVH stores).  Leaf k maps to row (n-1)+k.
+    Links/prim ids are float VALUES (exact for ids < 2^24 — asserted), not
+    bitcasts: the frontier-sweep traversal fetches rows with a bf16x3
+    one-hot MXU matmul, which reproduces true f32 values exactly but NOT
+    arbitrary int bit patterns (NaN/denormal payloads).  The terminator is
+    the row count rounded up to the sweep chunk (SWEEP_CHUNK) — i.e. one
+    past the last padded row — so `cur >= stream.shape[0]` means done.
+
+    DFS pre-order gives the sweep its key invariant: every link points
+    STRICTLY FORWARD, so a ray's row sequence is monotonically increasing
+    and a whole wavefront can be served by one forward pass over the
+    stream in chunk-sized windows (see bvh_sweep_intersect_tris).
     """
     child_l, child_r = lbvh_np_children
     n1 = len(child_l)  # internal count = n-1
@@ -465,29 +486,98 @@ def build_stream(lbvh_np_children, bmin_l, bmax_l, bmin_r, bmax_r, prim_ids,
             "unresolved after 66 rounds (tree deeper than 64?)"
         )
 
-    out = np.zeros((n_rows, 16), np.float32)
+    # ---- DFS pre-order rank via pointer-doubling list ranking ----
+    # the always-hit walk (internal -> first child, leaf -> miss) visits
+    # every row exactly once: a linked list whose order IS DFS pre-order
+    is_leaf_row = np.zeros(n_rows, bool)
+    is_leaf_row[n1:] = True
+    nxt = np.where(is_leaf_row, miss, np.concatenate([rl, np.zeros(n, np.int64)]))
+    # rank-from-tail by doubling: d[i] = #rows after i in the walk
+    d = (nxt >= 0).astype(np.int64)
+    ptr = np.where(nxt >= 0, nxt, 0)
+    hops = 1
+    while hops < n_rows:
+        d = d + np.where(nxt >= 0, d[ptr], 0)
+        nxt = np.where(nxt >= 0, nxt[ptr], -1)
+        ptr = np.where(nxt >= 0, nxt, 0)
+        hops *= 2
+    rank = (n_rows - 1) - d  # DFS position of each original row
+
+    assert n_rows < (1 << 24), "stream links exceed exact-f32 range"
+    done = _round_up(n_rows, SWEEP_CHUNK)
+
+    def to_rank(link):
+        link = np.asarray(link, np.int64)
+        return np.where(link < 0, done, rank[np.maximum(link, 0)]).astype(np.float64)
+
+    out = np.zeros((done, 16), np.float32)
+    rows = np.zeros((n_rows, 16), np.float32)
     # internal rows
     bmin_own = np.minimum(bmin_l, bmin_r)
     bmax_own = np.maximum(bmax_l, bmax_r)
-    out[:n1, 0:3] = bmin_own
-    out[:n1, 3:6] = bmax_own
-    out[:n1, 9] = rl.astype(np.int32).view(np.float32)
-    out[:n1, 10] = miss[:n1].astype(np.int32).view(np.float32)
+    rows[:n1, 0:3] = bmin_own
+    rows[:n1, 3:6] = bmax_own
+    rows[:n1, 9] = to_rank(rl)
+    rows[:n1, 10] = to_rank(miss[:n1])
     # leaf rows
     ids = np.asarray(prim_ids, np.int64)
-    out[n1:, 0:3] = np.asarray(p0, np.float32)[ids]
-    out[n1:, 3:6] = np.asarray(p1, np.float32)[ids]
-    out[n1:, 6:9] = np.asarray(p2, np.float32)[ids]
-    out[n1:, 10] = miss[n1:].astype(np.int32).view(np.float32)
-    out[n1:, 12] = ids.astype(np.int32).view(np.float32)
-    out[n1:, 15] = 1.0
+    rows[n1:, 0:3] = np.asarray(p0, np.float32)[ids]
+    rows[n1:, 3:6] = np.asarray(p1, np.float32)[ids]
+    rows[n1:, 6:9] = np.asarray(p2, np.float32)[ids]
+    rows[n1:, 10] = to_rank(miss[n1:])
+    rows[n1:, 12] = ids.astype(np.float64)
+    rows[n1:, 15] = 1.0
+    out[rank] = rows
+    # padding rows: inert leaves that terminate immediately (unreachable)
+    out[n_rows:, 10] = done
+    out[n_rows:, 15] = 1.0
+    # DFS invariant: every internal row's hit link is the next row, and
+    # every link points strictly forward (monotone sweep property)
+    pos = np.arange(n_rows)
+    internal = out[:n_rows, 15] < 0.5
+    assert (np.round(out[:n_rows, 9]).astype(np.int64)[internal] == pos[internal] + 1).all()
+    assert (np.round(out[:n_rows, 10]).astype(np.int64) > pos).all()
     return out
+
+
+def _stream_step(o, d, inv_d, row, active, best):
+    """One rope step shared by the gather and sweep traversals: slab test
+    (internal rows) / watertight tri test (leaf rows) + link advance.
+    Returns (next_row_id, new_best)."""
+    best_t, best_tri, best_b0, best_b1 = best
+    is_leaf = row[:, 15] > 0.5
+    t_lo = (row[:, 0:3] - o) * inv_d
+    t_hi = (row[:, 3:6] - o) * inv_d
+    t_near = jnp.max(jnp.minimum(t_lo, t_hi), axis=-1)
+    t_far = jnp.min(jnp.maximum(t_lo, t_hi), axis=-1) * (1.0 + 2.0 * vm.gamma(3.0))
+    box_hit = (t_near <= t_far) & (t_far > 0.0) & (t_near < best_t)
+    hit_link = jnp.round(row[:, 9]).astype(jnp.int32)
+    miss_link = jnp.round(row[:, 10]).astype(jnp.int32)
+    prim = jnp.round(row[:, 12]).astype(jnp.int32)
+    hit, t, b0, b1 = intersect_tri(
+        o, d, best_t, row[:, 0:3], row[:, 3:6], row[:, 6:9]
+    )
+    upd = active & is_leaf & hit & (t < best_t)
+    best = (
+        jnp.where(upd, t, best_t),
+        jnp.where(upd, prim, best_tri),
+        jnp.where(upd, b0, best_b0),
+        jnp.where(upd, b1, best_b1),
+    )
+    nxt = jnp.where(is_leaf | ~box_hit, miss_link, hit_link)
+    return nxt, best
 
 
 def bvh_intersect_tris_stream(o, d, t_max, stream16, any_hit: bool = False):
     """Closest-hit (or any-hit) rope traversal over the unified node
-    stream.  o, d, t_max: (R, ·); stream16: (2N-1, 16) device array."""
+    stream via per-lane HBM row gathers.  o, d, t_max: (R, ·); stream16:
+    (done, 16) device array (done = padded row count = terminator id).
+
+    NOTE: on real TPUs row gathers inside a while_loop serialize at
+    ~30-45M rows/s (descriptor-bound) — use bvh_sweep_intersect_tris
+    there.  This path remains the fast CPU/test reference."""
     R = o.shape[0]
+    done = stream16.shape[0]
     inv_d = 1.0 / jnp.where(d == 0.0, 1e-20, d)
 
     cur = jnp.zeros((R,), jnp.int32)  # root row
@@ -499,41 +589,126 @@ def bvh_intersect_tris_stream(o, d, t_max, stream16, any_hit: bool = False):
     def cond(state):
         cur = state[0]
         if any_hit:
-            return jnp.any((cur >= 0) & (state[2] < 0))
-        return jnp.any(cur >= 0)
+            return jnp.any((cur < done) & (state[2] < 0))
+        return jnp.any(cur < done)
 
     def body(state):
         cur, best_t, best_tri, best_b0, best_b1 = state
-        active = cur >= 0
+        active = cur < done
         if any_hit:
             active &= best_tri < 0
-        row = stream16[jnp.maximum(cur, 0)]
-        is_leaf = row[:, 15] > 0.5
-        # internal: slab test of the node's own box
-        t_lo = (row[:, 0:3] - o) * inv_d
-        t_hi = (row[:, 3:6] - o) * inv_d
-        t_near = jnp.max(jnp.minimum(t_lo, t_hi), axis=-1)
-        t_far = jnp.min(jnp.maximum(t_lo, t_hi), axis=-1) * (1.0 + 2.0 * vm.gamma(3.0))
-        box_hit = (t_near <= t_far) & (t_far > 0.0) & (t_near < best_t)
-        hit_link = jax.lax.bitcast_convert_type(row[:, 9], jnp.int32)
-        miss_link = jax.lax.bitcast_convert_type(row[:, 10], jnp.int32)
-        nxt_internal = jnp.where(box_hit, hit_link, miss_link)
-        # leaf: watertight triangle test on the same row
-        prim = jax.lax.bitcast_convert_type(row[:, 12], jnp.int32)
-        hit, t, b0, b1 = intersect_tri(
-            o, d, best_t, row[:, 0:3], row[:, 3:6], row[:, 6:9]
+        row = stream16[jnp.minimum(cur, done - 1)]
+        nxt, best = _stream_step(
+            o, d, inv_d, row, active, (best_t, best_tri, best_b0, best_b1)
         )
-        upd = active & is_leaf & hit & (t < best_t)
-        best_t = jnp.where(upd, t, best_t)
-        best_tri = jnp.where(upd, prim, best_tri)
-        best_b0 = jnp.where(upd, b0, best_b0)
-        best_b1 = jnp.where(upd, b1, best_b1)
-        nxt = jnp.where(is_leaf, miss_link, nxt_internal)
         cur = jnp.where(active, nxt, cur)
-        return cur, best_t, best_tri, best_b0, best_b1
+        return (cur,) + best
 
     state = (cur, best_t, best_tri, best_b0, best_b1)
     state = jax.lax.while_loop(cond, body, state)
     _, best_t, best_tri, best_b0, best_b1 = state
+    valid = best_tri >= 0
+    return TriHit(valid, best_t, best_tri, best_b0, best_b1)
+
+
+def bvh_sweep_intersect_tris(
+    o, d, t_max, stream16, any_hit: bool = False, block: int = 8192
+):
+    """Closest-hit (or any-hit) FRONTIER-SWEEP traversal — the TPU path.
+
+    TPU economics (measured, tools/tpu_probe*.py): per-lane row gathers
+    from an HBM node table inside a while_loop serialize at ~30-45M
+    rows/s, capping any gather-based walk at well under 1M rays/s.  The
+    sweep instead exploits the stream's DFS pre-order (links only point
+    forward -> each lane's row id is monotonically increasing): rays are
+    processed in blocks; each block walks a frontier of SWEEP_CHUNK-row
+    windows loaded with a CONTIGUOUS dynamic_slice (full HBM bandwidth,
+    no gather descriptors), and per-lane rows are selected from the
+    window by a one-hot bf16x3 matmul on the MXU (exact for true f32
+    values — links/ids are stored as plain floats; see ops/gathers.py).
+    Lanes ahead of the frontier idle until the window reaches them; DFS
+    monotonicity guarantees each window is visited at most once per
+    block.  Mirrors reference bvh.rs:401-514 capability (stack machine)
+    with a hardware-matched algorithm instead of a stack.
+    """
+    R = o.shape[0]
+    done = stream16.shape[0]
+    C = SWEEP_CHUNK
+
+    pad = _round_up(max(R, 1), block) - R
+    if pad:
+        o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)])
+        d = jnp.concatenate([d, jnp.ones((pad, 3), d.dtype)])
+        t_max = jnp.concatenate(
+            [jnp.asarray(t_max, jnp.float32), jnp.full((pad,), -1.0, jnp.float32)]
+        )
+    n_blocks = (R + pad) // block
+
+    def run_block(args):
+        o, d, t_max = args
+        inv_d = 1.0 / jnp.where(d == 0.0, 1e-20, d)
+        cur = jnp.where(t_max > 0, 0, done).astype(jnp.int32)
+        best_t = jnp.asarray(t_max, jnp.float32)
+        best_tri = jnp.full((block,), -1, jnp.int32)
+        best_b0 = jnp.zeros((block,), jnp.float32)
+        best_b1 = jnp.zeros((block,), jnp.float32)
+        col = jnp.arange(C, dtype=jnp.int32)
+
+        def cond(state):
+            cur = state[0]
+            if any_hit:
+                return jnp.any((cur < done) & (state[2] < 0))
+            return jnp.any(cur < done)
+
+        def body(state):
+            cur, best_t, best_tri, best_b0, best_b1 = state
+            active = cur < done
+            if any_hit:
+                active &= best_tri < 0
+            posn = jnp.where(active, cur, done)
+            base = (jnp.min(posn) // C) * C
+            window = jax.lax.dynamic_slice(stream16, (base, 0), (C, 16))
+
+            def in_cond(s):
+                cur = s[0]
+                act = cur < done
+                if any_hit:
+                    act &= s[2] < 0
+                return jnp.any(act & (cur >= base) & (cur < base + C))
+
+            def in_body(s):
+                cur, best_t, best_tri, best_b0, best_b1 = s
+                act = cur < done
+                if any_hit:
+                    act &= best_tri < 0
+                in_w = act & (cur >= base) & (cur < base + C)
+                idx = jnp.where(in_w, cur - base, 0)
+                oh = (idx[:, None] == col[None, :]) & in_w[:, None]
+                row = jnp.dot(
+                    oh.astype(jnp.float32), window,
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                nxt, best = _stream_step(
+                    o, d, inv_d, row, in_w, (best_t, best_tri, best_b0, best_b1)
+                )
+                cur = jnp.where(in_w, nxt, cur)
+                return (cur,) + best
+
+            return jax.lax.while_loop(
+                in_cond, in_body, (cur, best_t, best_tri, best_b0, best_b1)
+            )
+
+        state = (cur, best_t, best_tri, best_b0, best_b1)
+        state = jax.lax.while_loop(cond, body, state)
+        _, best_t, best_tri, best_b0, best_b1 = state
+        return best_t, best_tri, best_b0, best_b1
+
+    reshape = lambda a: a.reshape((n_blocks, block) + a.shape[1:])
+    bt, btri, b0, b1 = jax.lax.map(
+        run_block, (reshape(o), reshape(d), reshape(jnp.asarray(t_max, jnp.float32)))
+    )
+    flat = lambda a: a.reshape((n_blocks * block,) + a.shape[2:])[:R]
+    best_t, best_tri, best_b0, best_b1 = flat(bt), flat(btri), flat(b0), flat(b1)
     valid = best_tri >= 0
     return TriHit(valid, best_t, best_tri, best_b0, best_b1)

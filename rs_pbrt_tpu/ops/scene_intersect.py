@@ -56,8 +56,14 @@ def _tri_accel_hit(o, d, t_max, tree, p0, p1, p2, any_hit: bool = False):
     if isinstance(tree, kdmod.KdTree):
         return kdmod.kdtree_intersect_tris(o, d, t_max, tree, p0, p1, p2, any_hit=any_hit)
     if tree.stream16 is not None:
-        # stackless rope traversal: no per-lane stack scatters (those cost
-        # ~100x the node gather on TPU — see bvh.py rope section)
+        if _use_pallas():
+            # frontier sweep: contiguous window loads + one-hot MXU row
+            # selects — HBM row gathers in a while_loop serialize at
+            # ~30-45M rows/s on the chip (bvh.py sweep docstring)
+            return bvhmod.bvh_sweep_intersect_tris(
+                o, d, t_max, tree.stream16, any_hit=any_hit
+            )
+        # stackless rope traversal via row gathers (fast on CPU backends)
         return bvhmod.bvh_intersect_tris_stream(o, d, t_max, tree.stream16, any_hit=any_hit)
     return bvhmod.bvh_intersect_tris(o, d, t_max, tree, p0, p1, p2, any_hit=any_hit)
 

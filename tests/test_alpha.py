@@ -6,6 +6,7 @@ shadow-alpha mask (triangle.rs:593-650); the "alpha"/"shadowalpha" shape
 parameters bind a float texture or the literal 0.0 (api.rs:1920-1940).
 """
 
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -66,6 +67,7 @@ class TestAlphaMask:
         it = si.scene_intersect(scene, o, d, jnp.full(4, 100.0))
         assert not np.asarray(it.valid).any()
 
+    @pytest.mark.slow
     def test_shadow_honors_both_masks(self):
         b = SceneBuilder()
         m = b.add_matte()

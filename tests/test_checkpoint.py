@@ -4,6 +4,7 @@ The reference has neither; determinism across batch splits is the
 pure-functional analogue of race-freedom (same seed => identical image
 regardless of how the wavefront is partitioned)."""
 
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -22,6 +23,7 @@ def _setup(res=(16, 16), spp=8):
 
 
 class TestDeterminism:
+    @pytest.mark.slow
     def test_batch_split_invariance(self):
         """Identical image whether rendered in 1 batch or many."""
         scene, camera, cfg, scfg = _setup()
@@ -37,6 +39,7 @@ class TestDeterminism:
 
 
 class TestCheckpoint:
+    @pytest.mark.slow
     def test_resume_matches_uninterrupted(self, tmp_path):
         scene, camera, cfg, scfg = _setup(spp=8)
         ck = str(tmp_path / "ck.npz")

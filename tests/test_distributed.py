@@ -29,6 +29,7 @@ def test_init_distributed_noop_without_env(monkeypatch):
     assert dist.init_distributed() is False
 
 
+@pytest.mark.slow
 def test_host_mesh_render_matches_chip_mesh():
     scene, camera = presets.cornell_box(resolution=(12, 12))
     cfg = rdr.RenderCfg("path", spp=2, max_depth=3, rr_threshold=1.0)
@@ -45,6 +46,7 @@ def test_host_mesh_render_matches_chip_mesh():
 
 
 class TestGeometrySharding:
+    @pytest.mark.slow
     def test_matches_single_device_sweep(self):
         from rs_pbrt_tpu.ops.intersect import intersect_tris_brute
 

@@ -3,6 +3,7 @@
 reference, so the oracle is a table we construct whose exact BSDF is
 rho/pi)."""
 
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -77,6 +78,7 @@ class TestFourierLambertian:
         )
         assert abs(est.mean() - RHO) < 0.05 * RHO
 
+    @pytest.mark.slow
     def test_scene_integration(self):
         """Fourier material renders through the path integrator."""
         from rs_pbrt_tpu.models import cameras as cam

@@ -4,6 +4,7 @@ heightfield, cropwindow, ActiveTransform motion blur, integrator params
 make_light :769-952, get_shapes_and_materials :2016, make_integrator
 :205-473, TransformSet :163)."""
 
+import pytest
 import numpy as np
 
 from rs_pbrt_tpu.scene import arrays as sa
@@ -79,6 +80,7 @@ class TestNamedMedia:
 
 
 class TestMediumRendering:
+    @pytest.mark.slow
     def test_camera_in_fog_attenuates(self):
         """Beer-Lambert attenuation of an emitter seen through an absorbing
         camera medium wired via MediumInterface (reference volpath.rs:96 +

@@ -33,6 +33,7 @@ def _mesh():
 
 
 class TestBuilderInstancing:
+    @pytest.mark.slow
     def test_instanced_matches_flattened(self):
         f, v = _mesh()
         res = (20, 20)

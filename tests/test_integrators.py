@@ -31,12 +31,14 @@ def _floor_point_light(kd=0.6, I=100.0):
 
 
 class TestDirectLighting:
+    @pytest.mark.slow
     def test_matches_analytic(self):
         scene, camera = _floor_point_light()
         img = _render(scene, camera, "directlighting", spp=8, max_depth=2)
         want = 0.6 / np.pi * 100.0 / 100.0
         np.testing.assert_allclose(img[8, 8], want, rtol=0.05)
 
+    @pytest.mark.slow
     def test_matches_path_on_direct_only_scene(self):
         # single bounce: path and directlighting agree on direct lighting
         scene, camera = _floor_point_light()
@@ -60,6 +62,7 @@ class TestWhitted:
         want = 0.6 / np.pi * 100.0 / 100.0
         np.testing.assert_allclose(img[8, 8], want, rtol=0.05)
 
+    @pytest.mark.slow
     def test_mirror_reflection(self):
         # mirror floor reflects the env map
         b = SceneBuilder()
@@ -77,6 +80,7 @@ class TestWhitted:
 
 
 class TestAO:
+    @pytest.mark.slow
     def test_open_plane_is_unoccluded(self):
         b = SceneBuilder()
         pos = [[-100, 0, -100], [100, 0, -100], [100, 0, 100], [-100, 0, 100]]
@@ -128,6 +132,7 @@ class TestVolPath:
         assert img_fog[4, 4, 0] < 0.7 * img_clear[4, 4, 0]
         assert img_fog[4, 4, 0] > 0.0
 
+    @pytest.mark.slow
     def test_beer_lambert_attenuation(self):
         # camera inside pure absorber, looking at emissive wall:
         # L = Le * exp(-sigma_a * dist)

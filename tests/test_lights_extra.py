@@ -1,5 +1,6 @@
 """Projection/goniometric light + sample_le tests."""
 
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -33,6 +34,7 @@ def _render(scene, spp=16):
 
 
 class TestProjectionLight:
+    @pytest.mark.slow
     def test_slide_modulates_color(self):
         b = _floor_scene()
         img = np.zeros((8, 8, 3), np.float32)
@@ -61,6 +63,7 @@ class TestProjectionLight:
 
 
 class TestGonioLight:
+    @pytest.mark.slow
     def test_uniform_map_halves_point_light(self):
         b = _floor_scene()
         b.add_gonio_light(p=(0, 10, 0), to=(0, 0, 0), I=(100.0,) * 3,

@@ -2,6 +2,7 @@
 gap: mix was approximated by build-time parameter blending; it now scales
 the two children's lobes through the 4-slot stack at shade time."""
 
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -37,6 +38,7 @@ def test_mix_lobes_resolved():
     )
 
 
+@pytest.mark.slow
 def test_mix_render_is_lobewise_blend():
     """A mix(matte, mirror, a) render must show BOTH diffuse shading and
     the mirror reflection, and equal the a-blend of the pure renders (the

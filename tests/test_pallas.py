@@ -40,6 +40,7 @@ def cornell_rays():
 
 
 class TestSweepKernels:
+    @pytest.mark.slow
     def test_closest_matches_brute(self, cornell_rays):
         scene, o, d, t_max = cornell_rays
         ph = pin.pallas_intersect_tris(

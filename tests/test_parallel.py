@@ -25,6 +25,7 @@ def cornell():
 
 
 class TestShardedRender:
+    @pytest.mark.slow
     def test_sharded_matches_single_device(self, cornell):
         scene, camera, cfg, scfg = cornell
         img1 = np.asarray(rdr.render(scene, camera, cfg, scfg))

@@ -2,6 +2,7 @@
 shapes/disk.rs) — VERDICT r1 gap #6: previously tessellated to triangles.
 """
 
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -78,6 +79,7 @@ class TestAnalyticDisk:
         ng = np.asarray(it.ng)[v]
         np.testing.assert_allclose(np.abs(ng[:, 2]), 1.0, rtol=1e-5)
 
+    @pytest.mark.slow
     def test_render_matches_tessellated(self):
         """Analytic disk render ~= finely tessellated disk render (same
         lighting), validating uv/normal/shading wiring end to end."""

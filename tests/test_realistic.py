@@ -4,6 +4,7 @@ Oracle: a thin biconvex singlet obeys the lensmaker equation; paraxial
 rays from the film center must cross the optical axis at the focus
 distance after thick-lens refocusing."""
 
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -81,6 +82,7 @@ class TestRealisticCamera:
             np.linalg.norm(d[w > 0], axis=-1), 1.0, atol=1e-5
         )
 
+    @pytest.mark.slow
     def test_renders_scene(self):
         from rs_pbrt_tpu.models import samplers as smpl
         from rs_pbrt_tpu.models.integrators import render as rdr

@@ -65,6 +65,7 @@ class TestFurnace:
         np.testing.assert_allclose(img[8, 8], 0.5, rtol=0.05)
         np.testing.assert_allclose(img[1, 1], 1.0, rtol=1e-5)  # env direct
 
+    @pytest.mark.slow
     def test_env_importance_matches_uniform(self):
         # non-uniform env: image under sobol must be finite and positive
         scene, camera = presets.furnace_sphere(resolution=(9, 9), albedo=0.3)

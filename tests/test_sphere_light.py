@@ -5,6 +5,7 @@ VERDICT round-1 gap #5: ALG_SPHERE was buildable but sample_li had no
 branch for it, silently producing wrong NEE.
 """
 
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -138,6 +139,7 @@ class TestSphereLightSampling:
 
 
 class TestSphereLightMIS:
+    @pytest.mark.slow
     def test_nee_and_bsdf_sampling_agree(self):
         """Path integrator (NEE + BSDF MIS) must converge to the same image
         as direct lighting for a one-bounce setup — a biased cone pdf would
