@@ -194,3 +194,220 @@ extern "C" int lbvh_build(const float* bmin, const float* bmax, int n,
   }
   return 0;
 }
+
+// ---------------------------------------------------------------------------
+// Binned SAH builder (reference src/accelerators/bvh.rs recursive_build
+// :178-357: SAH, 12 buckets).  Same output interface as lbvh_build: binary
+// tree with single-primitive leaves (exactly n-1 internal nodes), child
+// refs encode leaves as ~position-in-leaf-order, prim_ids_out maps leaf
+// position -> original primitive.  Morton-LBVH trees measure ~3x more
+// traversal visits per ray than SAH on mixed-scale scenes; the reference
+// uses SAH by default (api.rs:528), so we do too.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct SahNode {
+  float bmin[3], bmax[3];
+};
+
+struct SahBuilder {
+  int n;
+  const float* bmin;
+  const float* bmax;
+  std::vector<float> cent;     // (n,3) centroids
+  std::vector<int> perm;       // primitive permutation (leaf order)
+  int* child_l;
+  int* child_r;
+  float* bmin_l;
+  float* bmax_l;
+  float* bmin_r;
+  float* bmax_r;
+  int next_node = 0;
+
+  void prim_bounds(int prim, float* mn, float* mx) const {
+    for (int c = 0; c < 3; ++c) {
+      mn[c] = bmin[prim * 3 + c];
+      mx[c] = bmax[prim * 3 + c];
+    }
+  }
+
+  // build over perm[lo..hi) -> returns child ref (internal id or ~leafpos)
+  int build(int lo, int hi, float* out_min, float* out_max) {
+    // bounds of range
+    float mn[3] = {1e30f, 1e30f, 1e30f}, mx[3] = {-1e30f, -1e30f, -1e30f};
+    float cmn[3] = {1e30f, 1e30f, 1e30f}, cmx[3] = {-1e30f, -1e30f, -1e30f};
+    for (int i = lo; i < hi; ++i) {
+      int p = perm[i];
+      for (int c = 0; c < 3; ++c) {
+        float a = bmin[p * 3 + c], b = bmax[p * 3 + c], ce = cent[p * 3 + c];
+        if (a < mn[c]) mn[c] = a;
+        if (b > mx[c]) mx[c] = b;
+        if (ce < cmn[c]) cmn[c] = ce;
+        if (ce > cmx[c]) cmx[c] = ce;
+      }
+    }
+    for (int c = 0; c < 3; ++c) {
+      out_min[c] = mn[c];
+      out_max[c] = mx[c];
+    }
+    if (hi - lo == 1) return ~lo;  // leaf at position lo
+
+    // split axis = max centroid extent
+    int axis = 0;
+    float ext[3];
+    for (int c = 0; c < 3; ++c) ext[c] = cmx[c] - cmn[c];
+    if (ext[1] > ext[axis]) axis = 1;
+    if (ext[2] > ext[axis]) axis = 2;
+
+    int mid;
+    if (ext[axis] <= 1e-12f) {
+      mid = (lo + hi) / 2;  // equal-counts fallback (degenerate centroids)
+    } else if (hi - lo <= 4) {
+      // tiny ranges: median split on the axis
+      mid = (lo + hi) / 2;
+      std::nth_element(perm.begin() + lo, perm.begin() + mid,
+                       perm.begin() + hi, [&](int a, int b) {
+                         return cent[a * 3 + axis] < cent[b * 3 + axis];
+                       });
+    } else {
+      // 12-bucket binned SAH (bvh.rs:249 n_buckets = 12)
+      constexpr int NB = 12;
+      int cnt[NB] = {0};
+      float bmn[NB][3], bmx[NB][3];
+      for (int b = 0; b < NB; ++b)
+        for (int c = 0; c < 3; ++c) {
+          bmn[b][c] = 1e30f;
+          bmx[b][c] = -1e30f;
+        }
+      float inv = NB / ext[axis];
+      for (int i = lo; i < hi; ++i) {
+        int p = perm[i];
+        int b = (int)((cent[p * 3 + axis] - cmn[axis]) * inv);
+        if (b < 0) b = 0;
+        if (b >= NB) b = NB - 1;
+        ++cnt[b];
+        for (int c = 0; c < 3; ++c) {
+          float a = bmin[p * 3 + c], q = bmax[p * 3 + c];
+          if (a < bmn[b][c]) bmn[b][c] = a;
+          if (q > bmx[b][c]) bmx[b][c] = q;
+        }
+      }
+      auto area = [](const float* a, const float* b) {
+        float d0 = b[0] - a[0], d1 = b[1] - a[1], d2 = b[2] - a[2];
+        return 2.0f * (d0 * d1 + d0 * d2 + d1 * d2);
+      };
+      // sweep: cost(i) = left of bucket i+1 vs right
+      float lmn[NB][3], lmx[NB][3], rmn[NB][3], rmx[NB][3];
+      int lcnt[NB], rcnt[NB];
+      float curmn[3] = {1e30f, 1e30f, 1e30f}, curmx[3] = {-1e30f, -1e30f, -1e30f};
+      int curc = 0;
+      for (int b = 0; b < NB; ++b) {
+        curc += cnt[b];
+        for (int c = 0; c < 3; ++c) {
+          if (bmn[b][c] < curmn[c]) curmn[c] = bmn[b][c];
+          if (bmx[b][c] > curmx[c]) curmx[c] = bmx[b][c];
+          lmn[b][c] = curmn[c];
+          lmx[b][c] = curmx[c];
+        }
+        lcnt[b] = curc;
+      }
+      for (int c = 0; c < 3; ++c) {
+        curmn[c] = 1e30f;
+        curmx[c] = -1e30f;
+      }
+      curc = 0;
+      for (int b = NB - 1; b >= 0; --b) {
+        curc += cnt[b];
+        for (int c = 0; c < 3; ++c) {
+          if (bmn[b][c] < curmn[c]) curmn[c] = bmn[b][c];
+          if (bmx[b][c] > curmx[c]) curmx[c] = bmx[b][c];
+          rmn[b][c] = curmn[c];
+          rmx[b][c] = curmx[c];
+        }
+        rcnt[b] = curc;
+      }
+      int best = -1;
+      float best_cost = 1e30f;
+      for (int b = 0; b < NB - 1; ++b) {
+        if (!lcnt[b] || !rcnt[b + 1]) continue;
+        float cost = lcnt[b] * area(lmn[b], lmx[b]) +
+                     rcnt[b + 1] * area(rmn[b + 1], rmx[b + 1]);
+        if (cost < best_cost) {
+          best_cost = cost;
+          best = b;
+        }
+      }
+      if (best < 0) {
+        mid = (lo + hi) / 2;
+        std::nth_element(perm.begin() + lo, perm.begin() + mid,
+                         perm.begin() + hi, [&](int a, int b) {
+                           return cent[a * 3 + axis] < cent[b * 3 + axis];
+                         });
+      } else {
+        float split = cmn[axis] + (best + 1) * ext[axis] / NB;
+        int* first = perm.data() + lo;
+        int* last = perm.data() + hi;
+        int* pmid = std::partition(first, last, [&](int p) {
+          return cent[p * 3 + axis] < split;
+        });
+        mid = lo + (int)(pmid - first);
+        if (mid == lo || mid == hi) mid = (lo + hi) / 2;
+      }
+    }
+
+    int node = next_node++;
+    float lmn2[3], lmx2[3], rmn2[3], rmx2[3];
+    int cl = build(lo, mid, lmn2, lmx2);
+    int cr = build(mid, hi, rmn2, rmx2);
+    child_l[node] = cl;
+    child_r[node] = cr;
+    for (int c = 0; c < 3; ++c) {
+      bmin_l[node * 3 + c] = lmn2[c];
+      bmax_l[node * 3 + c] = lmx2[c];
+      bmin_r[node * 3 + c] = rmn2[c];
+      bmax_r[node * 3 + c] = rmx2[c];
+    }
+    return node;
+  }
+};
+
+}  // namespace
+
+extern "C" int sah_build(const float* bmin, const float* bmax, int n,
+                         int* child_l, int* child_r, float* bmin_l,
+                         float* bmax_l, float* bmin_r, float* bmax_r,
+                         int* prim_ids_out) {
+  if (n < 1) return -1;
+  if (n == 1) {
+    child_l[0] = ~0;
+    child_r[0] = ~0;
+    for (int c = 0; c < 3; ++c) {
+      bmin_l[c] = bmin_r[c] = bmin[c];
+      bmax_l[c] = bmax_r[c] = bmax[c];
+    }
+    prim_ids_out[0] = 0;
+    return 0;
+  }
+  SahBuilder S;
+  S.n = n;
+  S.bmin = bmin;
+  S.bmax = bmax;
+  S.cent.resize(3 * n);
+  for (int i = 0; i < 3 * n; ++i) S.cent[i] = 0.5f * (bmin[i] + bmax[i]);
+  S.perm.resize(n);
+  for (int i = 0; i < n; ++i) S.perm[i] = i;
+  S.child_l = child_l;
+  S.child_r = child_r;
+  S.bmin_l = bmin_l;
+  S.bmax_l = bmax_l;
+  S.bmin_r = bmin_r;
+  S.bmax_r = bmax_r;
+  float mn[3], mx[3];
+  int root = S.build(0, n, mn, mx);
+  // allocation is pre-order (node id assigned before recursing children),
+  // so the root is id 0 and traversal can start there directly
+  if (root != 0 || S.next_node != n - 1) return -2;
+  for (int i = 0; i < n; ++i) prim_ids_out[i] = S.perm[i];
+  return 0;
+}

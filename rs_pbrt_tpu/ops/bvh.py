@@ -467,7 +467,11 @@ def build_stream(lbvh_np_children, bmin_l, bmax_l, bmin_r, bmax_r, prim_ids,
     miss[0] = -1
     rows = np.arange(n_rows)
     par = parent[rows]
-    for _ in range(64 + 2):
+    # right-child chains resolve one level per round; iterate until
+    # fixpoint (tree depth rounds — SAH trees can exceed the 64 levels of
+    # morton|index radix trees) and fail LOUDLY on a stall instead of
+    # silently dropping subtrees (ADVICE r2 #3)
+    while True:
         unresolved = miss == -2
         if not unresolved.any():
             break
@@ -476,15 +480,13 @@ def build_stream(lbvh_np_children, bmin_l, bmax_l, bmin_r, bmax_r, prim_ids,
         # right children: inherit parent's miss (may still be unresolved)
         par_miss = miss[np.maximum(par, 0)]
         cand = np.where(~is_left & (par >= 0), par_miss, cand)
-        miss = np.where(unresolved & (cand != -2), cand, miss)
-    # a deeper-than-expected tree must fail loudly at build time, not drop
-    # subtrees silently during traversal (ADVICE r2 #3); 64-bit morton|index
-    # keys bound the radix-tree depth at 64, so this never fires today
-    if (miss == -2).any():
-        raise AssertionError(
-            f"BVH rope build: {int((miss == -2).sum())} miss links "
-            "unresolved after 66 rounds (tree deeper than 64?)"
-        )
+        new_miss = np.where(unresolved & (cand != -2), cand, miss)
+        if (new_miss == miss).all():
+            raise AssertionError(
+                f"BVH rope build: {int(unresolved.sum())} miss links "
+                "unresolvable (orphaned rows — builder emitted a bad tree)"
+            )
+        miss = new_miss
 
     # ---- DFS pre-order rank via pointer-doubling list ranking ----
     # the always-hit walk (internal -> first child, leaf -> miss) visits

@@ -31,10 +31,11 @@ def _load():
     lib = ctypes.CDLL(str(_LIB_PATH))
     f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
     i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
-    lib.lbvh_build.argtypes = [
-        f32p, f32p, ctypes.c_int, i32p, i32p, f32p, f32p, f32p, f32p, i32p,
-    ]
+    sig = [f32p, f32p, ctypes.c_int, i32p, i32p, f32p, f32p, f32p, f32p, i32p]
+    lib.lbvh_build.argtypes = sig
     lib.lbvh_build.restype = ctypes.c_int
+    lib.sah_build.argtypes = sig
+    lib.sah_build.restype = ctypes.c_int
     _lib = lib
     return lib
 
@@ -47,10 +48,13 @@ def native_available() -> bool:
         return False
 
 
-def build_lbvh_native(bmin, bmax, tris=None) -> LBVH:
+def build_lbvh_native(bmin, bmax, tris=None, sah: bool = True) -> LBVH:
     """bmin/bmax: (N,3) float32 numpy arrays -> device LBVH pytree.
     tris: optional (p0, p1, p2) — also packs leaf triangle rows and the
-    rope-traversal node stream (see bvh.build_stream)."""
+    rope-traversal node stream (see bvh.build_stream).
+    sah: binned-SAH construction (reference bvh.rs default; ~3x fewer
+    traversal visits/ray than morton LBVH on mixed-scale scenes);
+    False = Karras morton LBVH."""
     bmin = np.ascontiguousarray(bmin, np.float32)
     bmax = np.ascontiguousarray(bmax, np.float32)
     n = bmin.shape[0]
@@ -71,7 +75,8 @@ def build_lbvh_native(bmin, bmax, tris=None) -> LBVH:
     bmin_r = np.empty((m, 3), np.float32)
     bmax_r = np.empty((m, 3), np.float32)
     prim_ids = np.empty(n, np.int32)
-    rc = lib.lbvh_build(
+    build_fn = lib.sah_build if sah else lib.lbvh_build
+    rc = build_fn(
         bmin, bmax, n, child_l, child_r, bmin_l, bmax_l, bmin_r, bmax_r, prim_ids
     )
     if rc != 0:

@@ -804,9 +804,11 @@ class PbrtAPI:
         shapes = self.objects.get(name, [])
         b = self.builder
         saved_tris = b.tris
+        saved_rows = b.n_tri_rows
         n_sph0, n_crv0 = len(b.sphs["o2w"]), len(b.curves)
         n_lights0 = len(b.lights)
         b.tris = {k: [] for k in saved_tris}
+        b.n_tri_rows = 0
         try:
             for shape_st, shape_ctm, shape_gs in shapes:
                 self._create_shape(shape_st, shape_ctm, shape_gs)
@@ -814,7 +816,7 @@ class PbrtAPI:
                 len(b.sphs["o2w"]) == n_sph0
                 and len(b.curves) == n_crv0
                 and len(b.lights) == n_lights0
-                and len(b.tris["p0"]) > 0
+                and b.n_tri_rows > 0
             )
             if not ok:
                 # roll back any quadric/curve/light side effects and flatten
@@ -826,6 +828,7 @@ class PbrtAPI:
             return b.tris
         finally:
             b.tris = saved_tris
+            b.n_tri_rows = saved_rows
 
     def _resolve_instances(self):
         if not self.instance_uses:
@@ -841,7 +844,7 @@ class PbrtAPI:
             realized = self._realize_object_tris(name)
             if realized is None:
                 continue
-            n_tri = len(realized["p0"])
+            n_tri = sum(len(b) for b in realized["p0"])
             if n_tri * cnt > self.FLATTEN_INSTANCE_LIMIT:
                 proto_ids[name] = self.builder.add_prototype_tris(realized)
         for name, ctm in self.instance_uses:

@@ -24,6 +24,7 @@ class SceneBuilder:
         self.tris = {k: [] for k in (
             "p0", "p1", "p2", "n0", "n1", "n2", "uv0", "uv1", "uv2",
             "has_n", "mat", "light", "reverse")}
+        self.n_tri_rows = 0  # running count (entries are (k, ...) blocks)
         self.sphs = {k: [] for k in ("o2w", "w2o", "params", "kind", "mat", "light", "reverse")}
         self.curves = []  # list of packed (M_i, N_CURVE_ATTR) segment blocks
         # two-level instancing (primitive.rs TransformedPrimitive): shared
@@ -274,33 +275,37 @@ class SceneBuilder:
         light_id = -1
         if area_light is not None:
             light_id = self._add_area_light_tri(
-                tri_start=len(self.tris["p0"]), n_tri=n_tri, P=P, idx=idx, **area_light
+                tri_start=self.n_tri_rows, n_tri=n_tri, P=P, idx=idx, **area_light
             )
+        # fully vectorized block append (the former per-triangle python
+        # loop made a 1.3M-tri mesh take 25-140s to assemble)
         t = self.tris
-        for k in range(n_tri):
-            i0, i1, i2 = idx[k]
-            t["p0"].append(P[i0]); t["p1"].append(P[i1]); t["p2"].append(P[i2])
-            if normals is not None:
-                N = np.asarray(normals, np.float32)
-                t["n0"].append(N[i0]); t["n1"].append(N[i1]); t["n2"].append(N[i2])
-                t["has_n"].append(True)
-            else:
-                z = np.zeros(3, np.float32)
-                t["n0"].append(z); t["n1"].append(z); t["n2"].append(z)
-                t["has_n"].append(False)
-            if uvs is not None:
-                U = np.asarray(uvs, np.float32).reshape(-1, 2)
-                t["uv0"].append(U[i0]); t["uv1"].append(U[i1]); t["uv2"].append(U[i2])
-            else:
-                t["uv0"].append(np.array([0, 0], np.float32))
-                t["uv1"].append(np.array([1, 0], np.float32))
-                t["uv2"].append(np.array([1, 1], np.float32))
-            t["mat"].append(material)
-            t["light"].append(light_id)
-            t["reverse"].append(reverse_orientation)
-            t.setdefault("med", []).append(medium_interface)
-            t.setdefault("alpha", []).append(alpha_tex)
-            t.setdefault("salpha", []).append(shadow_alpha_tex)
+        i0, i1, i2 = idx[:, 0], idx[:, 1], idx[:, 2]
+        t["p0"].append(P[i0]); t["p1"].append(P[i1]); t["p2"].append(P[i2])
+        if normals is not None:
+            N = np.asarray(normals, np.float32)
+            t["n0"].append(N[i0]); t["n1"].append(N[i1]); t["n2"].append(N[i2])
+            t["has_n"].append(np.ones(n_tri, bool))
+        else:
+            z = np.zeros((n_tri, 3), np.float32)
+            t["n0"].append(z); t["n1"].append(z); t["n2"].append(z)
+            t["has_n"].append(np.zeros(n_tri, bool))
+        if uvs is not None:
+            U = np.asarray(uvs, np.float32).reshape(-1, 2)
+            t["uv0"].append(U[i0]); t["uv1"].append(U[i1]); t["uv2"].append(U[i2])
+        else:
+            t["uv0"].append(np.tile(np.array([[0, 0]], np.float32), (n_tri, 1)))
+            t["uv1"].append(np.tile(np.array([[1, 0]], np.float32), (n_tri, 1)))
+            t["uv2"].append(np.tile(np.array([[1, 1]], np.float32), (n_tri, 1)))
+        t["mat"].append(np.full(n_tri, material, np.int32))
+        t["light"].append(np.full(n_tri, light_id, np.int32))
+        t["reverse"].append(np.full(n_tri, reverse_orientation, bool))
+        t.setdefault("med", []).append(
+            np.tile(np.asarray(medium_interface, np.int32)[None, :], (n_tri, 1))
+        )
+        t.setdefault("alpha", []).append(np.full(n_tri, alpha_tex, np.int32))
+        t.setdefault("salpha", []).append(np.full(n_tri, shadow_alpha_tex, np.int32))
+        self.n_tri_rows += n_tri
         return light_id
 
     def add_sphere(
@@ -569,24 +574,24 @@ class SceneBuilder:
         """Register a prototype directly from a realized tris dict (the
         scene/api.py ObjectInstance path: shapes already expanded to
         per-triangle lists in object space)."""
-        p0 = np.stack(tris["p0"]).astype(np.float32)
-        p1 = np.stack(tris["p1"]).astype(np.float32)
-        p2 = np.stack(tris["p2"]).astype(np.float32)
+        p0 = np.concatenate(tris["p0"]).astype(np.float32)
+        p1 = np.concatenate(tris["p1"]).astype(np.float32)
+        p2 = np.concatenate(tris["p2"]).astype(np.float32)
         n = p0.shape[0]
         attr = np.zeros((n, sa.N_TRI_ATTR), np.float32)
         attr[:, sa.TA_P0 : sa.TA_P0 + 3] = p0
         attr[:, sa.TA_P1 : sa.TA_P1 + 3] = p1
         attr[:, sa.TA_P2 : sa.TA_P2 + 3] = p2
-        attr[:, sa.TA_N0 : sa.TA_N0 + 3] = np.stack(tris["n0"])
-        attr[:, sa.TA_N1 : sa.TA_N1 + 3] = np.stack(tris["n1"])
-        attr[:, sa.TA_N2 : sa.TA_N2 + 3] = np.stack(tris["n2"])
-        attr[:, sa.TA_HAS_N] = np.asarray(tris["has_n"], np.float32)
-        attr[:, sa.TA_UV0 : sa.TA_UV0 + 2] = np.stack(tris["uv0"])
-        attr[:, sa.TA_UV1 : sa.TA_UV1 + 2] = np.stack(tris["uv1"])
-        attr[:, sa.TA_UV2 : sa.TA_UV2 + 2] = np.stack(tris["uv2"])
-        attr[:, sa.TA_MAT] = np.asarray(tris["mat"], np.float32)
+        attr[:, sa.TA_N0 : sa.TA_N0 + 3] = np.concatenate(tris["n0"])
+        attr[:, sa.TA_N1 : sa.TA_N1 + 3] = np.concatenate(tris["n1"])
+        attr[:, sa.TA_N2 : sa.TA_N2 + 3] = np.concatenate(tris["n2"])
+        attr[:, sa.TA_HAS_N] = np.concatenate(tris["has_n"]).astype(np.float32)
+        attr[:, sa.TA_UV0 : sa.TA_UV0 + 2] = np.concatenate(tris["uv0"])
+        attr[:, sa.TA_UV1 : sa.TA_UV1 + 2] = np.concatenate(tris["uv1"])
+        attr[:, sa.TA_UV2 : sa.TA_UV2 + 2] = np.concatenate(tris["uv2"])
+        attr[:, sa.TA_MAT] = np.concatenate(tris["mat"]).astype(np.float32)
         attr[:, sa.TA_LIGHT] = -1.0
-        attr[:, sa.TA_REVERSE] = np.asarray(tris["reverse"], np.float32)
+        attr[:, sa.TA_REVERSE] = np.concatenate(tris["reverse"]).astype(np.float32)
         attr[:, sa.TA_ALPHA] = -1.0
         attr[:, sa.TA_SALPHA] = -1.0
         self.protos.append(dict(p0=p0, p1=p1, p2=p2, attr=attr))
@@ -598,7 +603,7 @@ class SceneBuilder:
         self.instances.append((proto_id, np.asarray(o2w.m, np.float32), material))
 
     def finalize(self) -> sa.Scene:
-        n_tri = len(self.tris["p0"])
+        n_tri = self.n_tri_rows
         n_sph = len(self.sphs["o2w"])
         n_mat = len(self.mats)
         n_l = len(self.lights)
@@ -613,15 +618,15 @@ class SceneBuilder:
             ("tri_uv0", "uv0"), ("tri_uv1", "uv1"), ("tri_uv2", "uv2"),
         ):
             if n_tri:
-                arrs[key] = np.stack(self.tris[src]).astype(np.float32)
+                arrs[key] = np.concatenate(self.tris[src]).astype(np.float32)
         if n_tri:
-            arrs["tri_has_n"] = np.asarray(self.tris["has_n"], bool)
-            arrs["tri_mat"] = np.asarray(self.tris["mat"], np.int32)
-            arrs["tri_light"] = np.asarray(self.tris["light"], np.int32)
-            arrs["tri_reverse"] = np.asarray(self.tris["reverse"], bool)
+            arrs["tri_has_n"] = np.concatenate(self.tris["has_n"]).astype(bool)
+            arrs["tri_mat"] = np.concatenate(self.tris["mat"]).astype(np.int32)
+            arrs["tri_light"] = np.concatenate(self.tris["light"]).astype(np.int32)
+            arrs["tri_reverse"] = np.concatenate(self.tris["reverse"]).astype(bool)
             if self.tris.get("alpha"):
-                arrs["tri_alpha"] = np.asarray(self.tris["alpha"], np.int32)
-                arrs["tri_salpha"] = np.asarray(self.tris["salpha"], np.int32)
+                arrs["tri_alpha"] = np.concatenate(self.tris["alpha"]).astype(np.int32)
+                arrs["tri_salpha"] = np.concatenate(self.tris["salpha"]).astype(np.int32)
         if self.instances:
             arrs["proto_p0"] = np.concatenate([pr["p0"] for pr in self.protos])
             arrs["proto_p1"] = np.concatenate([pr["p1"] for pr in self.protos])
@@ -687,7 +692,7 @@ class SceneBuilder:
             arrs["med_w2m"] = np.stack([m[4] for m in self.media])
             arrs["med_max_density"] = np.maximum(maxd, 1e-6)
         if n_tri and self.tris.get("med"):
-            arrs["tri_med"] = np.asarray(self.tris["med"], np.int32)
+            arrs["tri_med"] = np.concatenate(self.tris["med"]).astype(np.int32)
         if n_sph and self.sphs.get("med"):
             arrs["sph_med"] = np.asarray(self.sphs["med"], np.int32)
         arrs["camera_medium"] = np.int32(self.camera_medium)
