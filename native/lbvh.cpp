@@ -411,3 +411,219 @@ extern "C" int sah_build(const float* bmin, const float* bmax, int n,
   for (int i = 0; i < n; ++i) prim_ids_out[i] = S.perm[i];
   return 0;
 }
+
+// ---------------------------------------------------------------------------
+// 4-wide collapse: binary tree (child_l/child_r arrays from lbvh_build or
+// sah_build) -> unified 64-f32 row array for the TPU wide traversal.
+//
+// Row layout (64 f32 cols, 256B — ONE gather fetches a whole node or a
+// whole 4-triangle leaf; the XLA gather unit is row-rate-bound, so wide
+// rows quarter the traversal's gather count vs binary 64B rows):
+//   internal: [bmin_x(0:4), bmin_y(4:8), bmin_z(8:12),
+//              bmax_x(12:16), bmax_y(16:20), bmax_z(20:24),
+//              child_group_base(24), child_count(25), ..., type(63)=0]
+//     child i (i < child_count) occupies row base+i.
+//   leaf:     [p0s(0:12), p1s(12:24), p2s(24:36) (xyz per tri, tri-major),
+//              prim_ids(36:40), tri_count(40), ..., type(63)=1]
+//     empty child-box slots get inverted boxes (+inf/-inf: never hit).
+// All ids stored as float VALUES (exact < 2^24; row count asserted).
+// Children of a node are CONSECUTIVE rows so a traversal stack entry is
+// one packed u32: (group_base/1)<<4 | pending-hit mask.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct Wide4 {
+  const int* child_l;
+  const int* child_r;
+  const float* bmin_l;
+  const float* bmax_l;
+  const float* bmin_r;
+  const float* bmax_r;
+  const int* prim_ids;  // leaf position -> original prim
+  const float* p0;
+  const float* p1;
+  const float* p2;  // (T,3) original order
+  std::vector<float> rows;
+  int n_rows = 0;
+  int max_depth = 0;
+
+  int alloc(int k) {
+    int base = n_rows;
+    n_rows += k;
+    rows.resize((size_t)n_rows * 64, 0.0f);
+    return base;
+  }
+
+  // collect up to 4 "wide children" of binary ref c: returns list of
+  // binary refs (internal id or ~leafpos) + their bounds
+  void wide_children(int node, int* refs, float* bs, int* count) const {
+    // children of binary internal `node` with bounds; expand internal
+    // children once more if room (classic BVH2->BVH4 collapse)
+    struct Item { int ref; float b[6]; };
+    Item stack[8];
+    int ns = 0;
+    auto child_bounds = [&](int node, bool left, float* b) {
+      const float* mn = left ? bmin_l : bmin_r;
+      const float* mx = left ? bmax_l : bmax_r;
+      for (int c = 0; c < 3; ++c) {
+        b[c] = mn[node * 3 + c];
+        b[3 + c] = mx[node * 3 + c];
+      }
+    };
+    Item init[2];
+    init[0].ref = child_l[node];
+    child_bounds(node, true, init[0].b);
+    init[1].ref = child_r[node];
+    child_bounds(node, false, init[1].b);
+    // expand: repeatedly split the internal item with largest area until
+    // 4 items or none internal
+    Item items[4];
+    int ni = 0;
+    items[ni++] = init[0];
+    items[ni++] = init[1];
+    (void)stack;
+    (void)ns;
+    while (ni < 4) {
+      int pick = -1;
+      float best_area = -1.0f;
+      for (int i = 0; i < ni; ++i) {
+        if (items[i].ref < 0) continue;
+        float d0 = items[i].b[3] - items[i].b[0];
+        float d1 = items[i].b[4] - items[i].b[1];
+        float d2 = items[i].b[5] - items[i].b[2];
+        float a = d0 * d1 + d0 * d2 + d1 * d2;
+        if (a > best_area) {
+          best_area = a;
+          pick = i;
+        }
+      }
+      if (pick < 0) break;
+      int in = items[pick].ref;
+      Item l, r;
+      l.ref = child_l[in];
+      child_bounds(in, true, l.b);
+      r.ref = child_r[in];
+      child_bounds(in, false, r.b);
+      items[pick] = l;
+      items[ni++] = r;
+    }
+    *count = ni;
+    for (int i = 0; i < ni; ++i) {
+      refs[i] = items[i].ref;
+      for (int c = 0; c < 6; ++c) bs[i * 6 + c] = items[i].b[c];
+    }
+  }
+
+  // gather consecutive leaf positions reachable from ref when it is a
+  // small subtree of leaves; we only pack SINGLE leaves (~leafpos) plus
+  // merge runs below via subtree flattening when subtree has <= 4 leaves
+  // capped count: stops descending once the running total reaches cap,
+  // keeping the whole collapse O(n) (an uncapped count would rescan whole
+  // subtrees from every level)
+  int count_leaves(int ref, int cap = 5) const {
+    if (ref < 0) return 1;
+    int a = count_leaves(child_l[ref], cap);
+    if (a >= cap) return a;
+    return a + count_leaves(child_r[ref], cap - a);
+  }
+
+  void collect_leaves(int ref, int* out, int* k) const {
+    if (ref < 0) {
+      out[(*k)++] = ~ref;
+      return;
+    }
+    collect_leaves(child_l[ref], out, k);
+    collect_leaves(child_r[ref], out, k);
+  }
+
+  void fill_leaf_row(int row, const int* leafpos, int k) {
+    float* r = &rows[(size_t)row * 64];
+    for (int i = 0; i < 4; ++i) {
+      int prim = i < k ? prim_ids[leafpos[i]] : prim_ids[leafpos[0]];
+      // duplicate tri 0 into empty slots (idempotent extra test)
+      for (int c = 0; c < 3; ++c) {
+        r[0 + i * 3 + c] = p0[prim * 3 + c];
+        r[12 + i * 3 + c] = p1[prim * 3 + c];
+        r[24 + i * 3 + c] = p2[prim * 3 + c];
+      }
+      r[36 + i] = (float)prim;
+    }
+    r[40] = (float)k;
+    r[63] = 1.0f;
+  }
+
+  // emit subtree of binary ref into row `row`; returns nothing
+  void emit(int ref, int row, const float* fallback_bounds, int depth) {
+    if (depth > max_depth) max_depth = depth;
+    // leaf subtree (<= 4 leaves)?
+    int nl = count_leaves(ref);
+    if (nl <= 4) {
+      int leaves[8];
+      int k = 0;
+      collect_leaves(ref, leaves, &k);
+      fill_leaf_row(row, leaves, k);
+      return;
+    }
+    // internal: wide children
+    int refs[4];
+    float bs[24];
+    int count;
+    wide_children(ref, refs, bs, &count);
+    int base = alloc(count);
+    float* r = &rows[(size_t)row * 64];
+    for (int i = 0; i < 4; ++i) {
+      bool live = i < count;
+      r[0 + i] = live ? bs[i * 6 + 0] : 1e30f;
+      r[4 + i] = live ? bs[i * 6 + 1] : 1e30f;
+      r[8 + i] = live ? bs[i * 6 + 2] : 1e30f;
+      r[12 + i] = live ? bs[i * 6 + 3] : -1e30f;
+      r[16 + i] = live ? bs[i * 6 + 4] : -1e30f;
+      r[20 + i] = live ? bs[i * 6 + 5] : -1e30f;
+    }
+    r[24] = (float)base;
+    r[25] = (float)count;
+    r[63] = 0.0f;
+    for (int i = 0; i < count; ++i)
+      emit(refs[i], base + i, &bs[i * 6], depth + 1);
+    (void)fallback_bounds;
+  }
+};
+
+}  // namespace
+
+// Returns number of rows written (capacity passed in), or -needed if the
+// caller's buffer is too small, or 0 on error.  First call with
+// rows=nullptr, cap=0 to query the size.  depth_out[0] = max stack depth.
+extern "C" long wide4_build(const int* child_l, const int* child_r,
+                            const float* bmin_l, const float* bmax_l,
+                            const float* bmin_r, const float* bmax_r,
+                            const int* prim_ids, const float* p0,
+                            const float* p1, const float* p2, int n,
+                            float* rows_out, long cap, int* depth_out) {
+  if (n < 1) return 0;
+  Wide4 W;
+  W.child_l = child_l;
+  W.child_r = child_r;
+  W.bmin_l = bmin_l;
+  W.bmax_l = bmax_l;
+  W.bmin_r = bmin_r;
+  W.bmax_r = bmax_r;
+  W.prim_ids = prim_ids;
+  W.p0 = p0;
+  W.p1 = p1;
+  W.p2 = p2;
+  if (n == 1) {
+    W.alloc(1);
+    int leaves[1] = {0};
+    W.fill_leaf_row(0, leaves, 1);
+  } else {
+    // root group: single row 0 emitted from binary root 0
+    W.alloc(1);
+    W.emit(0, 0, nullptr, 1);
+  }
+  if (depth_out) *depth_out = W.max_depth;
+  if ((long)W.n_rows * 64 > cap) return -((long)W.n_rows);
+  std::memcpy(rows_out, W.rows.data(), (size_t)W.n_rows * 64 * sizeof(float));
+  return W.n_rows;
+}

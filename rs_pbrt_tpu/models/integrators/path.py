@@ -280,8 +280,12 @@ def radiance(
     accel: Optional[bvhmod.LBVH] = None,
     light_distrib=None,
     mega=None,
+    time=None,
 ):
     """Estimate L for a wavefront of camera rays.  Returns (N,3).
+
+    time: (N,) per-lane ray times in [0,1] — consumed by animated
+    primitives (object motion blur); None = shutter open.
 
     light_distrib: optional SpatialDistrib (models/lightdistrib.py) — the
     reference's SpatialLightDistribution semantics: light selection pdfs
@@ -373,7 +377,7 @@ def radiance(
 
     def body(bounce, state):
         o, d, L, beta, alive, specular_bounce, prev_bsdf_pdf, eta_scale = state
-        it = si.scene_intersect(scene, o, d, jnp.full(n, vm.INFINITY), accel)
+        it = si.scene_intersect(scene, o, d, jnp.full(n, vm.INFINITY), accel, time=time)
         L = add_emitted(it, o, d, L, beta, alive, specular_bounce, prev_bsdf_pdf)
         alive = alive & it.valid
         dim0 = DIM_CAMERA + bounce * dims_per_bounce
@@ -424,7 +428,7 @@ def radiance(
             dist = vm.length(delta_sh)
             sh_d = delta_sh / jnp.maximum(dist, 1e-12)[..., None]
             occluded = si.scene_intersect_p(
-                scene, p_shadow, sh_d, dist * (1.0 - 1e-3), accel
+                scene, p_shadow, sh_d, dist * (1.0 - 1e-3), accel, time=time
             )
             w_light = jnp.where(
                 ls.is_delta, 1.0, smp.power_heuristic(1.0, ls.pdf, 1.0, scat_pdf)

@@ -54,14 +54,15 @@ def radiance_fn(integrator: str, max_depth: int, rr_threshold: float,
     e = dict(extra)
     if integrator == "path":
         pcfg = pathmod.PathCfg(max_depth, rr_threshold)
-        return lambda scene, cfg_s, ctx, o, d, accel, ld=None: pathmod.radiance(
-            scene, pcfg, cfg_s, ctx, o, d, accel, light_distrib=ld, mega=mega
+        return lambda scene, cfg_s, ctx, o, d, accel, ld=None, time=None: pathmod.radiance(
+            scene, pcfg, cfg_s, ctx, o, d, accel, light_distrib=ld, mega=mega,
+            time=time,
         )
     if integrator == "volpath":
         from . import volpath as volmod
 
         pcfg = pathmod.PathCfg(max_depth, rr_threshold)
-        return lambda scene, cfg_s, ctx, o, d, accel, ld=None: volmod.radiance(
+        return lambda scene, cfg_s, ctx, o, d, accel, ld=None, time=None: volmod.radiance(
             scene, pcfg, cfg_s, ctx, o, d, accel
         )
     if integrator == "ao":
@@ -69,19 +70,19 @@ def radiance_fn(integrator: str, max_depth: int, rr_threshold: float,
             n_samples=int(e.get("n_samples", 8)),
             cos_sample=bool(e.get("cos_sample", True)),
         )
-        return lambda scene, cfg_s, ctx, o, d, accel, ld=None: directmod.ao_radiance(
+        return lambda scene, cfg_s, ctx, o, d, accel, ld=None, time=None: directmod.ao_radiance(
             scene, acfg, cfg_s, ctx, o, d, accel
         )
     if integrator == "whitted":
         wcfg = directmod.WhittedCfg(max_depth)
-        return lambda scene, cfg_s, ctx, o, d, accel, ld=None: directmod.whitted_radiance(
+        return lambda scene, cfg_s, ctx, o, d, accel, ld=None, time=None: directmod.whitted_radiance(
             scene, wcfg, cfg_s, ctx, o, d, accel
         )
     if integrator == "directlighting":
         dcfg = directmod.DirectLightingCfg(
             max_depth, sample_all=(e.get("strategy", "all") == "all")
         )
-        return lambda scene, cfg_s, ctx, o, d, accel, ld=None: directmod.directlighting_radiance(
+        return lambda scene, cfg_s, ctx, o, d, accel, ld=None, time=None: directmod.directlighting_radiance(
             scene, dcfg, cfg_s, ctx, o, d, accel
         )
     raise ValueError(f"unknown integrator {integrator!r}")
@@ -120,7 +121,8 @@ def render_batch(
     ctx = smpl.make_ctx(sampler_cfg, pixel, sample_num, frame_lt_spp=True)
     rays, p_film = _camera_rays(camera, sampler_cfg, ctx, pixel)
     L = radiance_fn(integrator, max_depth, rr_threshold, extra, mega)(
-        scene, sampler_cfg, ctx, rays.o, rays.d, accel, light_distrib
+        scene, sampler_cfg, ctx, rays.o, rays.d, accel, light_distrib,
+        time=rays.time,
     )
     L = L * rays.weight[..., None]
     if grid_spp:

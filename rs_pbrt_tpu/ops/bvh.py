@@ -57,7 +57,13 @@ class LBVH(NamedTuple):
     tris16: jnp.ndarray = None  # (N, 16) f32
     # unified rope-traversal node stream (internal rows then leaf rows),
     # built when triangle data is supplied — see build_stream below
-    stream16: jnp.ndarray = None  # (2N-1, 16) f32
+    stream16: jnp.ndarray = None  # (done, 16) f32
+    # unified 4-wide 256B rows (native wide4_build collapse): ONE gather
+    # per traversal step fetches 4 child boxes or 4 packed triangles —
+    # the TPU gather unit is row-rate-bound (~47M rows/s from HBM,
+    # tools/tpu_probe5.py), so wide rows quarter the step count
+    wide64: jnp.ndarray = None  # (M, 64) f32
+    wide_depth: int = 0  # max wide-tree depth (stack bound)
 
 
 def pack_nodes(child_l, child_r, bmin_l, bmax_l, bmin_r, bmax_r):
@@ -609,6 +615,146 @@ def bvh_intersect_tris_stream(o, d, t_max, stream16, any_hit: bool = False):
     state = (cur, best_t, best_tri, best_b0, best_b1)
     state = jax.lax.while_loop(cond, body, state)
     _, best_t, best_tri, best_b0, best_b1 = state
+    valid = best_tri >= 0
+    return TriHit(valid, best_t, best_tri, best_b0, best_b1)
+
+
+def bvh4_intersect_tris(
+    o, d, t_max, wide64, wide_depth: int, any_hit: bool = False
+):
+    """ORDERED 4-wide BVH traversal over the unified 256B row array — the
+    TPU accel path of record.
+
+    Economics (measured, tools/tpu_probe*.py): the XLA gather unit fetches
+    HBM table rows at a fixed ROW rate (~47M rows/s at wavefront sizes)
+    regardless of row width, and per-while-iteration overhead is the other
+    cost floor — so the traversal wants the FEWEST, WIDEST steps.  Each
+    iteration does exactly ONE row gather: an internal row carries 4 child
+    AABBs (slab-tested in parallel on the VPU, nearest hit descended
+    first), a leaf row carries 4 packed triangles (watertight-tested in
+    parallel).  Front-to-back ordering + t_max pruning gives ~3x fewer
+    visits than the DFS rope walk (CPU measurement: 35 vs 113 mean visits
+    on the 1.31M-tri statue).  Deferred siblings live in a per-lane
+    roll-stack of PACKED u32 entries (child-group base << 4 | pending-hit
+    mask) — pushes are contiguous whole-array shifts, not the per-lane 2D
+    scatters that cost ~100x a node gather on TPU.
+
+    Mirrors reference bvh.rs:401-514 (64-slot stack machine, dir_is_neg
+    near-child ordering) as capability; the algorithm is shaped by the
+    gather-row economics above instead.
+    """
+    R = o.shape[0]
+    inv_d = 1.0 / jnp.where(d == 0.0, 1e-20, d)
+    # stack bound: each wide level can leave two entries (leftover
+    # siblings of the path + non-near hit children)
+    K = max(2 * wide_depth + 4, 8)
+    eps = 1.0 + 2.0 * vm.gamma(3.0)
+    # per-ray shear constants are loop-invariant — hoist them (the
+    # permutation/argmax math is ~30 VPU ops per iteration otherwise)
+    from .intersect import ray_shear
+
+    shear1 = tuple(s[:, None] for s in ray_shear(o, d))
+
+    cur = jnp.full((R,), 1, jnp.int32)  # base 0, mask {bit0} -> row 0
+    stack = jnp.zeros((R, K), jnp.int32)
+    best_t = jnp.asarray(t_max, jnp.float32)
+    best_tri = jnp.full((R,), -1, jnp.int32)
+    best_b0 = jnp.zeros((R,), jnp.float32)
+    best_b1 = jnp.zeros((R,), jnp.float32)
+    bits = jnp.asarray([1, 2, 4, 8], jnp.int32)
+
+    def push(stack, entry, do):
+        shifted = jnp.concatenate([entry[:, None], stack[:, :-1]], axis=1)
+        return jnp.where(do[:, None], shifted, stack)
+
+    def cond(state):
+        cur, stack = state[0], state[1]
+        live = ((cur & 15) != 0) | ((stack[:, 0] & 15) != 0)
+        if any_hit:
+            live &= state[3] < 0
+        return jnp.any(live)
+
+    def body(state):
+        cur, stack, best_t, best_tri, best_b0, best_b1 = state
+        # pop: if cur has no pending bits, pull the stack top
+        need = (cur & 15) == 0
+        cur = jnp.where(need, stack[:, 0], cur)
+        stack = jnp.where(
+            need[:, None],
+            jnp.concatenate([stack[:, 1:], jnp.zeros_like(stack[:, :1])], axis=1),
+            stack,
+        )
+        mask = cur & 15
+        active = mask != 0
+        if any_hit:
+            active &= best_tri < 0
+        low = mask & (-mask)
+        biti = (
+            jnp.where(low == 2, 1, 0)
+            + jnp.where(low == 4, 2, 0)
+            + jnp.where(low == 8, 3, 0)
+        )
+        row_id = (jax.lax.shift_right_logical(cur, 4)) + biti
+        cur = jax.lax.bitwise_xor(cur, low)  # clear the visited bit
+
+        row = wide64[jnp.where(active, row_id, 0)]  # THE one gather (R,64)
+        is_leaf = row[:, 63] > 0.5
+
+        # ---- internal: 4 child slab tests ----
+        o_ = o[:, :, None]
+        i_ = inv_d[:, :, None]
+        bmin4 = jnp.stack([row[:, 0:4], row[:, 4:8], row[:, 8:12]], axis=1)
+        bmax4 = jnp.stack([row[:, 12:16], row[:, 16:20], row[:, 20:24]], axis=1)
+        t_lo = (bmin4 - o_) * i_
+        t_hi = (bmax4 - o_) * i_
+        tn = jnp.max(jnp.minimum(t_lo, t_hi), axis=1)  # (R,4)
+        tf = jnp.min(jnp.maximum(t_lo, t_hi), axis=1) * eps
+        hit4 = (tn <= tf) & (tf > 0.0) & (tn < best_t[:, None])
+        hit4 &= (active & ~is_leaf)[:, None]
+        child_base = jnp.round(row[:, 24]).astype(jnp.int32)
+        tn_m = jnp.where(hit4, tn, jnp.inf)
+        near = jnp.argmin(tn_m, axis=1).astype(jnp.int32)
+        has_hit = jnp.any(hit4, axis=1)
+        near_bit = jnp.left_shift(jnp.int32(1), near)
+        hit_bits = jnp.sum(jnp.where(hit4, bits[None, :], 0), axis=1)
+        rest = hit_bits & ~near_bit
+
+        descend = active & ~is_leaf & has_hit
+        base_sh = jax.lax.shift_left(child_base, 4)
+        stack = push(stack, cur, descend & ((cur & 15) != 0))
+        stack = push(stack, base_sh | rest, descend & (rest != 0))
+        cur = jnp.where(descend, base_sh | near_bit, cur)
+
+        # ---- leaf: 4 packed triangle tests ----
+        p04 = row[:, 0:12].reshape(R, 4, 3)
+        p14 = row[:, 12:24].reshape(R, 4, 3)
+        p24 = row[:, 24:36].reshape(R, 4, 3)
+        th, tt, tb0, tb1 = intersect_tri(
+            o[:, None, :], d[:, None, :], best_t[:, None], p04, p14, p24,
+            shear=shear1,
+        )
+        th &= (active & is_leaf)[:, None]
+        tt_m = jnp.where(th, tt, jnp.inf)
+        bi = jnp.argmin(tt_m, axis=1)
+        tri_hit = jnp.any(th, axis=1)
+        # one-hot select instead of take_along_axis: (R,4) per-lane
+        # gathers hit the same slow gather unit as table rows
+        onehot = bi[:, None] == jnp.arange(4, dtype=bi.dtype)[None, :]
+        take = lambda a: jnp.sum(jnp.where(onehot, a, 0.0), axis=1)
+        t_new = jnp.min(tt_m, axis=1)
+        upd = tri_hit & (t_new < best_t)
+        prim4 = jnp.round(row[:, 36:40]).astype(jnp.int32)
+        best_t = jnp.where(upd, t_new, best_t)
+        best_tri = jnp.where(
+            upd, jnp.sum(jnp.where(onehot, prim4, 0), axis=1), best_tri
+        )
+        best_b0 = jnp.where(upd, take(tb0), best_b0)
+        best_b1 = jnp.where(upd, take(tb1), best_b1)
+        return cur, stack, best_t, best_tri, best_b0, best_b1
+
+    state = (cur, stack, best_t, best_tri, best_b0, best_b1)
+    state = jax.lax.while_loop(cond, body, state)
+    _, _, best_t, best_tri, best_b0, best_b1 = state
     valid = best_tri >= 0
     return TriHit(valid, best_t, best_tri, best_b0, best_b1)
 

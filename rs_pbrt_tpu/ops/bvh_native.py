@@ -36,6 +36,11 @@ def _load():
     lib.lbvh_build.restype = ctypes.c_int
     lib.sah_build.argtypes = sig
     lib.sah_build.restype = ctypes.c_int
+    lib.wide4_build.argtypes = [
+        i32p, i32p, f32p, f32p, f32p, f32p, i32p, f32p, f32p, f32p,
+        ctypes.c_int, f32p, ctypes.c_long, i32p,
+    ]
+    lib.wide4_build.restype = ctypes.c_long
     _lib = lib
     return lib
 
@@ -46,6 +51,39 @@ def native_available() -> bool:
         return True
     except Exception:
         return False
+
+
+def build_wide4(child_l, child_r, bmin_l, bmax_l, bmin_r, bmax_r, prim_ids,
+                p0, p1, p2):
+    """Collapse a binary BVH into the unified 4-wide 256B-row array (see
+    native/lbvh.cpp wide4_build).  Returns (rows (M,64) np.float32,
+    max_depth int)."""
+    lib = _load()
+    n = len(prim_ids)
+    assert n < (1 << 24), "wide4 ids exceed exact-f32 range"
+    cl = np.ascontiguousarray(child_l, np.int32)
+    cr = np.ascontiguousarray(child_r, np.int32)
+    args = [
+        cl, cr,
+        np.ascontiguousarray(bmin_l, np.float32),
+        np.ascontiguousarray(bmax_l, np.float32),
+        np.ascontiguousarray(bmin_r, np.float32),
+        np.ascontiguousarray(bmax_r, np.float32),
+        np.ascontiguousarray(prim_ids, np.int32),
+        np.ascontiguousarray(p0, np.float32),
+        np.ascontiguousarray(p1, np.float32),
+        np.ascontiguousarray(p2, np.float32),
+    ]
+    cap_rows = 2 * n + 8
+    rows = np.empty((cap_rows, 64), np.float32)
+    depth = np.zeros(1, np.int32)
+    ret = lib.wide4_build(*args, n, rows, rows.size, depth)
+    if ret < 0:
+        rows = np.empty((-ret, 64), np.float32)
+        ret = lib.wide4_build(*args, n, rows, rows.size, depth)
+    if ret <= 0:
+        raise RuntimeError(f"wide4_build failed ret={ret}")
+    return np.ascontiguousarray(rows[:ret]), int(depth[0])
 
 
 def build_lbvh_native(bmin, bmax, tris=None, sah: bool = True) -> LBVH:
@@ -65,7 +103,13 @@ def build_lbvh_native(bmin, bmax, tris=None, sah: bool = True) -> LBVH:
         # _stream_single guard — delegate to it (ADVICE r2 #1)
         from .bvh import build_lbvh
 
-        return build_lbvh(bmin, bmax, tris=tris)
+        lb = build_lbvh(bmin, bmax, tris=tris)
+        if tris is not None:
+            z1 = np.zeros(1, np.int32)
+            z3 = np.zeros((1, 3), np.float32)
+            wide, depth = build_wide4(z1, z1, z3, z3, z3, z3, z1, *tris)
+            lb = lb._replace(wide64=jnp.asarray(wide), wide_depth=depth)
+        return lb
     lib = _load()
     m = max(n - 1, 1)
     child_l = np.empty(m, np.int32)
@@ -83,6 +127,12 @@ def build_lbvh_native(bmin, bmax, tris=None, sah: bool = True) -> LBVH:
         raise RuntimeError(f"lbvh_build failed rc={rc}")
     from .bvh import build_stream, pack_leaf_tris, pack_nodes
 
+    wide = None
+    depth = 0
+    if tris is not None:
+        wide, depth = build_wide4(
+            child_l, child_r, bmin_l, bmax_l, bmin_r, bmax_r, prim_ids, *tris
+        )
     return LBVH(
         jnp.asarray(child_l), jnp.asarray(child_r),
         jnp.asarray(bmin_l), jnp.asarray(bmax_l),
@@ -93,4 +143,6 @@ def build_lbvh_native(bmin, bmax, tris=None, sah: bool = True) -> LBVH:
         None if tris is None else jnp.asarray(build_stream(
             (child_l, child_r), bmin_l, bmax_l, bmin_r, bmax_r, prim_ids, *tris
         )),
+        None if wide is None else jnp.asarray(wide),
+        depth,
     )

@@ -58,14 +58,15 @@ def ray_shear(o, d):
     return kx, ky, kz, -dx * inv_dz, -dy * inv_dz, inv_dz
 
 
-def intersect_tri(o, d, t_max, p0, p1, p2):
+def intersect_tri(o, d, t_max, p0, p1, p2, shear=None):
     """Watertight ray-triangle test for broadcast-compatible batches.
 
     o,d: (..., 3); p0..p2: (..., 3) (broadcast, typically (R,1,3) vs (T,3)).
     Returns (hit mask, t, b0, b1) with the conservative error-bound t test
     from reference triangle.rs:376-449.
-    """
-    kx, ky, kz, sx, sy, sz = ray_shear(o, d)
+    shear: optional precomputed ray_shear(o, d) — hoist it when calling
+    from inside a traversal loop (it is constant per ray)."""
+    kx, ky, kz, sx, sy, sz = ray_shear(o, d) if shear is None else shear
 
     def _permuted(p):
         pt = p - o

@@ -55,14 +55,13 @@ def _tri_accel_hit(o, d, t_max, tree, p0, p1, p2, any_hit: bool = False):
 
     if isinstance(tree, kdmod.KdTree):
         return kdmod.kdtree_intersect_tris(o, d, t_max, tree, p0, p1, p2, any_hit=any_hit)
+    if getattr(tree, "wide64", None) is not None and _use_pallas():
+        # 4-wide ordered traversal: ONE 256B row gather per step (the
+        # gather unit is row-rate-bound; see bvh.bvh4_intersect_tris)
+        return bvhmod.bvh4_intersect_tris(
+            o, d, t_max, tree.wide64, tree.wide_depth, any_hit=any_hit
+        )
     if tree.stream16 is not None:
-        if _use_pallas():
-            # frontier sweep: contiguous window loads + one-hot MXU row
-            # selects — HBM row gathers in a while_loop serialize at
-            # ~30-45M rows/s on the chip (bvh.py sweep docstring)
-            return bvhmod.bvh_sweep_intersect_tris(
-                o, d, t_max, tree.stream16, any_hit=any_hit
-            )
         # stackless rope traversal via row gathers (fast on CPU backends)
         return bvhmod.bvh_intersect_tris_stream(o, d, t_max, tree.stream16, any_hit=any_hit)
     return bvhmod.bvh_intersect_tris(o, d, t_max, tree, p0, p1, p2, any_hit=any_hit)
@@ -314,7 +313,8 @@ def _alpha_masked(scene: sa.Scene, it: Interaction, shadow: bool):
 _MAX_ALPHA_RECASTS = 16
 
 
-def _alpha_recast_loop(scene, o, d, t_max, accel, it: Interaction, shadow: bool):
+def _alpha_recast_loop(scene, o, d, t_max, accel, it: Interaction, shadow: bool,
+                       time=None):
     """Re-cast rays whose closest hit was alpha-masked from just past the
     hit until they find a surviving hit or escape.  The reference skips
     masked hits inline during traversal; the wavefront equivalent is this
@@ -333,7 +333,7 @@ def _alpha_recast_loop(scene, o, d, t_max, accel, it: Interaction, shadow: bool)
         o_new = jnp.where(masked[:, None], o_cur + d_arr * t_eps[:, None], o_cur)
         base_new = jnp.where(masked, t_base + t_eps, t_base)
         rem_new = jnp.where(masked, jnp.maximum(t_rem - t_eps, 0.0), t_rem)
-        it2 = _scene_intersect_once(scene, o_new, d_arr, rem_new, accel)
+        it2 = _scene_intersect_once(scene, o_new, d_arr, rem_new, accel, time=time)
         it2 = it2._replace(t=it2.t + base_new)
         sel = lambda a, b: jnp.where(
             masked.reshape(masked.shape + (1,) * (a.ndim - 1)), a, b
@@ -365,12 +365,14 @@ def _alpha_recast_loop(scene, o, d, t_max, accel, it: Interaction, shadow: bool)
 
 
 def scene_intersect(
-    scene: sa.Scene, o, d, t_max, accel=None
+    scene: sa.Scene, o, d, t_max, accel=None, time=None
 ) -> Interaction:
+    """time: (N,) shutter-interval ray times — consumed only by animated
+    primitives (scene.n_anim_tris > 0); None = shutter open."""
     accel = _as_accel(accel)
-    it = _scene_intersect_once(scene, o, d, t_max, accel)
+    it = _scene_intersect_once(scene, o, d, t_max, accel, time=time)
     if getattr(scene, "has_alpha", False):
-        it = _alpha_recast_loop(scene, o, d, t_max, accel, it, shadow=False)
+        it = _alpha_recast_loop(scene, o, d, t_max, accel, it, shadow=False, time=time)
     return it
 
 
@@ -444,8 +446,118 @@ def _instance_hit(scene: sa.Scene, o, d, t_cur, accel: Accel):
     )
 
 
+def _anim_hits(scene: sa.Scene, o, d, t_cur, time):
+    """Closest hit over the animated-mesh groups (reference
+    TransformedPrimitive::intersect with AnimatedTransform,
+    primitive.rs:236-265): per group, carry the ray into object space by
+    the inverse transform interpolated at RAY TIME, brute-force test the
+    group's object-space triangles (animated groups are props, not
+    million-triangle statics), track the best (t, group, tri, b0, b1).
+    Object-space direction is left unnormalized so object t == world t."""
+    from ..utils import animated as an
+
+    n = o.shape[0]
+    G = scene.anim_xf.shape[0]
+    A = scene.n_anim_tris
+    t_lane = jnp.zeros(n, jnp.float32) if time is None else jnp.asarray(time, jnp.float32)
+    best = dict(
+        valid=jnp.zeros(n, bool), t=jnp.asarray(t_cur, jnp.float32),
+        tri=jnp.zeros(n, jnp.int32), grp=jnp.zeros(n, jnp.int32),
+        b0=jnp.zeros(n, jnp.float32), b1=jnp.zeros(n, jnp.float32),
+    )
+    tri_ids = jnp.arange(A)
+    for g in range(G):
+        xf = scene.anim_xf[g]
+        M = an.interpolate(
+            t_lane, xf[0:3], xf[3:7], xf[7:16].reshape(3, 3),
+            xf[16:19], xf[19:23], xf[23:32].reshape(3, 3),
+        )
+        Mi = an.inverse_affine(M)
+        o_obj = tr.xform_point(Mi, o)
+        d_obj = tr.xform_vector(Mi, d)
+        hit, t, b0, b1 = isect.intersect_tri(
+            o_obj[:, None, :], d_obj[:, None, :], best["t"][:, None],
+            scene.anim_p0[None], scene.anim_p1[None], scene.anim_p2[None],
+        )
+        member = (tri_ids >= scene.anim_range[g, 0]) & (tri_ids < scene.anim_range[g, 1])
+        hit &= member[None, :]
+        t_m = jnp.where(hit, t, jnp.inf)
+        bi = jnp.argmin(t_m, axis=1)
+        take = lambda a: jnp.take_along_axis(a, bi[:, None], axis=1)[:, 0]
+        t_new = take(t_m)
+        upd = jnp.any(hit, axis=1) & (t_new < best["t"])
+        best = dict(
+            valid=best["valid"] | upd,
+            t=jnp.where(upd, t_new, best["t"]),
+            tri=jnp.where(upd, bi.astype(jnp.int32), best["tri"]),
+            grp=jnp.where(upd, g, best["grp"]),
+            b0=jnp.where(upd, take(b0), best["b0"]),
+            b1=jnp.where(upd, take(b1), best["b1"]),
+        )
+    return best
+
+
+def _anim_interaction(scene: sa.Scene, best, time):
+    """Interaction fields for an animated-mesh hit: object-space attrs
+    through the group's interpolated transform at ray time."""
+    from ..utils import animated as an
+    from . import gathers as gx
+
+    n = best["t"].shape[0]
+    t_lane = jnp.zeros(n, jnp.float32) if time is None else jnp.asarray(time, jnp.float32)
+    xfg = gx.take_rows(scene.anim_xf, best["grp"])  # (N,32)
+    M = an.interpolate(
+        t_lane, xfg[:, 0:3], xfg[:, 3:7], xfg[:, 7:16].reshape(-1, 3, 3),
+        xfg[:, 16:19], xfg[:, 19:23], xfg[:, 23:32].reshape(-1, 3, 3),
+    )
+    Mi = an.inverse_affine(M)
+    tri = jnp.clip(best["tri"], 0, scene.anim_attr.shape[0] - 1)
+    at = gx.take_rows(scene.anim_attr, tri)
+    b0, b1 = best["b0"], best["b1"]
+    b2 = 1.0 - b0 - b1
+    p0 = gx.col3(at, sa.TA_P0)
+    p1 = gx.col3(at, sa.TA_P1)
+    p2 = gx.col3(at, sa.TA_P2)
+    p_obj = b0[..., None] * p0 + b1[..., None] * p1 + b2[..., None] * p2
+    perr_obj = vm.gamma(7.0) * (
+        jnp.abs(b0[..., None] * p0) + jnp.abs(b1[..., None] * p1)
+        + jnp.abs(b2[..., None] * p2)
+    )
+    ng_obj = vm.normalize(vm.cross(p0 - p2, p1 - p2))
+    ns_obj = (
+        b0[..., None] * gx.col3(at, sa.TA_N0)
+        + b1[..., None] * gx.col3(at, sa.TA_N1)
+        + b2[..., None] * gx.col3(at, sa.TA_N2)
+    )
+    ns_len = jnp.sqrt(jnp.maximum(vm.length_squared(ns_obj), 1e-20))
+    has_n = gx.colb(at, sa.TA_HAS_N) & (ns_len > 1e-8)
+    ns_obj = jnp.where(has_n[..., None], ns_obj / jnp.maximum(ns_len, 1e-8)[..., None], ng_obj)
+    rev = gx.colb(at, sa.TA_REVERSE)
+    ns_obj = jnp.where(rev[..., None], -ns_obj, ns_obj)
+    ng_obj = jnp.where(
+        has_n[..., None], vm.face_forward(ng_obj, ns_obj),
+        jnp.where(rev[..., None], -ng_obj, ng_obj),
+    )
+    uv = (
+        b0[..., None] * gx.col2(at, sa.TA_UV0)
+        + b1[..., None] * gx.col2(at, sa.TA_UV1)
+        + b2[..., None] * gx.col2(at, sa.TA_UV2)
+    )
+    p, terr = tr.xform_point_with_error(M, p_obj)
+    p_err = terr + jnp.abs(
+        jnp.einsum("...ij,...j->...i", jnp.abs(M[..., :3, :3]), perr_obj)
+    )
+    ng = vm.normalize(tr.xform_normal(Mi, ng_obj))
+    ns = vm.normalize(tr.xform_normal(Mi, ns_obj))
+    dpdu = tr.xform_vector(M, p1 - p0)
+    degen = vm.length_squared(dpdu) < 1e-16
+    dpdu_fb, _ = vm.coordinate_system(ng)
+    dpdu = jnp.where(degen[..., None], dpdu_fb, dpdu)
+    return p, p_err, ng, ns, uv, gx.coli(at, sa.TA_MAT), dpdu
+
+
 def _scene_intersect_once(
-    scene: sa.Scene, o, d, t_max, accel: Accel
+    scene: sa.Scene, o, d, t_max, accel: Accel, time=None
 ) -> Interaction:
     n = o.shape[0]
     t_best = jnp.asarray(t_max, jnp.float32)
@@ -567,6 +679,28 @@ def _scene_intersect_once(
         t = jnp.where(use_inst, ih.t, t)
         valid = valid | use_inst
 
+    if scene.n_anim_tris > 0:
+        ab = _anim_hits(scene, o, d, t, time)
+        use_anim = ab["valid"] & (~valid | (ab["t"] < t))
+        ap, aperr, ang, ans, auv, amat, adpdu = _anim_interaction(scene, ab, time)
+        sela = use_anim[..., None]
+        p = jnp.where(sela, ap, p)
+        p_err = jnp.where(sela, aperr, p_err)
+        ng = jnp.where(sela, ang, ng)
+        ns = jnp.where(sela, ans, ns)
+        uv = jnp.where(sela, auv, uv)
+        dpdu = jnp.where(sela, adpdu, dpdu)
+        mat = jnp.where(use_anim, amat, mat)
+        light = jnp.where(use_anim, -1, light)  # no area lights on animated
+        prim = jnp.where(
+            use_anim,
+            scene.n_tris + scene.n_spheres + scene.n_curve_segs
+            + scene.proto_p0.shape[0] + ab["tri"],
+            prim,
+        )
+        t = jnp.where(use_anim, ab["t"], t)
+        valid = valid | use_anim
+
     return Interaction(
         valid, t, p, p_err, ng, ns, uv, -vm.normalize(d),
         jnp.where(valid, mat, 0), jnp.where(valid, light, -1),
@@ -574,15 +708,15 @@ def _scene_intersect_once(
     )
 
 
-def scene_intersect_p(scene: sa.Scene, o, d, t_max, accel=None):
+def scene_intersect_p(scene: sa.Scene, o, d, t_max, accel=None, time=None):
     """Any-hit (shadow) query (reference scene.rs:67).  When alpha or
     shadow-alpha masks exist the any-hit shortcut is invalid (a masked-out
     hit must not occlude, triangle.rs:593-650): fall back to the closest-hit
     recast loop applying BOTH masks."""
     accel = _as_accel(accel)
     if getattr(scene, "has_alpha", False):
-        it = _scene_intersect_once(scene, o, d, t_max, accel)
-        it = _alpha_recast_loop(scene, o, d, t_max, accel, it, shadow=True)
+        it = _scene_intersect_once(scene, o, d, t_max, accel, time=time)
+        it = _alpha_recast_loop(scene, o, d, t_max, accel, it, shadow=True, time=time)
         return it.valid
     n = o.shape[0]
     occ = jnp.zeros(n, bool)
@@ -606,6 +740,9 @@ def scene_intersect_p(scene: sa.Scene, o, d, t_max, accel=None):
     if scene.n_instances > 0:
         ih = _instance_hit(scene, o, d, jnp.asarray(t_max, jnp.float32), accel)
         occ = occ | ih.valid
+    if scene.n_anim_tris > 0:
+        ab = _anim_hits(scene, o, d, jnp.asarray(t_max, jnp.float32), time)
+        occ = occ | ab["valid"]
     return occ
 
 

@@ -583,7 +583,7 @@ class PbrtAPI:
         if self.current_object is not None:
             self.objects[self.current_object].append((st, self.ctm.copy(), copy.deepcopy(self.gs)))
             return
-        self._create_shape(st, self.ctm, self.gs)
+        self._create_shape(st, self.ctm, self.gs, ctm_end=self.ctm_end)
 
     def _alpha_tex_id(self, params, name):
         """Resolve an alpha/shadowalpha parameter to a float-texture id
@@ -601,11 +601,48 @@ class PbrtAPI:
             return self.builder.add_texture(tx.TEX_CONSTANT, {tx.TP_VALUE: (0.0, 0.0, 0.0)})
         return -1
 
-    def _create_shape(self, st, ctm, gs):
+    def _create_shape(self, st, ctm, gs, ctm_end=None):
         kind = st.args[0]
         b = self.builder
         o2w = tr.from_matrix(ctm)
         al = gs.area_light
+        # object-level motion blur: a CTM pair differing between shutter
+        # start and end (ActiveTransform statements) makes triangle meshes
+        # animated (reference TransformedPrimitive + AnimatedTransform,
+        # primitive.rs:198-265).  Restriction mirrored from instancing:
+        # area-light / alpha-masked animated meshes fall back to the start
+        # transform (warned).
+        animated = (
+            ctm_end is not None and not np.allclose(ctm, ctm_end, atol=1e-7)
+        )
+        if animated and kind in ("trianglemesh", "plymesh") and al is None:
+            if kind == "trianglemesh":
+                idx = np.asarray(ps.find_ints(st.params, "indices")).reshape(-1, 3)
+                P = np.asarray(ps.find_floats(st.params, "P")).reshape(-1, 3)
+                N0 = ps.find_floats(st.params, "N")
+                uv0 = ps.find_floats(st.params, "uv") or ps.find_floats(st.params, "st")
+                N0 = np.asarray(N0).reshape(-1, 3) if N0 else None
+                uv0 = np.asarray(uv0).reshape(-1, 2) if uv0 else None
+            else:
+                from ..io.plyloader import load_ply
+
+                fname = ps.find_string(st.params, "filename")
+                p = Path(fname)
+                if self.search_dir and not p.is_absolute():
+                    p = self.search_dir / p
+                P, idx, N0, uv0 = load_ply(p)
+            b.add_animated_triangle_mesh(
+                idx, P, tr.from_matrix(ctm), tr.from_matrix(ctm_end),
+                normals=N0, uvs=uv0, material=gs.material,
+                reverse_orientation=gs.reverse_orientation,
+            )
+            return
+        if animated:
+            print(
+                "WARNING: animated transform on shape kind "
+                f"{kind!r} (or with an area light) unsupported; "
+                "using the shutter-open transform"
+            )
         if kind == "trianglemesh":
             idx = ps.find_ints(st.params, "indices")
             P = ps.find_floats(st.params, "P")

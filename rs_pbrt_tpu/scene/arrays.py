@@ -217,6 +217,18 @@ class Scene(NamedTuple):
     inst_proto: jnp.ndarray  # (I,) prototype index
     inst_mat: jnp.ndarray  # (I,) material override (-1 -> prototype's)
 
+    # --- object-level motion blur (reference TransformedPrimitive with
+    # AnimatedTransform, primitive.rs:198-265 + transform.rs:894): meshes
+    # whose CTM pair differs keep OBJECT-space triangles per animated
+    # group; rays are carried into object space by the inverse of the
+    # slerp-interpolated transform at RAY TIME (utils/animated.py) ---
+    anim_p0: jnp.ndarray  # (A,3) object space
+    anim_p1: jnp.ndarray
+    anim_p2: jnp.ndarray
+    anim_attr: jnp.ndarray  # (max(A,1), N_TRI_ATTR) object-space attrs
+    anim_range: jnp.ndarray  # (G,2) i32 [tri0, tri1) per group
+    anim_xf: jnp.ndarray  # (G,32): T0(3) q0(4) S0(9) T1(3) q1(4) S1(9)
+
     # --- materials ---
     mat_type: jnp.ndarray  # (M,) i32
     mat_params: jnp.ndarray  # (M, N_MAT_PARAMS)
@@ -335,6 +347,14 @@ class Scene(NamedTuple):
         return self.inst_o2w.shape[0]
 
     @property
+    def n_anim_tris(self):
+        return self.anim_p0.shape[0]
+
+    @property
+    def n_anim_groups(self):
+        return self.anim_range.shape[0]
+
+    @property
     def n_lights(self):
         return self.light_type.shape[0]
 
@@ -415,6 +435,12 @@ def empty_scene_arrays(n_tris=0, n_sph=0, n_mat=1, n_lights=0, alight_pad=1):
         inst_w2o=np.zeros((0, 4, 4), np.float32),
         inst_proto=np.zeros(0, np.int32),
         inst_mat=np.full(0, -1, np.int32),
+        anim_p0=np.zeros((0, 3), np.float32),
+        anim_p1=np.zeros((0, 3), np.float32),
+        anim_p2=np.zeros((0, 3), np.float32),
+        anim_attr=np.zeros((1, N_TRI_ATTR), np.float32),
+        anim_range=np.zeros((0, 2), np.int32),
+        anim_xf=np.zeros((0, 32), np.float32),
         mat_type=np.zeros(M, np.int32),
         mat_params=np.zeros((M, N_MAT_PARAMS), np.float32),
         mat_tex=np.full((M, N_TEX_SLOTS), -1, np.int32),
@@ -503,6 +529,28 @@ def finalize_scene(arrs: dict) -> Scene:
         cp = arrs["crv_attr"][:, 0:12].reshape(-1, 4, 3)
         hw = arrs["crv_attr"][:, 12:14].max(1)[:, None] * 0.5
         pts += [cp.min(1) - hw, cp.max(1) + hw]
+    if len(arrs.get("anim_p0", ())):
+        # conservative motion bound: object verts through BOTH endpoint
+        # transforms (transform.rs motion_bounds approximated by the
+        # endpoints union; slerp paths stay near the chord for the small
+        # rotations motion blur uses)
+        av = np.concatenate([arrs["anim_p0"], arrs["anim_p1"], arrs["anim_p2"]])
+        rg = np.asarray(arrs["anim_range"], np.int64)
+        A = len(arrs["anim_p0"])
+        for g, (a, b) in enumerate(rg):
+            xf = arrs["anim_xf"][g]
+            for T0, q0, S0 in ((xf[0:3], xf[3:7], xf[7:16]),
+                               (xf[16:19], xf[19:23], xf[23:32])):
+                x, y, z, w = q0
+                R3 = np.array([
+                    [1 - 2 * (y * y + z * z), 2 * (x * y - z * w), 2 * (x * z + y * w)],
+                    [2 * (x * y + z * w), 1 - 2 * (x * x + z * z), 2 * (y * z - x * w)],
+                    [2 * (x * z - y * w), 2 * (y * z + x * w), 1 - 2 * (x * x + y * y)],
+                ]) @ S0.reshape(3, 3)
+                vv = np.concatenate([av[a:b], av[A + a:A + b], av[2 * A + a:2 * A + b]])
+                wv = vv @ R3.T + T0
+                pts += [wv.min(0, keepdims=True).astype(np.float32),
+                        wv.max(0, keepdims=True).astype(np.float32)]
     if pts:
         allp = np.concatenate(pts, 0)
         lo, hi = allp.min(0), allp.max(0)

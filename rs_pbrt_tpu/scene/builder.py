@@ -31,6 +31,10 @@ class SceneBuilder:
         # object-space prototype meshes + per-instance transforms
         self.protos = []  # list of dict(p0,p1,p2,attr) numpy blocks
         self.instances = []  # list of (proto_id, o2w(4,4), mat_override)
+        # object-level motion blur groups (reference TransformedPrimitive
+        # w/ AnimatedTransform, primitive.rs:198-265): object-space tris +
+        # decomposed start/end transforms
+        self.anims = []  # list of dict(p0,p1,p2,n*,uv*,has_n,mat,reverse,xf)
         self.bssrdfs = []  # list of per-material folded BSSRDF table dicts
         self.fourier_table = None  # single SCATFUN table dict (ops/fourier_bsdf)
         self.mats = []  # list of (type, params, tex)
@@ -307,6 +311,60 @@ class SceneBuilder:
         t.setdefault("salpha", []).append(np.full(n_tri, shadow_alpha_tex, np.int32))
         self.n_tri_rows += n_tri
         return light_id
+
+    def add_animated_triangle_mesh(
+        self,
+        indices,
+        positions,
+        object_to_world: tr.Transform,
+        object_to_world_end: tr.Transform,
+        normals=None,
+        uvs=None,
+        material: int = 0,
+        reverse_orientation: bool = False,
+    ):
+        """Object-level motion blur mesh (reference TransformedPrimitive
+        with AnimatedTransform, primitive.rs:198-265): triangles stay in
+        OBJECT space; rays are carried into object space at ray time by
+        the inverse interpolated transform.  Area lights / alpha masks /
+        media are not supported on animated meshes (same restriction as
+        instanced prototypes)."""
+        from ..utils import animated as an
+
+        idx = np.asarray(indices, np.int32).reshape(-1, 3)
+        P = np.asarray(positions, np.float32).reshape(-1, 3)
+        m0 = np.asarray(object_to_world.m, np.float64)
+        m1 = np.asarray(object_to_world_end.m, np.float64)
+        T0, q0, S0 = an.decompose(m0)
+        T1, q1, S1 = an.decompose(m1)
+        if np.linalg.det(m0[:3, :3]) < 0:
+            reverse_orientation = not reverse_orientation
+        n_tri = len(idx)
+        i0, i1, i2 = idx[:, 0], idx[:, 1], idx[:, 2]
+        if normals is not None:
+            N = np.asarray(normals, np.float32)
+            n0, n1, n2 = N[i0], N[i1], N[i2]
+            has_n = np.ones(n_tri, bool)
+        else:
+            n0 = n1 = n2 = np.zeros((n_tri, 3), np.float32)
+            has_n = np.zeros(n_tri, bool)
+        if uvs is not None:
+            U = np.asarray(uvs, np.float32).reshape(-1, 2)
+            uv0, uv1, uv2 = U[i0], U[i1], U[i2]
+        else:
+            uv0 = np.tile(np.array([[0, 0]], np.float32), (n_tri, 1))
+            uv1 = np.tile(np.array([[1, 0]], np.float32), (n_tri, 1))
+            uv2 = np.tile(np.array([[1, 1]], np.float32), (n_tri, 1))
+        self.anims.append(dict(
+            p0=P[i0], p1=P[i1], p2=P[i2],
+            n0=n0, n1=n1, n2=n2, has_n=has_n,
+            uv0=uv0, uv1=uv1, uv2=uv2,
+            mat=np.full(n_tri, material, np.int32),
+            reverse=np.full(n_tri, reverse_orientation, bool),
+            xf=np.concatenate([
+                T0, q0, S0.ravel(), T1, q1, S1.ravel()
+            ]).astype(np.float32),
+        ))
 
     def add_sphere(
         self,
@@ -639,6 +697,34 @@ class SceneBuilder:
             arrs["inst_w2o"] = np.linalg.inv(o2ws.astype(np.float64)).astype(np.float32)
             arrs["inst_proto"] = np.asarray([i[0] for i in self.instances], np.int32)
             arrs["inst_mat"] = np.asarray([i[2] for i in self.instances], np.int32)
+        if self.anims:
+            cat = lambda k: np.concatenate([g[k] for g in self.anims])
+            arrs["anim_p0"] = cat("p0").astype(np.float32)
+            arrs["anim_p1"] = cat("p1").astype(np.float32)
+            arrs["anim_p2"] = cat("p2").astype(np.float32)
+            offs = np.cumsum([0] + [len(g["p0"]) for g in self.anims])
+            arrs["anim_range"] = np.stack([offs[:-1], offs[1:]], -1).astype(np.int32)
+            arrs["anim_xf"] = np.stack([g["xf"] for g in self.anims])
+            A = offs[-1]
+            aat = np.zeros((max(A, 1), sa.N_TRI_ATTR), np.float32)
+            aat[:, sa.TA_P0 : sa.TA_P0 + 3] = arrs["anim_p0"]
+            aat[:, sa.TA_P1 : sa.TA_P1 + 3] = arrs["anim_p1"]
+            aat[:, sa.TA_P2 : sa.TA_P2 + 3] = arrs["anim_p2"]
+            aat[:, sa.TA_N0 : sa.TA_N0 + 3] = cat("n0")
+            aat[:, sa.TA_N1 : sa.TA_N1 + 3] = cat("n1")
+            aat[:, sa.TA_N2 : sa.TA_N2 + 3] = cat("n2")
+            aat[:, sa.TA_HAS_N] = cat("has_n")
+            aat[:, sa.TA_UV0 : sa.TA_UV0 + 2] = cat("uv0")
+            aat[:, sa.TA_UV1 : sa.TA_UV1 + 2] = cat("uv1")
+            aat[:, sa.TA_UV2 : sa.TA_UV2 + 2] = cat("uv2")
+            aat[:, sa.TA_MAT] = cat("mat")
+            aat[:, sa.TA_LIGHT] = -1.0
+            aat[:, sa.TA_REVERSE] = cat("reverse")
+            aat[:, sa.TA_MED_IN] = -1.0
+            aat[:, sa.TA_MED_OUT] = -1.0
+            aat[:, sa.TA_ALPHA] = -1.0
+            aat[:, sa.TA_SALPHA] = -1.0
+            arrs["anim_attr"] = aat
         if n_sph:
             arrs["sph_o2w"] = np.stack(self.sphs["o2w"])
             arrs["sph_w2o"] = np.stack(self.sphs["w2o"])

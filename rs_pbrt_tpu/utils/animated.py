@@ -60,9 +60,11 @@ def interpolate(t, T0, q0, S0, T1, q1, S1):
     # slerp (quaternion.rs slerp): negate for shortest arc
     q0j = jnp.asarray(q0)
     q1j = jnp.asarray(q1)
-    cos_t = jnp.sum(q0j * q1j)
+    # axis=-1: supports per-lane parameter batches (animated-mesh hits
+    # interpolate a gathered (N,4) quaternion pair) as well as host consts
+    cos_t = jnp.sum(q0j * q1j, axis=-1, keepdims=True)
     q1j = jnp.where(cos_t < 0.0, -q1j, q1j)
-    cos_t = jnp.abs(cos_t)
+    cos_t = jnp.abs(cos_t)[..., 0]
     theta = jnp.arccos(jnp.clip(cos_t, -1.0, 1.0))
     sin_t = jnp.maximum(jnp.sin(theta), 1e-6)
     near = cos_t > 0.9995
@@ -84,5 +86,40 @@ def interpolate(t, T0, q0, S0, T1, q1, S1):
     out = jnp.zeros(t.shape + (4, 4), jnp.float32)
     out = out.at[..., :3, :3].set(M3)
     out = out.at[..., :3, 3].set(T)
+    out = out.at[..., 3, 3].set(1.0)
+    return out
+
+
+def inverse_affine(m):
+    """Per-lane inverse of affine (..., 4, 4) matrices (3x3 cofactor +
+    translation); used to carry rays into the object space of an animated
+    primitive at ray time (reference transform.rs Transform keeps m_inv
+    precomputed; an interpolated matrix must invert on the fly)."""
+    a = m[..., :3, :3]
+    t = m[..., :3, 3]
+    c00 = a[..., 1, 1] * a[..., 2, 2] - a[..., 1, 2] * a[..., 2, 1]
+    c01 = a[..., 1, 2] * a[..., 2, 0] - a[..., 1, 0] * a[..., 2, 2]
+    c02 = a[..., 1, 0] * a[..., 2, 1] - a[..., 1, 1] * a[..., 2, 0]
+    det = a[..., 0, 0] * c00 + a[..., 0, 1] * c01 + a[..., 0, 2] * c02
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-20, 1.0, det)
+    adj = jnp.stack(
+        [
+            jnp.stack([c00,
+                       a[..., 0, 2] * a[..., 2, 1] - a[..., 0, 1] * a[..., 2, 2],
+                       a[..., 0, 1] * a[..., 1, 2] - a[..., 0, 2] * a[..., 1, 1]], -1),
+            jnp.stack([c01,
+                       a[..., 0, 0] * a[..., 2, 2] - a[..., 0, 2] * a[..., 2, 0],
+                       a[..., 0, 2] * a[..., 1, 0] - a[..., 0, 0] * a[..., 1, 2]], -1),
+            jnp.stack([c02,
+                       a[..., 0, 1] * a[..., 2, 0] - a[..., 0, 0] * a[..., 2, 1],
+                       a[..., 0, 0] * a[..., 1, 1] - a[..., 0, 1] * a[..., 1, 0]], -1),
+        ],
+        -2,
+    )
+    a_inv = adj * inv_det[..., None, None]
+    t_inv = -jnp.einsum("...ij,...j->...i", a_inv, t)
+    out = jnp.zeros(m.shape, jnp.float32)
+    out = out.at[..., :3, :3].set(a_inv)
+    out = out.at[..., :3, 3].set(t_inv)
     out = out.at[..., 3, 3].set(1.0)
     return out
