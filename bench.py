@@ -73,9 +73,15 @@ def _statue_cached():
     import jax
     import jax.numpy as jnp
 
+    from rs_pbrt_tpu.ops.bvh import LBVH
+    from rs_pbrt_tpu.scene.arrays import Scene
+
+    schema = (Scene._fields, LBVH._fields)
     try:
         with open(CACHE, "rb") as f:
             host = pickle.load(f)
+        if host.get("schema") != schema:
+            raise EOFError("stale cache schema")
         scene = jax.tree.map(
             lambda a: jnp.asarray(a) if isinstance(a, np.ndarray) else a, host["scene"]
         )
@@ -97,7 +103,8 @@ def _statue_cached():
     try:
         with open(CACHE, "wb") as f:
             pickle.dump(
-                {"scene": tonp(scene), "camera": camera, "accel": tonp(accel)}, f
+                {"scene": tonp(scene), "camera": camera, "accel": tonp(accel),
+                 "schema": schema}, f
             )
     except OSError:
         pass

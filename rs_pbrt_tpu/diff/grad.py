@@ -73,18 +73,30 @@ def render_image(scene, camera, cfg, sampler_cfg, params: Optional[DiffParams] =
 
 
 def grad_loss(scene, camera, cfg, sampler_cfg, loss_fn, params: Optional[DiffParams] = None,
-              accel=None):
+              accel=None, mesh=None):
     """Returns (loss, dloss/dDiffParams).
 
     loss_fn: (H,W,3) image -> scalar.  Jittable and reverse-mode
     differentiated; the whole bounce loop is checkpointed implicitly via the
     fori_loop (XLA stores the carried state per iteration).
+    mesh: optional jax.sharding.Mesh — the forward render shards lanes
+    data-parallel over the mesh (parallel/mesh.render_sharded) and the
+    backward pass transposes the film psum into the per-device gradient
+    all-reduce (the dp gradient-sync analogue, SURVEY §2.2 row 10).
     """
     if params is None:
         params = get_params(scene)
 
     def f(p):
-        img = render_image(scene, camera, cfg, sampler_cfg, p, accel=accel)
+        if mesh is not None:
+            from ..parallel import mesh as pmesh
+
+            img = pmesh.render_sharded(
+                apply_params(scene, p), camera, cfg, sampler_cfg,
+                mesh=mesh, accel=accel,
+            )
+        else:
+            img = render_image(scene, camera, cfg, sampler_cfg, p, accel=accel)
         return loss_fn(img)
 
     return jax.value_and_grad(f)(params)

@@ -402,7 +402,7 @@ def radiance(
         non_spec = lambda k: (k != bx.LOBE_NONE) & (k != bx.LOBE_SPEC_REFL) & (
             k != bx.LOBE_FRESNEL_SPEC
         )
-        has_nonspecular = non_spec(b.kind0) | non_spec(b.kind1)
+        has_nonspecular = bx.has_nonspecular(b)
 
         # --- NEE: sample one light (reference integrator.rs:359-570) ---
         if scene.n_lights > 0:

@@ -23,6 +23,10 @@ from .. import samplers as smpl
 from . import path as pathmod
 
 
+# per-dispatch lane cap for accelerated (BVH) scenes — see render()
+ACCEL_LANE_CAP = 1 << 16
+
+
 class RenderCfg(NamedTuple):
     integrator: str  # static
     spp: int  # static
@@ -262,7 +266,12 @@ def render(
         # is TODO-stubbed, SURVEY §5; jax.profiler is our equivalent)
         prof = jax.profiler.trace(profile_dir)
         prof.__enter__()
-    spp_per_batch = max(1, min(cfg.spp, max_lanes // n_pix))
+    # accelerated scenes cap the per-dispatch wavefront: a BVH traversal
+    # at 524k lanes is ~2s on chip and the whole bounce loop stacks ~12 of
+    # them — dispatches beyond ~1 minute get the worker killed
+    # (reproduced: BENCH_r02 rc=1 was a ~3 min single dispatch)
+    lane_cap = max_lanes if accel is None else min(max_lanes, ACCEL_LANE_CAP)
+    spp_per_batch = max(1, min(cfg.spp, lane_cap // n_pix))
     since_ck = 0
     pix_cache = {}
     while sample < cfg.spp:

@@ -96,7 +96,7 @@ def _camera_pass(scene, cfg_s, ctx, ray_o, ray_d, max_depth, light_dist, accel):
         non_spec = lambda k: (k != bx.LOBE_NONE) & (k != bx.LOBE_SPEC_REFL) & (
             k != bx.LOBE_FRESNEL_SPEC
         )
-        is_diffuse = non_spec(b.kind0) | non_spec(b.kind1)
+        is_diffuse = bx.has_nonspecular(b)
         store_now = alive & is_diffuse & ~stored
         vp_p = jnp.where(store_now[..., None], it.p, vp_p)
         vp_wo = jnp.where(store_now[..., None], it.wo, vp_wo)

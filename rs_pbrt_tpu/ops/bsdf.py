@@ -649,6 +649,15 @@ class Bsdf:
     sigma2: object = None
     # STATIC: use the Beckmann distribution for microfacet lobes
     use_beckmann: bool = struct.field(pytree_node=False, default=False)
+    # slots 4/5 (None unless the material set contains UBER): the FULL
+    # uber stack is kd + ks + kr + kt + opacity-pass = 5 simultaneous
+    # lobes (reference uber.rs:142-257; Bsdf holds up to 8,
+    # reflection.rs:280) — slots 4/5 carry the extra specular lobes with
+    # the BASE eta/roughness (no per-slot overrides needed)
+    kind4: object = None
+    kind5: object = None
+    r4: object = None  # (N,3)
+    r5: object = None
 
 
 def make_bsdf_at(scene, it):
@@ -892,6 +901,15 @@ def make_bsdf(mat_type, params, uv=None, enable_hair=True, fou=None, mat_mask=-1
         r3 = jnp.zeros((n, 3), jnp.float32)
     else:
         kind2 = kind3 = r2 = r3 = None
+    # slots 4/5 only when a FULL uber stack is possible (STATIC): kd + ks
+    # + kr + kt + opacity-pass = 5 lobes (uber.rs:142-257)
+    if hasm(sa.UBER) or hasm(sa.MIXMAT):
+        kind4 = z + LOBE_NONE
+        kind5 = z + LOBE_NONE
+        r4 = jnp.zeros((n, 3), jnp.float32)
+        r5 = jnp.zeros((n, 3), jnp.float32)
+    else:
+        kind4 = kind5 = r4 = r5 = None
     ax2 = ay2 = eta2 = sigma2 = None  # per-slot overrides (disney/mix)
 
     is_black = lambda c: jnp.all(c == 0.0, axis=-1)
@@ -959,13 +977,16 @@ def make_bsdf(mat_type, params, uv=None, enable_hair=True, fou=None, mat_mask=-1
         kind1 = jnp.where(m & ~is_black(ks_u), LOBE_MICROFACET_REFL, kind1)
         r0 = jnp.where(m[:, None], kd_u, r0)
         r1 = jnp.where(m[:, None], ks_u, r1)
-        use_kr = ~is_black(kr_u)
-        spec_kind = jnp.where(use_kr, LOBE_SPEC_REFL_FR, LOBE_SPEC_TRANS)
-        spec_col = jnp.where(use_kr[:, None], kr_u, kt_u)
-        kind2 = jnp.where(m & ~is_black(spec_col), spec_kind, kind2)
-        r2 = jnp.where(m[:, None], spec_col, r2)
-        kind3 = jnp.where(m & ~is_black(t_pass), LOBE_SPEC_TRANS_PASS, kind3)
-        r3 = jnp.where(m[:, None], t_pass, r3)
+        # FULL 5-lobe stack: kr and kt get their own slots (2 and 3) and
+        # the opacity pass-through sits in slot 4 — an uber with all of
+        # kd+ks+kr+kt+opacity now matches the reference lobe-for-lobe
+        # (uber.rs:142-257; formerly kr/kt shared one slot)
+        kind2 = jnp.where(m & ~is_black(kr_u), LOBE_SPEC_REFL_FR, kind2)
+        r2 = jnp.where(m[:, None], kr_u, r2)
+        kind3 = jnp.where(m & ~is_black(kt_u), LOBE_SPEC_TRANS, kind3)
+        r3 = jnp.where(m[:, None], kt_u, r3)
+        kind4 = jnp.where(m & ~is_black(t_pass), LOBE_SPEC_TRANS_PASS, kind4)
+        r4 = jnp.where(m[:, None], t_pass, r4)
 
     if hasm(sa.DISNEY) or hasm(sa.MIXMAT):
         # DISNEY (materials/disney.rs:640): diffuse+retro, tinted
@@ -1092,6 +1113,7 @@ def make_bsdf(mat_type, params, uv=None, enable_hair=True, fou=None, mat_mask=-1
         bool(enable_hair), fou, lobe_mask_of(mat_mask),
         kind2, kind3, r2, r3,
         ax2, ay2, eta2, sigma2,
+        kind4=kind4, kind5=kind5, r4=r4, r5=r5,
     )
 
 
@@ -1103,7 +1125,24 @@ def num_components(b: Bsdf):
         n = n + (b.kind2 != LOBE_NONE).astype(jnp.int32) + (
             b.kind3 != LOBE_NONE
         ).astype(jnp.int32)
+    if b.kind4 is not None:
+        n = n + (b.kind4 != LOBE_NONE).astype(jnp.int32) + (
+            b.kind5 != LOBE_NONE
+        ).astype(jnp.int32)
     return n
+
+
+def has_nonspecular(b: Bsdf):
+    """Any non-specular lobe present, over ALL slots (reference
+    Bsdf::num_components with BSDF_SPECULAR excluded)."""
+    spec = (LOBE_NONE, LOBE_SPEC_REFL, LOBE_FRESNEL_SPEC, LOBE_SPEC_REFL_FR,
+            LOBE_SPEC_TRANS, LOBE_SPEC_TRANS_PASS)
+    non = lambda k: jnp.ones(k.shape, bool) & ~jnp.isin(k, jnp.asarray(spec))
+    out = None
+    for kind, _, _ in _slots(b):
+        v = non(kind)
+        out = v if out is None else out | v
+    return out
 
 
 def disney_clearcoat_f(color, gloss, wo, wi):
@@ -1364,6 +1403,9 @@ def _slots(b: Bsdf):
     if b.kind2 is not None:
         s.append((b.kind2, b.r2, True))
         s.append((b.kind3, b.r3, True))
+    if b.kind4 is not None:
+        s.append((b.kind4, b.r4, False))
+        s.append((b.kind5, b.r5, False))
     return s
 
 

@@ -63,7 +63,14 @@ class LBVH(NamedTuple):
     # the TPU gather unit is row-rate-bound (~47M rows/s from HBM,
     # tools/tpu_probe5.py), so wide rows quarter the step count
     wide64: jnp.ndarray = None  # (M, 64) f32
-    wide_depth: int = 0  # max wide-tree depth (stack bound)
+    # max wide-tree depth (stack bound), SHAPE-ENCODED as a (depth, 0)
+    # array: a plain int field would become a tracer through jit
+    # boundaries (the accel rides jit arguments)
+    wide_dflag: jnp.ndarray = None
+
+    @property
+    def wide_depth(self) -> int:
+        return 0 if self.wide_dflag is None else self.wide_dflag.shape[0]
 
 
 def pack_nodes(child_l, child_r, bmin_l, bmax_l, bmin_r, bmax_r):
@@ -588,11 +595,16 @@ def bvh_intersect_tris_stream(o, d, t_max, stream16, any_hit: bool = False):
     done = stream16.shape[0]
     inv_d = 1.0 / jnp.where(d == 0.0, 1e-20, d)
 
-    cur = jnp.zeros((R,), jnp.int32)  # root row
-    best_t = jnp.asarray(t_max, jnp.float32)
-    best_tri = jnp.full((R,), -1, jnp.int32)
-    best_b0 = jnp.zeros((R,), jnp.float32)
-    best_b1 = jnp.zeros((R,), jnp.float32)
+    # varying-typed initial carries: under shard_map the while_loop carry
+    # must keep a consistent varying type, and t_max is often an unvarying
+    # splat constant — derive the varying zero from the ray data
+    vary_f = jnp.sum(o * 0.0, axis=-1)
+    best_t = jnp.asarray(t_max, jnp.float32) + vary_f
+    vary_i = vary_f.astype(jnp.int32)
+    cur = vary_i  # root row
+    best_tri = vary_i - 1
+    best_b0 = vary_f
+    best_b1 = vary_f
 
     def cond(state):
         cur = state[0]
@@ -655,12 +667,17 @@ def bvh4_intersect_tris(
 
     shear1 = tuple(s[:, None] for s in ray_shear(o, d))
 
-    cur = jnp.full((R,), 1, jnp.int32)  # base 0, mask {bit0} -> row 0
-    stack = jnp.zeros((R, K), jnp.int32)
-    best_t = jnp.asarray(t_max, jnp.float32)
-    best_tri = jnp.full((R,), -1, jnp.int32)
-    best_b0 = jnp.zeros((R,), jnp.float32)
-    best_b1 = jnp.zeros((R,), jnp.float32)
+    # initial carries derive from the (always device-varying) ray data so
+    # the while_loop carry keeps a consistent varying type under shard_map
+    # (t_max is often an unvarying splat constant)
+    vary_f = jnp.sum(o * 0.0, axis=-1)
+    best_t = jnp.asarray(t_max, jnp.float32) + vary_f
+    vary_i = vary_f.astype(jnp.int32)
+    cur = vary_i + 1  # base 0, mask {bit0} -> row 0
+    stack = jnp.zeros((R, K), jnp.int32) + vary_i[:, None]
+    best_tri = vary_i - 1
+    best_b0 = vary_f
+    best_b1 = vary_f
     bits = jnp.asarray([1, 2, 4, 8], jnp.int32)
 
     def push(stack, entry, do):

@@ -108,7 +108,10 @@ def build_lbvh_native(bmin, bmax, tris=None, sah: bool = True) -> LBVH:
             z1 = np.zeros(1, np.int32)
             z3 = np.zeros((1, 3), np.float32)
             wide, depth = build_wide4(z1, z1, z3, z3, z3, z3, z1, *tris)
-            lb = lb._replace(wide64=jnp.asarray(wide), wide_depth=depth)
+            lb = lb._replace(
+                wide64=jnp.asarray(wide),
+                wide_dflag=jnp.zeros((depth, 0), jnp.float32),
+            )
         return lb
     lib = _load()
     m = max(n - 1, 1)
@@ -144,5 +147,5 @@ def build_lbvh_native(bmin, bmax, tris=None, sah: bool = True) -> LBVH:
             (child_l, child_r), bmin_l, bmax_l, bmin_r, bmax_r, prim_ids, *tris
         )),
         None if wide is None else jnp.asarray(wide),
-        depth,
+        None if wide is None else jnp.zeros((depth, 0), jnp.float32),
     )
