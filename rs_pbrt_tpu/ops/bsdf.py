@@ -52,13 +52,15 @@ def tan2_theta(w):
 
 
 def cos_phi(w):
-    s = jnp.sqrt(sin2_theta(w))
-    return jnp.where(s == 0.0, 1.0, jnp.clip(w[..., 0] / jnp.maximum(s, 1e-20), -1, 1))
+    # floored sqrt: its backward at exactly 0 is inf, which turns a
+    # 0-cotangent into NaN in reverse-mode geometry gradients
+    s = jnp.sqrt(jnp.maximum(sin2_theta(w), 1e-24))
+    return jnp.where(sin2_theta(w) == 0.0, 1.0, jnp.clip(w[..., 0] / s, -1, 1))
 
 
 def sin_phi(w):
-    s = jnp.sqrt(sin2_theta(w))
-    return jnp.where(s == 0.0, 0.0, jnp.clip(w[..., 1] / jnp.maximum(s, 1e-20), -1, 1))
+    s = jnp.sqrt(jnp.maximum(sin2_theta(w), 1e-24))
+    return jnp.where(sin2_theta(w) == 0.0, 0.0, jnp.clip(w[..., 1] / s, -1, 1))
 
 
 def same_hemisphere(a, b):
@@ -128,8 +130,9 @@ def oren_nayar_f(r, sigma_deg, wo, wi):
     sigma2 = sigma * sigma
     a = 1.0 - sigma2 / (2.0 * (sigma2 + 0.33))
     b = 0.45 * sigma2 / (sigma2 + 0.09)
-    sin_ti = jnp.sqrt(sin2_theta(wi))
-    sin_to = jnp.sqrt(sin2_theta(wo))
+    # floored sqrts: backward at exactly 0 is inf (NaN via 0-cotangent)
+    sin_ti = jnp.sqrt(jnp.maximum(sin2_theta(wi), 1e-24))
+    sin_to = jnp.sqrt(jnp.maximum(sin2_theta(wo), 1e-24))
     cos_diff = cos_phi(wi) * cos_phi(wo) + sin_phi(wi) * sin_phi(wo)
     max_cos = jnp.where((sin_ti > 1e-4) & (sin_to > 1e-4), jnp.maximum(cos_diff, 0.0), 0.0)
     aci, aco = abs_cos_theta(wi), abs_cos_theta(wo)
@@ -1137,7 +1140,12 @@ def has_nonspecular(b: Bsdf):
     Bsdf::num_components with BSDF_SPECULAR excluded)."""
     spec = (LOBE_NONE, LOBE_SPEC_REFL, LOBE_FRESNEL_SPEC, LOBE_SPEC_REFL_FR,
             LOBE_SPEC_TRANS, LOBE_SPEC_TRANS_PASS)
-    non = lambda k: jnp.ones(k.shape, bool) & ~jnp.isin(k, jnp.asarray(spec))
+
+    def non(k):
+        m = jnp.ones(k.shape, bool)
+        for sk in spec:  # explicit compares: jnp.isin const-folds slowly
+            m &= k != sk
+        return m
     out = None
     for kind, _, _ in _slots(b):
         v = non(kind)

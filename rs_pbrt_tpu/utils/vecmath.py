@@ -61,7 +61,11 @@ def length_squared(v):
 
 
 def length(v):
-    return jnp.sqrt(length_squared(v))
+    # floor inside the sqrt: sqrt's backward at exactly 0 is inf, and
+    # 0-cotangent x inf = NaN poisons reverse-mode geometry gradients
+    # (zero-length shadow/edge vectors on unselected where-branches);
+    # values for |v| > 1e-15 are bit-identical
+    return jnp.sqrt(jnp.maximum(length_squared(v), 1e-30))
 
 
 def normalize(v):

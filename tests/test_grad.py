@@ -123,3 +123,129 @@ class TestCameraGradients:
         for k in (1, 2):
             scale = max(abs(fd[k]), 1e-6)
             assert abs(g_t[k] - fd[k]) / scale < 0.08, (k, g_t, fd)
+
+
+class TestGeometryGradients:
+    """Visibility-aware geometry gradients (diff/geometry.py): interior
+    term by AD + primary-silhouette boundary term by adjacency-filtered
+    edge sampling, validated against finite differences (VERDICT r2
+    next-round #5)."""
+
+    def test_edge_grad_matches_fd_analytic_quad(self):
+        """Single lit quad, loss weighted on half the image so exactly one
+        silhouette edge contributes: the boundary estimator must equal FD
+        almost exactly (measured agreement ~2e-4 relative)."""
+        from rs_pbrt_tpu.diff import geometry as dgeo
+        from rs_pbrt_tpu.models import cameras as cam
+        from rs_pbrt_tpu.scene.builder import SceneBuilder
+        from rs_pbrt_tpu.utils import transform as tr
+
+        res = 64
+        b = SceneBuilder()
+        m = b.add_matte(kd=(0.8,) * 3)
+        b.add_triangle_mesh(
+            [[0, 1, 2], [0, 2, 3]],
+            [[-1, -1, 0], [1, -1, 0], [1, 1, 0], [-1, 1, 0]], material=m,
+        )
+        b.add_distant_light(from_p=(0, 0, 1), to=(0, 0, 0), L=(2.0,) * 3)
+        scene = b.finalize()
+        camera = cam.make_perspective(
+            tr.look_at([0, 0, 8], [0, 0, 0], [0, 1, 0]), (res, res), fov=30.0
+        )
+        cfg = rdr.RenderCfg("path", spp=64, max_depth=1, rr_threshold=1.0)
+        scfg = smpl.make_sampler(smpl.SOBOL, 64, camera.resolution)
+        mask = jnp.ones(scene.n_tris, bool)
+        w = np.zeros((res, res), np.float32)
+        w[:, : res // 2] = 1.0 / (res * res)
+        w_img = jnp.asarray(w)
+
+        boundary = float(dgeo.edge_boundary_grad(
+            scene, camera, cfg, scfg, mask, (1.0, 0.0, 0.0), w_img,
+            samples_per_edge=256, seed=0,
+        ))
+        h = 0.05
+
+        def loss_at(theta):
+            s2 = dgeo.translate_tris(scene, mask, jnp.asarray(
+                [theta, 0.0, 0.0], jnp.float32))
+            img = rdr.render(s2, camera, cfg, scfg)
+            return float(jnp.sum(img * w_img[..., None]))
+
+        fd = (loss_at(h) - loss_at(-h)) / (2 * h)
+        assert fd != 0.0
+        np.testing.assert_allclose(boundary, fd, rtol=0.02)
+
+    @pytest.mark.slow
+    def test_box_translation_grad_matches_fd(self):
+        """Cornell short-box translation: total (interior AD + boundary)
+        vs central FD with common random numbers, loss restricted to an
+        image band above the floor (the floor carries the box's moving
+        SHADOW — a secondary-visibility term the primary-silhouette
+        estimator deliberately does not model).  Residual tolerance covers
+        edge-on top-face samples the ownership filter rejects and the
+        finite-h FD bias (measured: boundary -3.7e-5 +- 0.25 vs FD -4.7
+        to -5.7e-5 over h in [3, 6])."""
+        from rs_pbrt_tpu.diff import geometry as dgeo
+        from rs_pbrt_tpu.models import cameras as cam
+        from rs_pbrt_tpu.ops import scene_intersect as si
+
+        res, spp = 48, 64
+        scene, camera = presets.cornell_box(resolution=(res, res))
+        mask = np.zeros(scene.n_tris, bool)
+        mask[10:20] = True  # short box (walls are tris 0..9)
+        mask_j = jnp.asarray(mask)
+        # raise the box 2cm: its bottom face is exactly coplanar with the
+        # floor otherwise (tie-broken hits flip under translation)
+        scene = dgeo.translate_tris(scene, mask_j, jnp.asarray(
+            [0.0, 2.0, 0.0], jnp.float32))
+        cfg = rdr.RenderCfg("path", spp=spp, max_depth=1, rr_threshold=1.0)
+        scfg = smpl.make_sampler(smpl.SOBOL, spp, camera.resolution)
+
+        # loss band: rows strictly above the first floor-visible row
+        ys, xs = np.mgrid[0:res, 0:res]
+        pf = np.stack([xs.ravel() + 0.5, ys.ravel() + 0.5], -1).astype(np.float32)
+        rays = cam.generate_rays(
+            camera, jnp.asarray(pf), jnp.zeros((res * res, 2), jnp.float32),
+            jnp.zeros(res * res, jnp.float32))
+        it = si.scene_intersect(scene, rays.o, rays.d, jnp.full(res * res, 1e30))
+        hy = np.asarray(it.p)[:, 1].reshape(res, res)
+        hv = np.asarray(it.valid).reshape(res, res)
+        r0 = int(np.where((hv & (hy < 1.0)).any(1))[0].min()) - 4
+        w = np.zeros((res, res), np.float32)
+        w[:r0] = 1.0 / (res * res)
+        w_img = jnp.asarray(w)
+        direction = (1.0, 0.0, 0.0)
+
+        interior, _, _ = dgeo.grad_loss_wrt_translation(
+            scene, camera, cfg, scfg, mask_j, direction, w_img,
+            samples_per_edge=1, seed=0)
+        bs = [float(dgeo.edge_boundary_grad(
+            scene, camera, cfg, scfg, mask_j, direction, w_img,
+            samples_per_edge=384, seed=sd)) for sd in range(6)]
+        total = float(interior) + float(np.mean(bs))
+
+        def loss_at(theta):
+            s2 = dgeo.translate_tris(scene, mask_j, jnp.asarray(
+                [theta, 0.0, 0.0], jnp.float32))
+            img = rdr.render(s2, camera, cfg, scfg)
+            return float(jnp.sum(img * w_img[..., None]))
+
+        fd = np.mean([(loss_at(h) - loss_at(-h)) / (2 * h) for h in (3.0, 6.0)])
+        assert np.isfinite(total) and fd != 0.0
+        assert np.sign(total) == np.sign(fd)
+        np.testing.assert_allclose(total, fd, rtol=0.5)
+
+    def test_edge_grad_zero_for_off_screen_weights(self):
+        from rs_pbrt_tpu.diff import geometry as dgeo
+
+        scene, camera = presets.cornell_box(resolution=(16, 16))
+        cfg = rdr.RenderCfg("path", spp=4, max_depth=2, rr_threshold=1.0)
+        scfg = smpl.make_sampler(smpl.SOBOL, 4, camera.resolution)
+        mask = np.zeros(scene.n_tris, bool)
+        mask[10:20] = True
+        w_img = jnp.zeros((16, 16), jnp.float32)  # zero loss weights
+        g = float(dgeo.edge_boundary_grad(
+            scene, camera, cfg, scfg, jnp.asarray(mask), (1.0, 0.0, 0.0),
+            w_img, samples_per_edge=8,
+        ))
+        assert g == 0.0
