@@ -20,9 +20,12 @@ delta lights are handled (no s=0).  MEDIUM vertices (bdpt.rs Vertex::Medium,
 random_walk's mi branch) are supported for homogeneous media: the walk
 distance-samples the current medium per segment, scattering events become
 VT_MEDIUM vertices with HG phase f/pdf (densities converted without a
-cosine), and connections attenuate by the closed-form transmittance of the
-camera-side vertex's medium (the same single-medium-segment approximation
-volpath._shadow_tr uses).  Grid media stay surface-only in BDPT.
+cosine), and connections attenuate by the transmittance of the camera-side vertex's
+medium (the same single-medium-segment approximation volpath._shadow_tr
+uses): closed form for homogeneous media, ratio tracking for grids.
+GRID media sample walk distances by delta tracking (grid.rs:209-271), so
+BDPT matches volpath on grid-medium scenes (reference random_walk's mi
+branch, bdpt.rs:1237+).
 """
 
 from __future__ import annotations
@@ -154,9 +157,23 @@ def _walk(scene, cfg_s, ctx, o0, d0, beta0, pdf_dir0, max_verts, dim_base, accel
             seg_t = jnp.where(it.valid, it.t, 8.0 * jnp.maximum(scene.world_radius, 1.0))
             u_ch = smpl.get_1d(cfg_s, ctx, dim0 + 3)
             u_dist = smpl.get_1d(cfg_s, ctx, dim0 + 4)
-            ms = med.homogeneous_sample(
-                scene.med_sigma_a[mid], scene.med_sigma_s[mid], u_ch, u_dist, seg_t
-            )
+            from . import volpath as volmod
+
+            if volmod._has_grid(scene):
+                # delta tracking through density grids (grid.rs:209-271);
+                # homogeneous media ride the same tracker via their
+                # constant 1-voxel density (reference random_walk's
+                # medium.sample dispatch, bdpt.rs:1237+)
+                lane_key = jnp.arange(n, dtype=jnp.uint32)
+                walk_salt = jnp.uint32(0xC0 + slot) if not mode_importance else jnp.uint32(0x40 + slot)
+                ms = volmod._delta_track(
+                    scene, mid, in_med, o, d, seg_t, lane_key, walk_salt,
+                    0xBD,
+                )
+            else:
+                ms = med.homogeneous_sample(
+                    scene.med_sigma_a[mid], scene.med_sigma_s[mid], u_ch, u_dist, seg_t
+                )
             med_scatter = in_med & ms.sampled
             beta = jnp.where(in_med[:, None], beta * ms.weight, beta)
             p_med = o + ms.t[:, None] * d
@@ -402,14 +419,20 @@ def _vertex_f(scene, path: Subpath, slot: int, wi_world):
     return f, pdf, pdf_rev
 
 
-def _seg_tr(scene, seg_med, dist):
-    """Closed-form transmittance of a connection segment through the
-    camera-side vertex's homogeneous medium (volpath._shadow_tr's
-    single-medium approximation of reference scene.rs intersect_tr)."""
+def _seg_tr(scene, seg_med, dist, o=None, d=None):
+    """Transmittance of a connection segment through the camera-side
+    vertex's medium (volpath._shadow_tr's single-medium approximation of
+    reference scene.rs intersect_tr): closed form for homogeneous media,
+    ratio tracking for grids (grid.rs:155-208) when o/d are given."""
     from ...ops import medium as med
+    from . import volpath as volmod
 
     in_med = seg_med >= 0
     mid = jnp.maximum(seg_med, 0)
+    if volmod._has_grid(scene) and o is not None:
+        lane_key = jnp.arange(o.shape[0], dtype=jnp.uint32)
+        tr1 = volmod._ratio_track_tr(scene, mid, in_med, o, d, dist, lane_key, 0xBD7, 0x91)
+        return tr1[..., None] * jnp.ones((1, 3), jnp.float32)
     sigma_t = scene.med_sigma_a[mid] + scene.med_sigma_s[mid]
     return jnp.where(in_med[:, None], med.homogeneous_tr(sigma_t, dist), 1.0)
 
@@ -433,7 +456,7 @@ def _g_term(scene, p_a, n_a, p_b, n_b, accel, a_is_med=None, b_is_med=None,
     dist = jnp.sqrt(d2)
     occ = si.scene_intersect_p(scene, o, w, dist * (1 - 2e-3), accel)
     if scene.has_media and seg_med is not None:
-        tr = _seg_tr(scene, seg_med, dist)
+        tr = _seg_tr(scene, seg_med, dist, o=o, d=w)
     else:
         tr = jnp.ones((p_a.shape[0], 3), jnp.float32)
     return jnp.where(occ, 0.0, g), w, tr
@@ -728,7 +751,7 @@ def radiance_and_splats(scene, camera, cfg: "PathCfg", cfg_s, ctx, p_film, accel
                     scene, o_sh, ls.wi, dist * (1 - 1e-3), accel
                 )
                 tr_s1 = (
-                    _seg_tr(scene, cpath.med[:, cv], dist)
+                    _seg_tr(scene, cpath.med[:, cv], dist, o=o_sh, d=ls.wi)
                     if scene.has_media else 1.0
                 )
                 ok = c_ok & (ls.pdf > 0) & jnp.any(ls.li > 0, -1) & ~occ & ~cpath.delta[:, cv]

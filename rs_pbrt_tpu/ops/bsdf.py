@@ -573,9 +573,11 @@ def _pow5(v):
     return (v * v) * (v * v) * v
 
 
-def disney_diffuse_f(base, sigma_extra, wo, wi):
+def disney_diffuse_f(base, sigma_extra, wo, wi, flatness=None):
     """Disney diffuse + retro-reflection (reference materials/disney.rs
-    DisneyDiffuse/DisneyRetro; sigma_extra carries roughness for retro)."""
+    DisneyDiffuse/DisneyRetro; sigma_extra carries roughness for retro).
+    flatness: optional (N,) thin-mode blend toward the Hanrahan-Krueger
+    fake-subsurface term (disney.rs DisneyFakeSS; 0 = plain diffuse)."""
     wh = wi + wo
     wh_ok = jnp.any(wh != 0.0, axis=-1)
     wh_n = vm.normalize(wh)
@@ -586,6 +588,14 @@ def disney_diffuse_f(base, sigma_extra, wo, wi):
     rr = 2.0 * rough * cos_d * cos_d
     diffuse = (1.0 - 0.5 * fl) * (1.0 - 0.5 * fv)
     retro = rr * (fl + fv + fl * fv * (rr - 1.0))
+    if flatness is not None:
+        # Hanrahan-Krueger approximation (disney.rs DisneyFakeSS): Fss90
+        # from the half-angle, 1.25 scale to match diffuse albedo
+        fss90 = cos_d * cos_d * rough
+        fss = vm.lerp(fl, 1.0, fss90) * vm.lerp(fv, 1.0, fss90)
+        denom = jnp.maximum(abs_cos_theta(wi) + abs_cos_theta(wo), 1e-6)
+        ss = 1.25 * (fss * (1.0 / denom - 0.5) + 0.5)
+        diffuse = vm.lerp(flatness, diffuse, ss)
     return base * (INV_PI * (diffuse + retro) * jnp.where(wh_ok, 1.0, 0.0))[..., None]
 
 
@@ -842,6 +852,7 @@ def _mat_lobes():
                              LOBE_MICROFACET_REFL, LOBE_MICROFACET_TRANS),
             sa.DISNEY: (LOBE_DISNEY_DIFFUSE, LOBE_DISNEY_GLOSS,
                         LOBE_DISNEY_CLEARCOAT, LOBE_DISNEY_SHEEN,
+                        LOBE_LAMBERT_TRANS,
                         LOBE_MICROFACET_TRANS),
             sa.HAIR: (LOBE_HAIR,),
             sa.FOURIER: (LOBE_FOURIER,),
@@ -906,7 +917,7 @@ def make_bsdf(mat_type, params, uv=None, enable_hair=True, fou=None, mat_mask=-1
         kind2 = kind3 = r2 = r3 = None
     # slots 4/5 only when a FULL uber stack is possible (STATIC): kd + ks
     # + kr + kt + opacity-pass = 5 lobes (uber.rs:142-257)
-    if hasm(sa.UBER) or hasm(sa.MIXMAT):
+    if hasm(sa.UBER) or hasm(sa.MIXMAT) or hasm(sa.DISNEY):
         kind4 = z + LOBE_NONE
         kind5 = z + LOBE_NONE
         r4 = jnp.zeros((n, 3), jnp.float32)
@@ -1016,8 +1027,21 @@ def make_bsdf(mat_type, params, uv=None, enable_hair=True, fou=None, mat_mask=-1
         f0 = vm.lerp(metallic[:, None], spec0, kd)
         kind0 = jnp.where(m, LOBE_DISNEY_DIFFUSE, kind0)
         kind1 = jnp.where(m, LOBE_DISNEY_GLOSS, kind1)
+        # THIN mode (disney.rs thin branch): MP_KT = (thin, diffTrans,-);
+        # dt = diffTrans/2 splits the diffuse energy between reflection
+        # and a Lambertian transmission lobe; flatness (MP_KR+2) blends
+        # the diffuse lobe toward the Hanrahan-Krueger fake-SS term
+        # (evaluated inside disney_diffuse_f — the per-lane flatness/dt
+        # ride the conductor k3 channels, unused by disney lanes)
+        thin = params[:, sa.MP_KT] > 0.5
+        dt = jnp.where(thin, 0.5 * params[:, sa.MP_KT + 1], 0.0)
+        flat = jnp.where(thin, params[:, sa.MP_KR + 2], 0.0)
+        k3 = jnp.where(
+            m[:, None],
+            jnp.stack([flat, dt, jnp.zeros_like(dt)], -1), k3,
+        )
         diff_w = (1.0 - metallic) * (1.0 - s_trans)
-        r0 = jnp.where(m[:, None], kd * diff_w[:, None], r0)
+        r0 = jnp.where(m[:, None], kd * (diff_w * (1.0 - dt))[:, None], r0)
         r1 = jnp.where(m[:, None], f0, r1)
         # disney roughness remaps alpha = rough^2 (not the TR fit), split
         # by the anisotropy aspect (disney.rs: aspect = sqrt(1-0.9*aniso))
@@ -1058,6 +1082,11 @@ def make_bsdf(mat_type, params, uv=None, enable_hair=True, fou=None, mat_mask=-1
             ay2 = ay if ay2 is None else jnp.where(m, ay, ay2)
             eta2_new = jnp.where(m, eta, 1.5)
             eta2 = eta2_new if eta2 is None else jnp.where(m, eta, eta2)
+        if kind4 is not None:
+            # thin diffTrans -> LambertianTransmission(dt * base)
+            # (disney.rs thin branch; slot 4 exists for DISNEY scenes)
+            kind4 = jnp.where(m & (dt > 0), LOBE_LAMBERT_TRANS, kind4)
+            r4 = jnp.where(m[:, None], kd * (diff_w * dt)[:, None], r4)
 
     if hasm(sa.TRANSLUCENT) or hasm(sa.MIXMAT):
         # TRANSLUCENT (materials/translucent.rs:82-185): the full 4-lobe
@@ -1295,7 +1324,7 @@ def _lobe_f(kind, color, b: Bsdf, wo, wi, reflect, slot23: bool = False):
     if hasl(LOBE_DISNEY_DIFFUSE):
         out = jnp.where(
             (kind == LOBE_DISNEY_DIFFUSE)[..., None],
-            disney_diffuse_f(color, sigma, wo, wi), out,
+            disney_diffuse_f(color, sigma, wo, wi, flatness=b.k3[..., 0]), out,
         )
     if hasl(LOBE_DISNEY_GLOSS):
         out = jnp.where(

@@ -328,6 +328,9 @@ class PbrtAPI:
                 anisotropic=ps.find_one(params, "anisotropic", 0.0),
                 spec_trans=ps.find_one(params, "spectrans", 0.0),
                 clearcoat_gloss=ps.find_one(params, "clearcoatgloss", 1.0),
+                thin=bool(ps.find_one(params, "thin", False)),
+                flatness=ps.find_one(params, "flatness", 0.0),
+                diff_trans=ps.find_one(params, "difftrans", 1.0),
                 sheen_tint=ps.find_one(params, "sheentint", 0.5),
             )
         if mtype == "subsurface":

@@ -108,18 +108,22 @@ class SceneBuilder:
     def add_disney(self, color=(0.5,) * 3, metallic=0.0, roughness=0.5,
                    sheen=0.0, clearcoat=0.0, eta=1.5, spec_tint=0.0,
                    anisotropic=0.0, spec_trans=0.0, clearcoat_gloss=1.0,
-                   sheen_tint=0.5):
+                   sheen_tint=0.5, thin=False, flatness=0.0, diff_trans=0.0):
         """Principled BSDF (reference materials/disney.rs:640): diffuse+
         retro, sheen, anisotropic GGX with tinted DisneyFresnel, GTR1
-        clearcoat, and specular transmission.  Scalar packing:
+        clearcoat, specular transmission, and THIN-surface mode (flatness
+        blends the diffuse lobe toward the Hanrahan-Krueger fake-
+        subsurface term; diff_trans adds a Lambertian transmission lobe —
+        disney.rs thin branch).  Scalar packing:
         MP_KS = (metallic, sheen, clearcoat);
         MP_OPACITY = (spec_tint, anisotropic, spec_trans);
-        MP_KR = (clearcoat_gloss, sheen_tint, 0).
-        Thin-surface mode (flatness/diffTrans) is not supported."""
+        MP_KR = (clearcoat_gloss, sheen_tint, flatness);
+        MP_KT = (thin, diff_trans, 0)."""
         return self._add_material(
             sa.DISNEY, kd=color, ks=(metallic, sheen, clearcoat),
             opacity=(spec_tint, anisotropic, spec_trans),
-            kr=(clearcoat_gloss, sheen_tint, 0.0),
+            kr=(clearcoat_gloss, sheen_tint, float(flatness)),
+            kt=(float(bool(thin)), float(diff_trans), 0.0),
             roughness=roughness, eta=eta, remap_roughness=False,
         )
 

@@ -1,6 +1,7 @@
 """Full Disney lobe set (reference materials/disney.rs:640) — VERDICT r1
-gap #10: sheen, clearcoat, spec-tint, anisotropic, specular transmission.
-(Thin-surface flatness/diffTrans intentionally unsupported.)"""
+gap #10: sheen, clearcoat, spec-tint, anisotropic, specular transmission;
+r2 #9: THIN-surface mode (flatness fake-SS blend + diffuse transmission
+lobe, disney.rs thin branch)."""
 
 import jax
 import jax.numpy as jnp
@@ -114,3 +115,76 @@ class TestEnergy:
         np.testing.assert_allclose(
             np.asarray(s.pdf)[m], np.asarray(pdf2)[m], rtol=1e-3
         )
+
+
+class TestThinMode:
+    def test_thin_defaults_match_non_thin(self):
+        """thin=False leaves every lobe exactly as before."""
+        a = _disney_bsdf(color=(0.5, 0.3, 0.2), roughness=0.4)
+        b = _disney_bsdf(color=(0.5, 0.3, 0.2), roughness=0.4, thin=False,
+                         flatness=0.7, diff_trans=0.9)  # ignored when not thin
+        for f in ("kind0", "kind1", "r0", "r1"):
+            np.testing.assert_array_equal(np.asarray(getattr(a, f)),
+                                          np.asarray(getattr(b, f)))
+        if b.kind4 is not None:
+            assert set(np.asarray(b.kind4).tolist()) == {bx.LOBE_NONE}
+
+    def test_diff_trans_splits_energy(self):
+        """diffTrans=1 -> dt=0.5: half the diffuse energy moves to the
+        LambertianTransmission lobe (disney.rs thin branch)."""
+        full = _disney_bsdf(color=(0.6,) * 3, roughness=0.3)
+        thin = _disney_bsdf(color=(0.6,) * 3, roughness=0.3, thin=True,
+                            diff_trans=1.0)
+        assert thin.kind4 is not None
+        assert set(np.asarray(thin.kind4).tolist()) == {bx.LOBE_LAMBERT_TRANS}
+        # reflection lobe color halves; transmission lobe carries the rest
+        np.testing.assert_allclose(np.asarray(thin.r0), np.asarray(full.r0) * 0.5,
+                                   rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(thin.r4), np.asarray(full.r0) * 0.5,
+                                   rtol=1e-6)
+        # transmission side actually scatters below the surface
+        n = thin.kind0.shape[0]
+        wo = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0], jnp.float32), (n, 3))
+        wi_t = jnp.broadcast_to(
+            jnp.asarray([0.0, 0.0, -1.0], jnp.float32), (n, 3))
+        f_t = np.asarray(bx.bsdf_f(thin, wo, wi_t, jnp.zeros(n, bool)))
+        assert (f_t > 0).all()
+        f_t_full = np.asarray(bx.bsdf_f(full, wo, wi_t, jnp.zeros(n, bool)))
+        np.testing.assert_allclose(f_t_full, 0.0, atol=1e-7)
+
+    def test_thin_furnace_bounded(self):
+        """Hemispherical reflect+transmit albedo of a thin flat surface
+        stays <= base color (energy conservation with flatness + dt)."""
+        rs = np.random.RandomState(5)
+        n = 60000
+        b1 = _disney_bsdf(n=n, color=(0.8,) * 3, roughness=0.5, thin=True,
+                          flatness=1.0, diff_trans=0.8)
+        wo = jnp.broadcast_to(jnp.asarray([0.3, 0.1, 0.949], jnp.float32), (n, 3))
+        wo = wo / jnp.linalg.norm(wo, axis=-1, keepdims=True)
+        s = bx.bsdf_sample(
+            b1, wo, jnp.asarray(rs.rand(n, 2), jnp.float32),
+            jnp.asarray(rs.rand(n), jnp.float32),
+        )
+        ok = np.asarray(s.pdf) > 1e-9
+        thru = np.where(
+            ok,
+            np.asarray(s.f).mean(-1) * np.abs(np.asarray(s.wi)[:, 2])
+            / np.maximum(np.asarray(s.pdf), 1e-9),
+            0.0,
+        ).mean()
+        assert 0.05 < thru < 1.0, thru
+        assert bool(np.any(np.asarray(s.is_transmission)))
+
+    def test_flatness_changes_shape_not_sign(self):
+        flat = _disney_bsdf(color=(0.5,) * 3, roughness=0.6, thin=True,
+                            flatness=1.0)
+        base = _disney_bsdf(color=(0.5,) * 3, roughness=0.6)
+        n = flat.kind0.shape[0]
+        wo = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0], jnp.float32), (n, 3))
+        # grazing wi: fake-SS term redistributes energy toward grazing
+        wi = jnp.asarray([[0.0, 0.98, 0.199]] * n, jnp.float32)
+        wi = wi / jnp.linalg.norm(wi, axis=-1, keepdims=True)
+        f_flat = np.asarray(bx.bsdf_f(flat, wo, wi, jnp.ones(n, bool)))
+        f_base = np.asarray(bx.bsdf_f(base, wo, wi, jnp.ones(n, bool)))
+        assert (f_flat > 0).all() and (f_base > 0).all()
+        assert not np.allclose(f_flat, f_base)
