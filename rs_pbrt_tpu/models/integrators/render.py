@@ -96,7 +96,7 @@ def radiance_fn(integrator: str, max_depth: int, rr_threshold: float,
     jax.jit,
     static_argnames=(
         "integrator", "max_depth", "rr_threshold", "sampler_cfg", "filter_cfg",
-        "grid_spp", "grid_rect", "extra", "mega",
+        "grid_spp", "grid_rect", "extra", "mega", "finalize",
     ),
 )
 def render_batch(
@@ -116,6 +116,7 @@ def render_batch(
     grid_rect=None,
     extra: tuple = (),
     mega=None,
+    finalize: bool = False,
 ):
     """One wavefront batch.  Static args exclude spp so different sample
     counts share one compilation (only shapes + depth matter).
@@ -132,8 +133,12 @@ def render_batch(
     if grid_spp:
         fast = filmmod.add_samples_grid(film, filter_cfg, L, grid_spp, grid_rect)
         if fast is not None:
-            return fast
-    return filmmod.add_samples(film, filter_cfg, p_film, L)
+            return (fast, filmmod.to_rgb(fast)) if finalize else fast
+    out = filmmod.add_samples(film, filter_cfg, p_film, L)
+    # finalize fuses the film resolve into the SAME dispatch: a separate
+    # to_rgb call costs a full ~30ms tunnel round trip (measured,
+    # tools/tpu_cornell_profile.py: 129ms -> 99ms for Cornell 64spp)
+    return (out, filmmod.to_rgb(out)) if finalize else out
 
 
 def save_checkpoint(path, film: filmmod.Film, next_sample: int):
@@ -282,11 +287,19 @@ def render(
         snums = jnp.repeat(
             jnp.arange(sample, sample + nb, dtype=jnp.uint32), n_pix
         )
-        film = render_batch(
+        last = sample + nb >= cfg.spp and not (
+            checkpoint_path is not None and checkpoint_every
+        )
+        out = render_batch(
             scene, accel, camera, cfg.integrator, cfg.max_depth, cfg.rr_threshold,
             sampler_cfg, film, filter_cfg, pix, snums, light_distrib,
             grid_spp=nb, grid_rect=grid_rect, extra=extra_t, mega=mega,
+            finalize=last,
         )
+        if last:
+            film, img_final = out
+        else:
+            film = out
         sample += nb
         since_ck += nb
         if checkpoint_path is not None and checkpoint_every and (
@@ -295,7 +308,7 @@ def render(
             jax.block_until_ready(film)
             save_checkpoint(checkpoint_path, film, sample)
             since_ck = 0
-    img = filmmod.to_rgb(film)
+    img = img_final if "img_final" in dict(locals()) else filmmod.to_rgb(film)
     if prof is not None:
         img.block_until_ready()
         prof.__exit__(None, None, None)
