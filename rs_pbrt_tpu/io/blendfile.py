@@ -6,8 +6,9 @@ other by memory address.  This module implements
 - a generic DNA reader (parse_dna / BlendFile.field) equivalent to the
   reference's blend_info helpers (read_dna/get_float3/get_pointer/...),
 - scene extraction for the same node set the reference supports: Mesh
-  (MVert/MPoly/MLoop), Object transforms, Camera (lens/sensor), Lamp
-  (point/sun), Material base color.
+  (MVert/MPoly/MLoop), Object transforms, Camera (lens/sensor/clip), Lamp
+  (point/sun/spot/area), Material (base color + metallic/roughness/
+  specular -> metal/plastic/matte mapping), World horizon color -> IBL.
 """
 
 from __future__ import annotations
@@ -218,12 +219,26 @@ def load_blend(path, builder=None):
     cam_info = dict(fov=50.0, clipping_start=0.0, cam_to_world=np.eye(4, dtype=np.float32),
                     resolution=(640, 480))
 
-    # material blocks (MA): base color; keyed by old pointer
+    # material blocks (MA): base color + the metallic/roughness/specular
+    # DNA fields (Blender 2.8 Material) mapped to renderer materials the
+    # way the reference importer does (parse_blend_file.rs material
+    # mapping: metallic -> metal, strong specular -> plastic, else matte)
     mats = {}
     for blk in bf.blocks:
         if bf.struct_name(blk) == "Material":
+            lay = bf._layout(blk[1])
             rgb = (bf.f32(blk, "r"), bf.f32(blk, "g"), bf.f32(blk, "b"))
-            mats[blk[4]] = b.add_matte(kd=rgb)
+            metallic = bf.f32(blk, "metallic") if "metallic" in lay else 0.0
+            rough = bf.f32(blk, "roughness") if "roughness" in lay else 0.5
+            specular = bf.f32(blk, "spec") if "spec" in lay else 0.5
+            if metallic > 0.5:
+                mats[blk[4]] = b.add_metal(roughness=max(rough, 1e-3))
+            elif specular > 0.6 and rough < 0.35:
+                mats[blk[4]] = b.add_plastic(
+                    kd=rgb, ks=(specular * 0.5,) * 3, roughness=max(rough, 1e-3)
+                )
+            else:
+                mats[blk[4]] = b.add_matte(kd=rgb)
 
     # mesh datablocks keyed by pointer
     meshes = {}
@@ -284,14 +299,57 @@ def load_blend(path, builder=None):
             if "clipsta" in bf._layout(target[1]):
                 cam_info["clipping_start"] = float(bf.f32(target, "clipsta"))
         elif kind in ("Lamp", "Light"):
+            lay = bf._layout(target[1])
             la_type = bf.i16(target, "type")
             rgb = np.asarray(
                 [bf.f32(target, "r"), bf.f32(target, "g"), bf.f32(target, "b")]
             )
-            energy = bf.f32(target, "energy") if "energy" in bf._layout(target[1]) else 1.0
+            energy = bf.f32(target, "energy") if "energy" in lay else 1.0
             if la_type == 1:  # LA_SUN
                 d = -m[:3, 2]  # lamp -z axis
                 b.add_distant_light(from_p=(0, 0, 0), to=tuple(d), L=tuple(rgb * energy))
+            elif la_type == 2:  # LA_SPOT (parse_blend_file.rs spot branch)
+                spotsize = bf.f32(target, "spotsize") if "spotsize" in lay else 0.785
+                blend = bf.f32(target, "spotblend") if "spotblend" in lay else 0.15
+                cone = float(np.degrees(spotsize * 0.5))
+                p = m[:3, 3]
+                to = p - m[:3, 2]  # lamp looks down its -z axis
+                b.add_spot_light(
+                    p=tuple(p), to=tuple(to), I=tuple(rgb * energy),
+                    cone_angle=cone, cone_delta=cone * float(blend),
+                )
+            elif la_type == 4:  # LA_AREA -> emissive quad (reference
+                # parse_blend_file.rs area-lamp branch: Lamp.area_size/_sizey)
+                sx = bf.f32(target, "area_size") if "area_size" in lay else 1.0
+                shape = bf.i16(target, "area_shape") if "area_shape" in lay else 0
+                sy = (bf.f32(target, "area_sizey")
+                      if shape == 1 and "area_sizey" in lay else sx)
+                hx, hy = 0.5 * sx, 0.5 * sy
+                quad = np.array(
+                    [[-hx, -hy, 0], [hx, -hy, 0], [hx, hy, 0], [-hx, hy, 0]],
+                    np.float32,
+                )
+                area = max(sx * sy, 1e-6)
+                black = b.add_matte(kd=(0.0, 0.0, 0.0))
+                # radiance from lamp power: L = P / (area * pi)
+                b.add_triangle_mesh(
+                    [[0, 2, 1], [0, 3, 2]], quad, material=black,
+                    object_to_world=o2w,
+                    area_light=dict(
+                        L=tuple(rgb * energy / (area * np.pi)), two_sided=False
+                    ),
+                )
             else:
                 b.add_point_light(p=tuple(m[:3, 3]), I=tuple(rgb * energy))
+
+    # world background -> constant-color IBL (reference reads World horr/
+    # horg/horb into an infinite light)
+    for blk in bf.blocks:
+        if bf.struct_name(blk) == "World":
+            lay = bf._layout(blk[1])
+            if "horr" in lay:
+                hor = (bf.f32(blk, "horr"), bf.f32(blk, "horg"), bf.f32(blk, "horb"))
+                if any(c > 0 for c in hor) and b.env is None:
+                    b.add_infinite_light(L=hor)
+            break
     return b, cam_info

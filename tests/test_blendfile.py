@@ -24,12 +24,14 @@ def _make_dna():
         "*data", "obmat[4][4]",
         "lens", "sensor_x",
         "type", "r", "g", "b", "energy",
+        "area_size", "area_sizey", "area_shape",
+        "horr", "horg", "horb",
     ]
     types = ["int", "float", "short", "void",
              "Mesh", "MVert", "MPoly", "MLoop", "Object", "Camera", "Lamp",
-             "Material"]
+             "Material", "World"]
     tlens = [4, 4, 2, 0,
-             40, 12, 8, 4, 72, 8, 18, 12]
+             40, 12, 8, 4, 72, 8, 28, 12, 12]
     ni = {n: i for i, n in enumerate(names)}
     ti = {t: i for i, t in enumerate(types)}
     structs = [
@@ -43,9 +45,14 @@ def _make_dna():
         (ti["Camera"], [(ti["float"], ni["lens"]), (ti["float"], ni["sensor_x"])]),
         (ti["Lamp"], [(ti["short"], ni["type"]), (ti["float"], ni["r"]),
                       (ti["float"], ni["g"]), (ti["float"], ni["b"]),
-                      (ti["float"], ni["energy"])]),
+                      (ti["float"], ni["energy"]),
+                      (ti["float"], ni["area_size"]),
+                      (ti["float"], ni["area_sizey"]),
+                      (ti["short"], ni["area_shape"])]),
         (ti["Material"], [(ti["float"], ni["r"]), (ti["float"], ni["g"]),
                           (ti["float"], ni["b"])]),
+        (ti["World"], [(ti["float"], ni["horr"]), (ti["float"], ni["horg"]),
+                       (ti["float"], ni["horb"])]),
     ]
     out = b"SDNA" + b"NAME" + struct.pack("<i", len(names))
     out += _pad4(b"".join(n.encode() + b"\0" for n in names))
@@ -95,7 +102,8 @@ def _make_blend(tmp_path):
     cam_obj = struct.pack("<Q", 0x7000) + cam_obj_mat.tobytes()
     # DNA layouts are packed (real .blend structs carry explicit pad
     # fields); r follows type at offset 2
-    lamp = struct.pack("<h", 0) + struct.pack("<4f", 1.0, 0.8, 0.6, 5.0)
+    lamp = (struct.pack("<h", 0) + struct.pack("<4f", 1.0, 0.8, 0.6, 5.0)
+            + struct.pack("<2f", 0.0, 0.0) + struct.pack("<h", 0))
     lamp_obj_mat = np.eye(4, dtype=np.float32)
     lamp_obj_mat[3, :3] = (3, 3, 3)
     lamp_obj = struct.pack("<Q", 0x8000) + lamp_obj_mat.tobytes()
@@ -111,6 +119,15 @@ def _make_blend(tmp_path):
     raw += _block(b"OB", sidx["Object"], 1, 0xA100, cam_obj)
     raw += _block(b"LA", sidx["Lamp"], 1, 0x8000, lamp)
     raw += _block(b"OB", sidx["Object"], 1, 0xA200, lamp_obj)
+    # area lamp: type 4, 2x1 rect (shape 1) with energy pi*2 -> L = 1
+    area = (struct.pack("<h", 4) + struct.pack("<4f", 1.0, 1.0, 1.0, float(np.pi * 2))
+            + struct.pack("<2f", 2.0, 1.0) + struct.pack("<h", 1))
+    raw += _block(b"LA", sidx["Lamp"], 1, 0x8100, area)
+    area_obj_mat = np.eye(4, dtype=np.float32)
+    area_obj_mat[3, :3] = (0, 0, 5)
+    raw += _block(b"OB", sidx["Object"], 1, 0xA300, struct.pack("<Q", 0x8100) + area_obj_mat.tobytes())
+    # world horizon color -> constant IBL
+    raw += _block(b"WO", sidx["World"], 1, 0x9000, struct.pack("<3f", 0.05, 0.06, 0.08))
     raw += _block(b"DNA1", 0, 1, 0xD4A, dna)
     raw += _block(b"ENDB", 0, 0, 0, b"")
     p = tmp_path / "scene.blend"
@@ -128,14 +145,28 @@ class TestBlendReader:
     def test_scene_extraction(self, tmp_path):
         b, ci = load_blend(_make_blend(tmp_path))
         scene = b.finalize()
-        # tri + fan-triangulated quad = 3 triangles
-        assert scene.n_tris == 3
-        assert scene.n_lights == 1
-        lp = np.asarray(scene.light_params)[0]
+        # tri + fan-triangulated quad = 3 triangles, + 2 area-lamp tris
+        assert scene.n_tris == 5
+        # point lamp + area lamp + world IBL
+        assert scene.n_lights == 3
+        assert scene.has_env
+        from rs_pbrt_tpu.scene import arrays as sa
+        ltypes = np.asarray(scene.light_type)
+        assert (ltypes == sa.LIGHT_AREA).sum() == 1
+        assert (ltypes == sa.LIGHT_INFINITE).sum() == 1
+        # area lamp radiance L = P / (area*pi) = 2pi / (2*pi) = 1
+        ai = int(np.where(ltypes == sa.LIGHT_AREA)[0][0])
+        np.testing.assert_allclose(
+            np.asarray(scene.light_params)[ai, 3:6], 1.0, rtol=1e-5
+        )
+        pi_ = int(np.where(ltypes == sa.LIGHT_POINT)[0][0])
+        lp = np.asarray(scene.light_params)[pi_]
         np.testing.assert_allclose(lp[0:3], [3, 3, 3], atol=1e-6)  # lamp pos
         np.testing.assert_allclose(lp[3:6], [5.0, 4.0, 3.0], rtol=1e-5)  # I
-        # mesh translated by the object matrix (+2 z)
-        assert abs(float(np.asarray(scene.tri_p0)[:, 2].mean()) - 2.0) < 1e-5
+        # mesh translated by the object matrix (+2 z); tris 3..4 are the
+        # area lamp's quad at z=5
+        assert abs(float(np.asarray(scene.tri_p0)[:3, 2].mean()) - 2.0) < 1e-5
+        assert abs(float(np.asarray(scene.tri_p0)[3:, 2].mean()) - 5.0) < 1e-5
         # camera fov from lens 35mm / sensor 32mm
         expect_fov = np.degrees(2 * np.arctan(32.0 / 70.0))
         assert abs(ci["fov"] - expect_fov) < 1e-3
