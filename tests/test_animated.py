@@ -1,6 +1,7 @@
 """AnimatedTransform + camera motion blur tests (reference
 src/core/transform.rs:894-2204)."""
 
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -40,6 +41,7 @@ class TestDecompose:
 
 
 class TestMotionBlur:
+    @pytest.mark.slow
     def test_moving_camera_smears(self):
         """A camera translating during the shutter blurs a bright spot
         along the motion axis; a static camera doesn't."""

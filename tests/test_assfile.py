@@ -1,6 +1,7 @@
 """Arnold .ass importer tests (reference examples/parse_ass_file.rs)."""
 
 import numpy as np
+import pytest
 
 from rs_pbrt_tpu.io.assfile import load_ass, parse_nodes
 
@@ -109,6 +110,7 @@ class TestImport:
         assert (mt == sa.MATTE).sum() >= 2  # default + red
         assert (mt == sa.METAL).sum() == 1
 
+    @pytest.mark.slow
     def test_renders(self):
         from rs_pbrt_tpu.models import cameras as cam
         from rs_pbrt_tpu.models import samplers as smpl

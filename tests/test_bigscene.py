@@ -22,6 +22,7 @@ def test_icosphere_counts_and_manifold():
     np.testing.assert_allclose(np.linalg.norm(v, axis=1), 1.0, rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_statue_scene_renders():
     scene, camera = bigscene.statue_scene(resolution=(24, 24), subdivisions=4)
     assert scene.n_tris == 20 * 4**4 + 4

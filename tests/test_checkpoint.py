@@ -31,6 +31,7 @@ class TestDeterminism:
         img_small = np.asarray(rdr.render(scene, camera, cfg, scfg, max_lanes=512))
         np.testing.assert_allclose(img_big, img_small, atol=1e-6)
 
+    @pytest.mark.slow
     def test_rerun_bit_identical(self):
         scene, camera, cfg, scfg = _setup()
         a = np.asarray(rdr.render(scene, camera, cfg, scfg))

@@ -99,7 +99,7 @@ def _analytic_plane_scene(sigma_a=None):
         b.camera_medium = mid
     scene = b.finalize()
     camera = cam.make_perspective(
-        tr.look_at([0, 5, -10], [0, 0, 0], [0, 1, 0]), (33, 33), fov=40.0
+        tr.look_at([0, 5, -10], [0, 0, 0], [0, 1, 0]), (17, 17), fov=40.0
     )
     return scene, camera, kd, I
 
@@ -116,7 +116,7 @@ def test_directlighting_analytic_absolute():
     scfg = smpl.make_sampler(smpl.SOBOL, 8, camera.resolution)
     img = np.asarray(rdr2.render(scene, camera, cfg, scfg))
     want = kd / np.pi * I / 100.0
-    np.testing.assert_allclose(img[16, 16], want, rtol=0.05)
+    np.testing.assert_allclose(img[8, 8], want, rtol=0.05)
 
 
 def test_volpath_analytic_absolute():
@@ -137,7 +137,7 @@ def test_volpath_analytic_absolute():
     img = np.asarray(rdr2.render(scene, camera, cfg, scfg))
     d_cam = np.sqrt(125.0)
     want = kd / np.pi * I / 100.0 * np.exp(-sigma * (d_cam + 10.0))
-    np.testing.assert_allclose(img[16, 16], want, rtol=0.05)
+    np.testing.assert_allclose(img[8, 8], want, rtol=0.05)
 
 
 @pytest.mark.slow

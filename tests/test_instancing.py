@@ -1,6 +1,7 @@
 """Two-level BVH instancing tests (reference primitive.rs
 TransformedPrimitive :198-265).  Oracle: flattened geometry."""
 
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -57,6 +58,7 @@ class TestInstancing:
             jnp.asarray(np.concatenate(P2)),
         )
 
+    @pytest.mark.slow
     def test_matches_flattened(self):
         acc, (p0, p1, p2), o2w = self._build()
         f0, f1, f2 = self._flatten(o2w)

@@ -48,6 +48,7 @@ class TestDirectLighting:
 
 
 class TestWhitted:
+    @pytest.mark.slow
     def test_direct_plus_mirror(self):
         b = SceneBuilder()
         m = b.add_matte(kd=(0.6,) * 3)

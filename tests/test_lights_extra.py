@@ -49,6 +49,7 @@ class TestProjectionLight:
         # frustum-limited: corners outside the cone stay black
         assert out[0, 0].max() < 1e-3
 
+    @pytest.mark.slow
     def test_frustum_cutoff(self):
         b = _floor_scene()
         b.add_projection_light(p=(0, 10, 0), to=(0, 0, 0), I=(200.0,) * 3, fov=20.0,

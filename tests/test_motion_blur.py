@@ -45,6 +45,7 @@ def _scene(translate_end=None, static_offset=(0.0, 0.0, 0.0)):
 
 
 class TestAnimatedMesh:
+    @pytest.mark.slow
     def test_static_pair_matches_regular_mesh(self):
         """Identical start/end transforms must reproduce the static render
         (up to the path through object space, which is exact here)."""
@@ -70,6 +71,7 @@ class TestAnimatedMesh:
         assert val_s > 0.1
         np.testing.assert_allclose(val_a, 0.5 * val_s, rtol=0.15)
 
+    @pytest.mark.slow
     def test_blur_is_directional(self):
         """The quad sweeps +x: a pixel just beyond the leading edge gains
         partial coverage; the mirrored pixel behind the trailing edge
@@ -84,6 +86,7 @@ class TestAnimatedMesh:
         assert leading > 0.05
         assert behind < 1e-3
 
+    @pytest.mark.slow
     def test_shadow_rays_see_motion(self):
         """Occluder sweeping across a light path: ground point shadowed
         for the fraction of shutter the quad blocks the (vertical) light.

@@ -218,6 +218,7 @@ def test_unknown_kind_raises():
         smpl.get_1d(cfg, ctx, 3)
 
 
+@pytest.mark.slow
 def test_render_smoke_halton_maxmin():
     """End-to-end: a tiny scene renders (non-black, finite) with both new
     samplers through the full path-integrator pipeline."""

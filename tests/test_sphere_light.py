@@ -39,6 +39,7 @@ def _render(scene, spp=64, res=9, integrator="path", max_depth=1):
 
 
 class TestSphereLightAnalytic:
+    @pytest.mark.slow
     def test_direct_irradiance_matches_closed_form(self):
         """Uniform sphere emitter (radius r, radiance L, center distance d
         straight above a matte floor): Lo = kd * L * (r/d)^2."""
