@@ -279,6 +279,7 @@ def render(
     spp_per_batch = max(1, min(cfg.spp, lane_cap // n_pix))
     since_ck = 0
     pix_cache = {}
+    img_final = None
     while sample < cfg.spp:
         nb = min(spp_per_batch, cfg.spp - sample)
         if nb not in pix_cache:  # constant across batches of the same size
@@ -308,7 +309,7 @@ def render(
             jax.block_until_ready(film)
             save_checkpoint(checkpoint_path, film, sample)
             since_ck = 0
-    img = img_final if "img_final" in dict(locals()) else filmmod.to_rgb(film)
+    img = img_final if img_final is not None else filmmod.to_rgb(film)
     if prof is not None:
         img.block_until_ready()
         prof.__exit__(None, None, None)
