@@ -122,7 +122,20 @@ def render_batch(
     counts share one compilation (only shapes + depth matter).
     grid_spp > 0 asserts the lanes are grid_spp ordered copies of the
     (possibly cropped) pixel grid, enabling the scatter-free box-filter
-    film path; grid_rect = static (y0, h, x0, w) crop window."""
+    film path; grid_rect = static (y0, h, x0, w) crop window.
+    pixel=None (grid mode): the pixel/sample arrays are BUILT IN-DISPATCH
+    from grid_rect + the sample_num scalar — the host-side tile/repeat
+    ops each cost a tunnel round trip otherwise."""
+    if pixel is None:
+        y0, hh, x0, ww = grid_rect
+        nb = grid_spp
+        xs = jnp.arange(x0, x0 + ww, dtype=jnp.int32)
+        ys = jnp.arange(y0, y0 + hh, dtype=jnp.int32)
+        grid_px = jnp.stack([jnp.tile(xs, hh), jnp.repeat(ys, ww)], axis=-1)
+        pixel = jnp.tile(grid_px, (nb, 1))
+        sample_num = jnp.repeat(
+            jnp.arange(0, nb, dtype=jnp.uint32), hh * ww
+        ) + sample_num.astype(jnp.uint32)
     ctx = smpl.make_ctx(sampler_cfg, pixel, sample_num, frame_lt_spp=True)
     rays, p_film = _camera_rays(camera, sampler_cfg, ctx, pixel)
     L = radiance_fn(integrator, max_depth, rr_threshold, extra, mega)(
@@ -237,12 +250,6 @@ def render(
     cw, ch = px1 - px0, py1 - py0
     grid_rect = (py0, ch, px0, cw)
     n_pix = cw * ch
-    # build the pixel list ON DEVICE (iota ops) — materializing it on the
-    # host and transferring ~50MB per render through the axon tunnel was
-    # ~25ms of fixed cost per call
-    xs = jnp.arange(px0, px1, dtype=jnp.int32)
-    ys = jnp.arange(py0, py1, dtype=jnp.int32)
-    pixels = jnp.stack([jnp.tile(xs, ch), jnp.repeat(ys, cw)], axis=-1)
     film = filmmod.make_film((w, h))
     sample = 0
     if checkpoint_path is not None:
@@ -278,22 +285,16 @@ def render(
     lane_cap = max_lanes if accel is None else min(max_lanes, ACCEL_LANE_CAP)
     spp_per_batch = max(1, min(cfg.spp, lane_cap // n_pix))
     since_ck = 0
-    pix_cache = {}
     img_final = None
     while sample < cfg.spp:
         nb = min(spp_per_batch, cfg.spp - sample)
-        if nb not in pix_cache:  # constant across batches of the same size
-            pix_cache[nb] = jnp.tile(pixels, (nb, 1))
-        pix = pix_cache[nb]
-        snums = jnp.repeat(
-            jnp.arange(sample, sample + nb, dtype=jnp.uint32), n_pix
-        )
         last = sample + nb >= cfg.spp and not (
             checkpoint_path is not None and checkpoint_every
         )
         out = render_batch(
             scene, accel, camera, cfg.integrator, cfg.max_depth, cfg.rr_threshold,
-            sampler_cfg, film, filter_cfg, pix, snums, light_distrib,
+            sampler_cfg, film, filter_cfg, None, jnp.uint32(sample),
+            light_distrib,
             grid_spp=nb, grid_rect=grid_rect, extra=extra_t, mega=mega,
             finalize=last,
         )
