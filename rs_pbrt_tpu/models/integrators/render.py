@@ -125,7 +125,10 @@ def render_batch(
     film path; grid_rect = static (y0, h, x0, w) crop window.
     pixel=None (grid mode): the pixel/sample arrays are BUILT IN-DISPATCH
     from grid_rect + the sample_num scalar — the host-side tile/repeat
-    ops each cost a tunnel round trip otherwise."""
+    ops each cost a tunnel round trip otherwise.  film=None likewise
+    builds the zero film in-dispatch (resolution from the camera)."""
+    if film is None:
+        film = filmmod.make_film(camera.resolution)
     if pixel is None:
         y0, hh, x0, ww = grid_rect
         nb = grid_spp
@@ -250,7 +253,7 @@ def render(
     cw, ch = px1 - px0, py1 - py0
     grid_rect = (py0, ch, px0, cw)
     n_pix = cw * ch
-    film = filmmod.make_film((w, h))
+    film = None  # first batch builds the zero film in-dispatch
     sample = 0
     if checkpoint_path is not None:
         ck = load_checkpoint(checkpoint_path)
