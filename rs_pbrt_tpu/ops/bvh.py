@@ -633,7 +633,7 @@ def bvh_intersect_tris_stream(o, d, t_max, stream16, any_hit: bool = False):
 
 def bvh4_intersect_tris(
     o, d, t_max, wide64, wide_depth: int, any_hit: bool = False,
-    compact_stages: int = 2,
+    compact_stages: int = 3,
 ):
     """ORDERED 4-wide BVH traversal over the unified 256B row array — the
     TPU accel path of record.
@@ -788,7 +788,7 @@ def bvh4_intersect_tris(
     sizes = [R]
     for _ in range(max(compact_stages, 0)):
         nxt = sizes[-1] // 4
-        if nxt < 4096:
+        if nxt < 1024:
             break
         sizes.append(nxt)
 
