@@ -134,7 +134,7 @@ def bench_statue():
     print(
         json.dumps(
             {
-                "metric": "camera_paths/s/chip (1.31M-tri statue 256x256 path 8spp, LBVH)",
+                "metric": "camera_paths/s/chip (1.31M-tri statue 256x256 path 8spp, SAH-BVH4)",
                 "value": round(paths2 / dt2, 1),
                 "unit": "paths/s",
                 "vs_baseline": round(paths2 / dt2 / BASELINE, 3),

@@ -23,7 +23,11 @@ from .. import samplers as smpl
 from . import path as pathmod
 
 
-# per-dispatch lane cap for accelerated (BVH) scenes — see render()
+# per-dispatch lane cap for accelerated (BVH) scenes — see render().
+# Measured on the statue bench: 64k beats 128k (131.9k vs 119.9k paths/s;
+# larger wavefronts gather more rows per traversal iteration without
+# proportionally fewer iterations) and keeps dispatches far from the
+# ~1-minute worker-kill budget
 ACCEL_LANE_CAP = 1 << 16
 
 
