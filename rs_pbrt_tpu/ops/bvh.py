@@ -795,7 +795,9 @@ def bvh4_intersect_tris(
     for si, size in enumerate(sizes):
         if si > 0:
             # compact live lanes into a `size` prefix (guaranteed to fit:
-            # the previous stage only exits early when count <= size)
+            # the previous stage only exits early when count <= size).
+            # Quartering stages measured equal to halving on the statue
+            # (131.9k vs 129.9k paths/s) with half the compiled loops
             l = live_mask(state)
             order = jnp.argsort(jnp.where(l, 0, 1), stable=True)
             sel = order[:size]
