@@ -868,6 +868,14 @@ def render_bdpt(scene, camera, spp: int, max_depth: int = 5, sampler_cfg=None,
 
     if sampler_cfg is None:
         sampler_cfg = smpl.make_sampler(smpl.RANDOM, spp, camera.resolution)
+    if accel is not None:
+        # accelerated scenes cap the per-dispatch wavefront like render()
+        # does: BDPT stacks 2 walks + (s,t) connection visibilities per
+        # batch, and single dispatches beyond ~1 min get the TPU worker
+        # killed (render.ACCEL_LANE_CAP rationale)
+        from .render import ACCEL_LANE_CAP
+
+        max_lanes = min(max_lanes, ACCEL_LANE_CAP // 2)
     w, h = camera.resolution
     n_pix = w * h
     xs, ys = np.meshgrid(np.arange(w, dtype=np.int32), np.arange(h, dtype=np.int32))
