@@ -627,3 +627,195 @@ extern "C" long wide4_build(const int* child_l, const int* child_r,
   std::memcpy(rows_out, W.rows.data(), (size_t)W.n_rows * 64 * sizeof(float));
   return W.n_rows;
 }
+
+// ---------------------------------------------------------------------------
+// 12-wide collapse with 128-col (512B) rows.
+//
+// Round-4 chip measurement (tools/tpu_probe8.py): the XLA gather unit
+// fetches 512B rows at the SAME ~82M rows/s as 256B rows, and gathers do
+// not overlap (no ILP) — so traversal cost is purely row count, and the
+// widest row that holds a full child set is the right arity.  12 child
+// AABBs (72 cols) or 12 packed triangles (108 cols) fit 128 cols; vs the
+// 4-wide tree this cuts interior levels ~1.8x (log2 12 / log2 4) and leaf
+// rows ~3x at the same fetch rate.
+//
+// Row layout (128 f32 cols), discriminated by col 127 (0=internal 1=leaf):
+//   internal: bmin_x[0:12] bmin_y[12:24] bmin_z[24:36]
+//             bmax_x[36:48] bmax_y[48:60] bmax_z[60:72]
+//             child_base[72] count[73]
+//   leaf:     p0[0:36] p1[36:72] p2[72:108] prim_id[108:120] count[120]
+// Empty internal slots carry inverted boxes (+1e30/-1e30, never hit);
+// empty leaf slots duplicate triangle 0 (idempotent extra test).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct WideN {
+  static constexpr int A = 12;    // arity (child slots per internal row)
+  static constexpr int L = 12;    // leaf capacity (triangles per leaf row)
+  static constexpr int RW = 128;  // row width in f32 cols
+  const int* child_l;
+  const int* child_r;
+  const float* bmin_l;
+  const float* bmax_l;
+  const float* bmin_r;
+  const float* bmax_r;
+  const int* prim_ids;
+  const float* p0;
+  const float* p1;
+  const float* p2;
+  std::vector<float> rows;
+  long n_rows = 0;
+  int max_depth = 0;
+
+  long alloc(int k) {
+    long base = n_rows;
+    n_rows += k;
+    rows.resize((size_t)n_rows * RW, 0.0f);
+    return base;
+  }
+
+  void child_bounds(int node, bool left, float* b) const {
+    const float* mn = left ? bmin_l : bmin_r;
+    const float* mx = left ? bmax_l : bmax_r;
+    for (int c = 0; c < 3; ++c) {
+      b[c] = mn[node * 3 + c];
+      b[3 + c] = mx[node * 3 + c];
+    }
+  }
+
+  // collapse binary ref `node`'s children into up to A wide children by
+  // repeatedly splitting the largest-area internal item (same policy as
+  // Wide4::wide_children); an item whose subtree fits a leaf row (<= L
+  // leaves) is left unsplit so it packs into ONE leaf row
+  void wide_children(int node, int* refs, float* bs, int* count) const {
+    struct Item { int ref; float b[6]; };
+    Item items[A];
+    int ni = 0;
+    items[ni].ref = child_l[node];
+    child_bounds(node, true, items[ni++].b);
+    items[ni].ref = child_r[node];
+    child_bounds(node, false, items[ni++].b);
+    while (ni < A) {
+      int pick = -1;
+      float best_area = -1.0f;
+      for (int i = 0; i < ni; ++i) {
+        if (items[i].ref < 0) continue;
+        if (count_leaves(items[i].ref, L + 1) <= L) continue;  // stays a leaf row
+        float d0 = items[i].b[3] - items[i].b[0];
+        float d1 = items[i].b[4] - items[i].b[1];
+        float d2 = items[i].b[5] - items[i].b[2];
+        float a = d0 * d1 + d0 * d2 + d1 * d2;
+        if (a > best_area) { best_area = a; pick = i; }
+      }
+      if (pick < 0) break;
+      int in = items[pick].ref;
+      Item l, r;
+      l.ref = child_l[in];
+      child_bounds(in, true, l.b);
+      r.ref = child_r[in];
+      child_bounds(in, false, r.b);
+      items[pick] = l;
+      items[ni++] = r;
+    }
+    *count = ni;
+    for (int i = 0; i < ni; ++i) {
+      refs[i] = items[i].ref;
+      for (int c = 0; c < 6; ++c) bs[i * 6 + c] = items[i].b[c];
+    }
+  }
+
+  int count_leaves(int ref, int cap) const {
+    if (ref < 0) return 1;
+    int a = count_leaves(child_l[ref], cap);
+    if (a >= cap) return a;
+    return a + count_leaves(child_r[ref], cap - a);
+  }
+
+  void collect_leaves(int ref, int* out, int* k) const {
+    if (ref < 0) { out[(*k)++] = ~ref; return; }
+    collect_leaves(child_l[ref], out, k);
+    collect_leaves(child_r[ref], out, k);
+  }
+
+  void fill_leaf_row(long row, const int* leafpos, int k) {
+    float* r = &rows[(size_t)row * RW];
+    for (int i = 0; i < L; ++i) {
+      int prim = i < k ? prim_ids[leafpos[i]] : prim_ids[leafpos[0]];
+      for (int c = 0; c < 3; ++c) {
+        r[0 + i * 3 + c] = p0[prim * 3 + c];
+        r[36 + i * 3 + c] = p1[prim * 3 + c];
+        r[72 + i * 3 + c] = p2[prim * 3 + c];
+      }
+      r[108 + i] = (float)prim;
+    }
+    r[120] = (float)k;
+    r[127] = 1.0f;
+  }
+
+  void emit(int ref, long row, int depth) {
+    if (depth > max_depth) max_depth = depth;
+    int nl = count_leaves(ref, L + 1);
+    if (nl <= L) {
+      int leaves[L + 2];
+      int k = 0;
+      collect_leaves(ref, leaves, &k);
+      fill_leaf_row(row, leaves, k);
+      return;
+    }
+    int refs[A];
+    float bs[6 * A];
+    int count;
+    wide_children(ref, refs, bs, &count);
+    long base = alloc(count);
+    float* r = &rows[(size_t)row * RW];
+    for (int i = 0; i < A; ++i) {
+      bool live = i < count;
+      r[0 + i] = live ? bs[i * 6 + 0] : 1e30f;
+      r[12 + i] = live ? bs[i * 6 + 1] : 1e30f;
+      r[24 + i] = live ? bs[i * 6 + 2] : 1e30f;
+      r[36 + i] = live ? bs[i * 6 + 3] : -1e30f;
+      r[48 + i] = live ? bs[i * 6 + 4] : -1e30f;
+      r[60 + i] = live ? bs[i * 6 + 5] : -1e30f;
+    }
+    r[72] = (float)base;
+    r[73] = (float)count;
+    r[127] = 0.0f;
+    for (int i = 0; i < count; ++i) emit(refs[i], base + i, depth + 1);
+  }
+};
+
+}  // namespace
+
+extern "C" long wide12_build(const int* child_l, const int* child_r,
+                             const float* bmin_l, const float* bmax_l,
+                             const float* bmin_r, const float* bmax_r,
+                             const int* prim_ids, const float* p0,
+                             const float* p1, const float* p2, int n,
+                             float* rows_out, long cap, int* depth_out) {
+  if (n < 1) return 0;
+  WideN W;
+  W.child_l = child_l;
+  W.child_r = child_r;
+  W.bmin_l = bmin_l;
+  W.bmax_l = bmax_l;
+  W.bmin_r = bmin_r;
+  W.bmax_r = bmax_r;
+  W.prim_ids = prim_ids;
+  W.p0 = p0;
+  W.p1 = p1;
+  W.p2 = p2;
+  if (n == 1) {
+    W.alloc(1);
+    int leaves[1] = {0};
+    W.fill_leaf_row(0, leaves, 1);
+  } else {
+    W.alloc(1);
+    W.emit(0, 0, 1);
+  }
+  if (depth_out) *depth_out = W.max_depth;
+  if (W.n_rows * (long)WideN::RW > cap) return -W.n_rows;
+  std::memcpy(rows_out, W.rows.data(),
+              (size_t)W.n_rows * WideN::RW * sizeof(float));
+  return W.n_rows;
+}

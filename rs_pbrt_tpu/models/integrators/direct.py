@@ -124,7 +124,8 @@ class WhittedCfg(NamedTuple):
     max_depth: int  # static
 
 
-def whitted_radiance(scene, wcfg: WhittedCfg, cfg_s, ctx, ray_o, ray_d, accel=None):
+def whitted_radiance(scene, wcfg: WhittedCfg, cfg_s, ctx, ray_o, ray_d, accel=None,
+                     diffs=None):
     """Whitted: direct from all lights (no MIS) + specular recursion
     (reference whitted.rs + integrator.rs:259-294 specular_reflect/transmit)."""
     n = ray_o.shape[0]
@@ -146,7 +147,13 @@ def whitted_radiance(scene, wcfg: WhittedCfg, cfg_s, ctx, ray_o, ray_d, accel=No
             L = L + jnp.where(esc[..., None], beta * lt.env_le(scene, d), 0.0)
         alive = alive & it.valid
 
-        b = bx.make_bsdf_at(scene, it)
+        if diffs is not None and depth == 0:
+            from ...ops import differentials as rdiff
+
+            tex_width = rdiff.duv_width_at_hit(scene, it, diffs)
+        else:
+            tex_width = None
+        b = bx.make_bsdf_at(scene, it, width=tex_width)
         ss, ts = _shading_frame_du(it.ns, it.dpdu)
         dim0 = DIM_CAMERA + depth * (2 * max(scene.n_lights, 1) + 3)
         if scene.n_lights > 0:
@@ -178,7 +185,8 @@ class DirectLightingCfg(NamedTuple):
     sample_all: bool  # static (LightStrategy::UniformSampleAll)
 
 
-def directlighting_radiance(scene, dcfg, cfg_s, ctx, ray_o, ray_d, accel=None):
+def directlighting_radiance(scene, dcfg, cfg_s, ctx, ray_o, ray_d, accel=None,
+                            diffs=None):
     n = ray_o.shape[0]
     zero3 = ray_o * 0.0
     L = zero3
@@ -199,7 +207,13 @@ def directlighting_radiance(scene, dcfg, cfg_s, ctx, ray_o, ray_d, accel=None):
             L = L + jnp.where(esc[..., None], beta * lt.env_le(scene, d), 0.0)
         alive = alive & it.valid
 
-        b = bx.make_bsdf_at(scene, it)
+        if diffs is not None and depth == 0:
+            from ...ops import differentials as rdiff
+
+            tex_width = rdiff.duv_width_at_hit(scene, it, diffs)
+        else:
+            tex_width = None
+        b = bx.make_bsdf_at(scene, it, width=tex_width)
         ss, ts = _shading_frame_du(it.ns, it.dpdu)
         dim0 = DIM_CAMERA + depth * (2 * max(scene.n_lights, 1) + 3)
         if scene.n_lights > 0:

@@ -281,8 +281,14 @@ def radiance(
     light_distrib=None,
     mega=None,
     time=None,
+    diffs=None,
 ):
     """Estimate L for a wavefront of camera rays.  Returns (N,3).
+
+    diffs: optional ops/differentials.RayDiffs for the camera rays —
+    texture-footprint mip filtering at primary hits (like the reference,
+    only camera rays carry differentials; secondary bounces evaluate at
+    the finest level, camera.rs:28 / interaction.rs:388).
 
     time: (N,) per-lane ray times in [0,1] — consumed by animated
     primitives (object motion blur); None = shutter open.
@@ -394,7 +400,15 @@ def radiance(
                     else smpl.get_2d_dyn(sampler_cfg, ctx, dim0 + k))
 
         # --- build BSDF at hit ---
-        b = bx.make_bsdf_at(scene, it)
+        if diffs is not None:
+            from ...ops import differentials as rdiff
+
+            tex_width = jnp.where(
+                bounce == 0, rdiff.duv_width_at_hit(scene, it, diffs), 0.0
+            )
+        else:
+            tex_width = None
+        b = bx.make_bsdf_at(scene, it, width=tex_width)
         ss, ts = _shading_frame_du(it.ns, it.dpdu)
         ns_sh, ss, ts = bx.apply_bump(scene, it, ss, ts)
         it = it._replace(ns=ns_sh)

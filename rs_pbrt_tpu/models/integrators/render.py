@@ -44,11 +44,18 @@ class RenderCfg(NamedTuple):
     accelerator: str = "bvh"  # "bvh" | "kdtree" (reference api.rs:528)
 
 
-def _camera_rays(camera: cam.Camera, sampler_cfg, ctx, pixel):
+def _camera_rays(camera: cam.Camera, sampler_cfg, ctx, pixel, want_diffs=False):
     u_film, u_time, u_lens = smpl.get_camera_dims(sampler_cfg, ctx, pixel)
     p_film = pixel.astype(jnp.float32) + u_film
     rays = cam.generate_rays(camera, p_film, u_lens, u_time)
-    return rays, p_film
+    diffs = None
+    if want_diffs:
+        from ...ops import differentials as rd
+
+        diffs = rd.camera_differentials(
+            camera, rays, p_film, u_lens, u_time, sampler_cfg.spp
+        )
+    return rays, p_film, diffs
 
 
 def radiance_fn(integrator: str, max_depth: int, rr_threshold: float,
@@ -62,15 +69,15 @@ def radiance_fn(integrator: str, max_depth: int, rr_threshold: float,
     e = dict(extra)
     if integrator == "path":
         pcfg = pathmod.PathCfg(max_depth, rr_threshold)
-        return lambda scene, cfg_s, ctx, o, d, accel, ld=None, time=None: pathmod.radiance(
+        return lambda scene, cfg_s, ctx, o, d, accel, ld=None, time=None, diffs=None: pathmod.radiance(
             scene, pcfg, cfg_s, ctx, o, d, accel, light_distrib=ld, mega=mega,
-            time=time,
+            time=time, diffs=diffs,
         )
     if integrator == "volpath":
         from . import volpath as volmod
 
         pcfg = pathmod.PathCfg(max_depth, rr_threshold)
-        return lambda scene, cfg_s, ctx, o, d, accel, ld=None, time=None: volmod.radiance(
+        return lambda scene, cfg_s, ctx, o, d, accel, ld=None, time=None, diffs=None: volmod.radiance(
             scene, pcfg, cfg_s, ctx, o, d, accel
         )
     if integrator == "ao":
@@ -78,20 +85,20 @@ def radiance_fn(integrator: str, max_depth: int, rr_threshold: float,
             n_samples=int(e.get("n_samples", 8)),
             cos_sample=bool(e.get("cos_sample", True)),
         )
-        return lambda scene, cfg_s, ctx, o, d, accel, ld=None, time=None: directmod.ao_radiance(
+        return lambda scene, cfg_s, ctx, o, d, accel, ld=None, time=None, diffs=None: directmod.ao_radiance(
             scene, acfg, cfg_s, ctx, o, d, accel
         )
     if integrator == "whitted":
         wcfg = directmod.WhittedCfg(max_depth)
-        return lambda scene, cfg_s, ctx, o, d, accel, ld=None, time=None: directmod.whitted_radiance(
-            scene, wcfg, cfg_s, ctx, o, d, accel
+        return lambda scene, cfg_s, ctx, o, d, accel, ld=None, time=None, diffs=None: directmod.whitted_radiance(
+            scene, wcfg, cfg_s, ctx, o, d, accel, diffs=diffs
         )
     if integrator == "directlighting":
         dcfg = directmod.DirectLightingCfg(
             max_depth, sample_all=(e.get("strategy", "all") == "all")
         )
-        return lambda scene, cfg_s, ctx, o, d, accel, ld=None, time=None: directmod.directlighting_radiance(
-            scene, dcfg, cfg_s, ctx, o, d, accel
+        return lambda scene, cfg_s, ctx, o, d, accel, ld=None, time=None, diffs=None: directmod.directlighting_radiance(
+            scene, dcfg, cfg_s, ctx, o, d, accel, diffs=diffs
         )
     raise ValueError(f"unknown integrator {integrator!r}")
 
@@ -144,10 +151,17 @@ def render_batch(
             jnp.arange(0, nb, dtype=jnp.uint32), hh * ww
         ) + sample_num.astype(jnp.uint32)
     ctx = smpl.make_ctx(sampler_cfg, pixel, sample_num, frame_lt_spp=True)
-    rays, p_film = _camera_rays(camera, sampler_cfg, ctx, pixel)
+    from ...ops import differentials as rd
+
+    want_diffs = rd.needs_diffs(scene) and integrator in (
+        "path", "whitted", "directlighting"
+    )
+    rays, p_film, diffs = _camera_rays(
+        camera, sampler_cfg, ctx, pixel, want_diffs=want_diffs
+    )
     L = radiance_fn(integrator, max_depth, rr_threshold, extra, mega)(
         scene, sampler_cfg, ctx, rays.o, rays.d, accel, light_distrib,
-        time=rays.time,
+        time=rays.time, diffs=diffs,
     )
     L = L * rays.weight[..., None]
     if grid_spp:

@@ -673,14 +673,16 @@ class Bsdf:
     r5: object = None
 
 
-def make_bsdf_at(scene, it):
+def make_bsdf_at(scene, it, width=None):
     """Build the per-lane BSDF at hits, resolving textured parameter slots
     (replaces Material::compute_scattering_functions + per-material texture
-    evaluate calls, material.rs:63 + src/materials/*)."""
-    return make_bsdf_from_mat(scene, it.mat, it.uv, it.p)
+    evaluate calls, material.rs:63 + src/materials/*).  width: optional
+    (N,) texture-space footprint from ray differentials
+    (ops/differentials.py) for mip filtering."""
+    return make_bsdf_from_mat(scene, it.mat, it.uv, it.p, width=width)
 
 
-def make_bsdf_from_mat(scene, mat_idx, uv=None, p_hit=None):
+def make_bsdf_from_mat(scene, mat_idx, uv=None, p_hit=None, width=None):
     """BSDF from material indices; uv/p_hit enable texture overrides (the
     BDPT/SPPM vertex-reevaluation path passes uv=None: mix materials still
     resolve, textures fall back to their base params)."""
@@ -697,14 +699,14 @@ def make_bsdf_from_mat(scene, mat_idx, uv=None, p_hit=None):
 
         def override3(params, slot, col):
             tid = mt[:, slot]
-            val = tx.eval_texture(scene, tid, uv, p_hit)
+            val = tx.eval_texture(scene, tid, uv, p_hit, width=width)
             cur = params[:, col : col + 3]
             new = jnp.where((tid >= 0)[:, None], val, cur)
             return params.at[:, col : col + 3].set(new)
 
         def override1(params, slot, col):
             tid = mt[:, slot]
-            val = tx.eval_texture(scene, tid, uv, p_hit)[..., 0]
+            val = tx.eval_texture(scene, tid, uv, p_hit, width=width)[..., 0]
             new = jnp.where(tid >= 0, val, params[:, col])
             return params.at[:, col].set(new)
 

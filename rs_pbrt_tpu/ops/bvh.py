@@ -67,10 +67,22 @@ class LBVH(NamedTuple):
     # array: a plain int field would become a tracer through jit
     # boundaries (the accel rides jit arguments)
     wide_dflag: jnp.ndarray = None
+    # unified 12-wide 512B rows (native wide12_build): round-4 probes
+    # (tools/tpu_probe8.py) measured 512B rows gathering at the SAME
+    # ~82M rows/s as 256B rows with zero gather ILP — so tripling the
+    # arity per row cuts traversal row count ~2-3x at the same rate.
+    # This is the TPU accel path of record; wide64 remains for parity
+    # tests and the megakernel.
+    wide128: jnp.ndarray = None  # (M, 128) f32
+    wide128_dflag: jnp.ndarray = None
 
     @property
     def wide_depth(self) -> int:
         return 0 if self.wide_dflag is None else self.wide_dflag.shape[0]
+
+    @property
+    def wide12_depth(self) -> int:
+        return 0 if self.wide128_dflag is None else self.wide128_dflag.shape[0]
 
 
 def pack_nodes(child_l, child_r, bmin_l, bmax_l, bmin_r, bmax_r):
@@ -720,6 +732,12 @@ def bvh4_intersect_tris(
         tf = jnp.min(jnp.maximum(t_lo, t_hi), axis=1) * eps
         hit4 = (tn <= tf) & (tf > 0.0) & (tn < best_t[:, None])
         hit4 &= (active & ~is_leaf)[:, None]
+        # mask slots >= the row's child count: "inverted" empty boxes pass
+        # the slab test (per-axis min/max repairs the inversion) — see the
+        # wide12 traversal note.  Rare here (the 4-wide collapse almost
+        # always fills all slots) but phantom on partially-filled rows.
+        cnt4 = jnp.round(row[:, 25]).astype(jnp.int32)
+        hit4 &= jnp.arange(4, dtype=jnp.int32)[None, :] < cnt4[:, None]
         child_base = jnp.round(row[:, 24]).astype(jnp.int32)
         tn_m = jnp.where(hit4, tn, jnp.inf)
         near = jnp.argmin(tn_m, axis=1).astype(jnp.int32)
@@ -785,6 +803,23 @@ def bvh4_intersect_tris(
         o=o, d=d, inv_d=inv_d, shear=shear1,
     )
 
+    state = _compacted_traversal(body, live_mask, state, R, compact_stages)
+    best_tri = state["best_tri"]
+    valid = best_tri >= 0
+    return TriHit(valid, state["best_t"], best_tri, state["best_b0"], state["best_b1"])
+
+
+def _compacted_traversal(body, live_mask, state, R, compact_stages):
+    """Adaptive wavefront-compaction driver shared by the wide traversals.
+
+    Per-lane visit counts are heavy-tailed (statue: mean 14, p99 42, max
+    72 on the 4-wide tree) and every while-iteration pays the FULL
+    wavefront's gather row count — so once the live-lane count drops below
+    a quarter of the current wavefront, live lanes are argsort-compacted
+    into a 4x smaller prefix and the loop continues there (correctness
+    guaranteed: compaction only triggers when every live lane fits the
+    prefix).  Quartering stages measured equal to halving on the statue
+    (131.9k vs 129.9k paths/s) with half the compiled loops."""
     sizes = [R]
     for _ in range(max(compact_stages, 0)):
         nxt = sizes[-1] // 4
@@ -794,10 +829,6 @@ def bvh4_intersect_tris(
 
     for si, size in enumerate(sizes):
         if si > 0:
-            # compact live lanes into a `size` prefix (guaranteed to fit:
-            # the previous stage only exits early when count <= size).
-            # Quartering stages measured equal to halving on the statue
-            # (131.9k vs 129.9k paths/s) with half the compiled loops
             l = live_mask(state)
             order = jnp.argsort(jnp.where(l, 0, 1), stable=True)
             sel = order[:size]
@@ -827,7 +858,174 @@ def bvh4_intersect_tris(
             }
         else:
             state = sub
+    return state
 
+
+# wide12 row layout (native/lbvh.cpp wide12_build): 128 f32 cols,
+# discriminated by col 127 (0=internal, 1=leaf)
+W12 = 12
+_W12_BASE = 72   # internal: child-group base row id
+_W12_COUNT = 73  # internal: live child count
+_W12_P1 = 36     # leaf: second vertices block
+_W12_P2 = 72
+_W12_PRIM = 108
+_W12_FLAG = 127
+
+
+def bvh12_intersect_tris(
+    o, d, t_max, wide128, wide_depth: int, any_hit: bool = False,
+    compact_stages: int = 3,
+):
+    """ORDERED 12-wide BVH traversal over unified 512B rows — the TPU
+    accel path of record (round 4).
+
+    Same algorithm as bvh4_intersect_tris (one row gather per iteration,
+    nearest-child-first descent, packed pending masks, roll-stack pushes,
+    adaptive compaction) at triple the arity: round-4 probes
+    (tools/tpu_probe8.py) measured 512B rows gathering at the same ~82M
+    rows/s as 256B rows and no gather ILP, so the widest row that holds a
+    full child set minimizes the only real cost — row count.  12 child
+    AABBs or 12 packed triangles per row cut interior levels ~1.8x and
+    leaf visits ~3x vs the 4-wide tree.  Pending-child state no longer
+    fits one packed u32 (base<<4|mask needed 4 bits; 12 need 12), so
+    `cur` and the roll-stack are parallel (base, mask) i32 pairs.
+    Mirrors reference bvh.rs:401-514 capability (stack machine,
+    dir_is_neg ordering) with a hardware-shaped algorithm.
+    """
+    R = o.shape[0]
+    K = max(2 * wide_depth + 4, 8)
+    eps = 1.0 + 2.0 * vm.gamma(3.0)
+    from .intersect import ray_shear
+
+    bits = jax.lax.shift_left(jnp.int32(1), jnp.arange(W12, dtype=jnp.int32))
+    full = jnp.int32((1 << W12) - 1)
+
+    def live_mask(st):
+        l = (st["cur_m"] != 0) | (st["stk_m"][:, 0] != 0)
+        if any_hit:
+            l &= st["best_tri"] < 0
+        return l
+
+    def body(st):
+        cur_b, cur_m = st["cur_b"], st["cur_m"]
+        stk_b, stk_m = st["stk_b"], st["stk_m"]
+        best_t, best_tri = st["best_t"], st["best_tri"]
+        best_b0, best_b1 = st["best_b0"], st["best_b1"]
+        o, d, inv_d = st["o"], st["d"], st["inv_d"]
+        shear1 = st["shear"]
+        n = cur_b.shape[0]
+        # pop: if cur has no pending bits, pull the stack top
+        need = cur_m == 0
+        cur_b = jnp.where(need, stk_b[:, 0], cur_b)
+        cur_m = jnp.where(need, stk_m[:, 0], cur_m)
+        shift = lambda s: jnp.concatenate(
+            [s[:, 1:], jnp.zeros_like(s[:, :1])], axis=1
+        )
+        stk_b = jnp.where(need[:, None], shift(stk_b), stk_b)
+        stk_m = jnp.where(need[:, None], shift(stk_m), stk_m)
+        active = cur_m != 0
+        if any_hit:
+            active &= best_tri < 0
+        low = cur_m & (-cur_m)
+        # bit index from the f32 exponent (exact: one-hot values < 2^24)
+        biti = jax.lax.shift_right_logical(
+            jax.lax.bitcast_convert_type(low.astype(jnp.float32), jnp.int32), 23
+        ) - 127
+        biti = jnp.where(active, biti, 0)
+        row_id = cur_b + biti
+        cur_m = jax.lax.bitwise_xor(cur_m, low)  # clear the visited bit
+
+        row = wide128[jnp.where(active, row_id, 0)]  # THE one gather (n,128)
+        is_leaf = row[:, _W12_FLAG] > 0.5
+
+        # ---- internal: 12 child slab tests ----
+        o_ = o[:, :, None]
+        i_ = inv_d[:, :, None]
+        bmin12 = jnp.stack([row[:, 0:12], row[:, 12:24], row[:, 24:36]], axis=1)
+        bmax12 = jnp.stack([row[:, 36:48], row[:, 48:60], row[:, 60:72]], axis=1)
+        t_lo = (bmin12 - o_) * i_
+        t_hi = (bmax12 - o_) * i_
+        tn = jnp.max(jnp.minimum(t_lo, t_hi), axis=1)  # (n,12)
+        tf = jnp.min(jnp.maximum(t_lo, t_hi), axis=1) * eps
+        hit12 = (tn <= tf) & (tf > 0.0) & (tn < best_t[:, None])
+        hit12 &= (active & ~is_leaf)[:, None]
+        # CRITICAL: mask slots >= the row's child count.  Empty slots carry
+        # "inverted" boxes, but the slab test repairs inversion through the
+        # per-axis min/max — an inverted box ALWAYS hits (tn=-inf, tf=+inf),
+        # so unmasked empty slots descend into other groups' rows (visits
+        # explode ~20x on the statue; results stay right — the phantom rows
+        # hold real geometry — but the walk is chaotic)
+        cnt = jnp.round(row[:, _W12_COUNT]).astype(jnp.int32)
+        hit12 &= jnp.arange(W12, dtype=jnp.int32)[None, :] < cnt[:, None]
+        child_base = jnp.round(row[:, _W12_BASE]).astype(jnp.int32)
+        tn_m = jnp.where(hit12, tn, jnp.inf)
+        near = jnp.argmin(tn_m, axis=1).astype(jnp.int32)
+        has_hit = jnp.any(hit12, axis=1)
+        near_bit = jax.lax.shift_left(jnp.int32(1), near)
+        hit_bits = jnp.sum(jnp.where(hit12, bits[None, :], 0), axis=1)
+        rest = hit_bits & (full ^ near_bit)
+
+        def push(stk, entry, do):
+            shifted = jnp.concatenate([entry[:, None], stk[:, :-1]], axis=1)
+            return jnp.where(do[:, None], shifted, stk)
+
+        descend = active & ~is_leaf & has_hit
+        resume = descend & (cur_m != 0)
+        stk_b = push(stk_b, cur_b, resume)
+        stk_m = push(stk_m, cur_m, resume)
+        defer = descend & (rest != 0)
+        stk_b = push(stk_b, child_base, defer)
+        stk_m = push(stk_m, rest, defer)
+        cur_b = jnp.where(descend, child_base, cur_b)
+        cur_m = jnp.where(descend, near_bit, cur_m)
+
+        # ---- leaf: 12 packed triangle tests ----
+        p012 = row[:, 0:36].reshape(n, W12, 3)
+        p112 = row[:, 36:72].reshape(n, W12, 3)
+        p212 = row[:, 72:108].reshape(n, W12, 3)
+        th, tt, tb0, tb1 = intersect_tri(
+            o[:, None, :], d[:, None, :], best_t[:, None], p012, p112, p212,
+            shear=shear1,
+        )
+        th &= (active & is_leaf)[:, None]
+        tt_m = jnp.where(th, tt, jnp.inf)
+        bi = jnp.argmin(tt_m, axis=1)
+        tri_hit = jnp.any(th, axis=1)
+        # one-hot select instead of take_along_axis: (n,12) per-lane
+        # gathers hit the same slow gather unit as table rows
+        onehot = bi[:, None] == jnp.arange(W12, dtype=bi.dtype)[None, :]
+        take = lambda a: jnp.sum(jnp.where(onehot, a, 0.0), axis=1)
+        t_new = jnp.min(tt_m, axis=1)
+        upd = tri_hit & (t_new < best_t)
+        prim12 = jnp.round(row[:, _W12_PRIM : _W12_PRIM + W12]).astype(jnp.int32)
+        best_t = jnp.where(upd, t_new, best_t)
+        best_tri = jnp.where(
+            upd, jnp.sum(jnp.where(onehot, prim12, 0), axis=1), best_tri
+        )
+        best_b0 = jnp.where(upd, take(tb0), best_b0)
+        best_b1 = jnp.where(upd, take(tb1), best_b1)
+        return dict(
+            cur_b=cur_b, cur_m=cur_m, stk_b=stk_b, stk_m=stk_m,
+            best_t=best_t, best_tri=best_tri,
+            best_b0=best_b0, best_b1=best_b1, o=o, d=d, inv_d=inv_d,
+            shear=shear1,
+        )
+
+    # varying-typed carries (see bvh4_intersect_tris)
+    inv_d = 1.0 / jnp.where(d == 0.0, 1e-20, d)
+    vary_f = jnp.sum(o * 0.0, axis=-1)
+    best_t = jnp.asarray(t_max, jnp.float32) + vary_f
+    vary_i = vary_f.astype(jnp.int32)
+    shear1 = tuple(s[:, None] for s in ray_shear(o, d))
+    state = dict(
+        cur_b=vary_i, cur_m=vary_i + 1,  # base 0, mask {bit0} -> row 0
+        stk_b=jnp.zeros((R, K), jnp.int32) + vary_i[:, None],
+        stk_m=jnp.zeros((R, K), jnp.int32) + vary_i[:, None],
+        best_t=best_t, best_tri=vary_i - 1,
+        best_b0=vary_f, best_b1=vary_f,
+        o=o, d=d, inv_d=inv_d, shear=shear1,
+    )
+    state = _compacted_traversal(body, live_mask, state, R, compact_stages)
     best_tri = state["best_tri"]
     valid = best_tri >= 0
     return TriHit(valid, state["best_t"], best_tri, state["best_b0"], state["best_b1"])

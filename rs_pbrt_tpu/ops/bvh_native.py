@@ -36,11 +36,14 @@ def _load():
     lib.lbvh_build.restype = ctypes.c_int
     lib.sah_build.argtypes = sig
     lib.sah_build.restype = ctypes.c_int
-    lib.wide4_build.argtypes = [
+    wide_sig = [
         i32p, i32p, f32p, f32p, f32p, f32p, i32p, f32p, f32p, f32p,
         ctypes.c_int, f32p, ctypes.c_long, i32p,
     ]
+    lib.wide4_build.argtypes = wide_sig
     lib.wide4_build.restype = ctypes.c_long
+    lib.wide12_build.argtypes = wide_sig
+    lib.wide12_build.restype = ctypes.c_long
     _lib = lib
     return lib
 
@@ -53,14 +56,11 @@ def native_available() -> bool:
         return False
 
 
-def build_wide4(child_l, child_r, bmin_l, bmax_l, bmin_r, bmax_r, prim_ids,
-                p0, p1, p2):
-    """Collapse a binary BVH into the unified 4-wide 256B-row array (see
-    native/lbvh.cpp wide4_build).  Returns (rows (M,64) np.float32,
-    max_depth int)."""
+def _build_wide(fn_name, width, child_l, child_r, bmin_l, bmax_l, bmin_r,
+                bmax_r, prim_ids, p0, p1, p2):
     lib = _load()
     n = len(prim_ids)
-    assert n < (1 << 24), "wide4 ids exceed exact-f32 range"
+    assert n < (1 << 24), "wide ids exceed exact-f32 range"
     cl = np.ascontiguousarray(child_l, np.int32)
     cr = np.ascontiguousarray(child_r, np.int32)
     args = [
@@ -74,16 +74,36 @@ def build_wide4(child_l, child_r, bmin_l, bmax_l, bmin_r, bmax_r, prim_ids,
         np.ascontiguousarray(p1, np.float32),
         np.ascontiguousarray(p2, np.float32),
     ]
+    build = getattr(lib, fn_name)
     cap_rows = 2 * n + 8
-    rows = np.empty((cap_rows, 64), np.float32)
+    rows = np.empty((cap_rows, width), np.float32)
     depth = np.zeros(1, np.int32)
-    ret = lib.wide4_build(*args, n, rows, rows.size, depth)
+    ret = build(*args, n, rows, rows.size, depth)
     if ret < 0:
-        rows = np.empty((-ret, 64), np.float32)
-        ret = lib.wide4_build(*args, n, rows, rows.size, depth)
+        rows = np.empty((-ret, width), np.float32)
+        ret = build(*args, n, rows, rows.size, depth)
     if ret <= 0:
-        raise RuntimeError(f"wide4_build failed ret={ret}")
+        raise RuntimeError(f"{fn_name} failed ret={ret}")
+    # stored links (child-group base, col 24/72) are row ids and must stay
+    # exact as f32; worst-case row count exceeds the primitive count, so
+    # assert the RETURNED count (ADVICE r3: the n-based assert above is
+    # not sufficient near 2^24)
+    assert ret < (1 << 24), "wide row ids exceed exact-f32 range"
     return np.ascontiguousarray(rows[:ret]), int(depth[0])
+
+
+def build_wide4(*args):
+    """Collapse a binary BVH into the unified 4-wide 256B-row array (see
+    native/lbvh.cpp wide4_build).  Returns (rows (M,64) np.float32,
+    max_depth int)."""
+    return _build_wide("wide4_build", 64, *args)
+
+
+def build_wide12(*args):
+    """Collapse a binary BVH into the unified 12-wide 512B-row array (see
+    native/lbvh.cpp wide12_build; round-4 probe economics in
+    ops/bvh.bvh12_intersect_tris).  Returns (rows (M,128), max_depth)."""
+    return _build_wide("wide12_build", 128, *args)
 
 
 def build_lbvh_native(bmin, bmax, tris=None, sah: bool = True) -> LBVH:
@@ -108,9 +128,12 @@ def build_lbvh_native(bmin, bmax, tris=None, sah: bool = True) -> LBVH:
             z1 = np.zeros(1, np.int32)
             z3 = np.zeros((1, 3), np.float32)
             wide, depth = build_wide4(z1, z1, z3, z3, z3, z3, z1, *tris)
+            wide12, depth12 = build_wide12(z1, z1, z3, z3, z3, z3, z1, *tris)
             lb = lb._replace(
                 wide64=jnp.asarray(wide),
                 wide_dflag=jnp.zeros((depth, 0), jnp.float32),
+                wide128=jnp.asarray(wide12),
+                wide128_dflag=jnp.zeros((depth12, 0), jnp.float32),
             )
         return lb
     lib = _load()
@@ -130,10 +153,13 @@ def build_lbvh_native(bmin, bmax, tris=None, sah: bool = True) -> LBVH:
         raise RuntimeError(f"lbvh_build failed rc={rc}")
     from .bvh import build_stream, pack_leaf_tris, pack_nodes
 
-    wide = None
-    depth = 0
+    wide = wide12 = None
+    depth = depth12 = 0
     if tris is not None:
         wide, depth = build_wide4(
+            child_l, child_r, bmin_l, bmax_l, bmin_r, bmax_r, prim_ids, *tris
+        )
+        wide12, depth12 = build_wide12(
             child_l, child_r, bmin_l, bmax_l, bmin_r, bmax_r, prim_ids, *tris
         )
     return LBVH(
@@ -148,4 +174,6 @@ def build_lbvh_native(bmin, bmax, tris=None, sah: bool = True) -> LBVH:
         )),
         None if wide is None else jnp.asarray(wide),
         None if wide is None else jnp.zeros((depth, 0), jnp.float32),
+        None if wide12 is None else jnp.asarray(wide12),
+        None if wide12 is None else jnp.zeros((depth12, 0), jnp.float32),
     )

@@ -55,6 +55,12 @@ def _tri_accel_hit(o, d, t_max, tree, p0, p1, p2, any_hit: bool = False):
 
     if isinstance(tree, kdmod.KdTree):
         return kdmod.kdtree_intersect_tris(o, d, t_max, tree, p0, p1, p2, any_hit=any_hit)
+    if getattr(tree, "wide128", None) is not None and _use_pallas():
+        # 12-wide ordered traversal: ONE 512B row gather per step (512B
+        # rows gather at the same rate as 256B; see bvh.bvh12_intersect_tris)
+        return bvhmod.bvh12_intersect_tris(
+            o, d, t_max, tree.wide128, tree.wide12_depth, any_hit=any_hit
+        )
     if getattr(tree, "wide64", None) is not None and _use_pallas():
         # 4-wide ordered traversal: ONE 256B row gather per step (the
         # gather unit is row-rate-bound; see bvh.bvh4_intersect_tris)

@@ -271,7 +271,13 @@ def eval_leaf(scene, tex_id, uv, p, width=None):
         if width is None:
             img = atlas_lookup(scene.tex_atlas, scene.tex_rect[tex_id], u, v)
         else:
-            img = trilinear_lookup(scene, tex_id, u, v, width)
+            # the uv mapping scales the footprint too (texture.rs
+            # UVMapping2D::map scales dstdx/dstdy by su/sv)
+            w_eff = width * jnp.maximum(
+                jnp.abs(jnp.where(su == 0.0, 1.0, su)),
+                jnp.abs(jnp.where(sv == 0.0, 1.0, sv)),
+            )
+            img = trilinear_lookup(scene, tex_id, u, v, w_eff)
         img = img * tp[..., TP_GAMMA_SCALE, None]
         out = jnp.where((ttype == TEX_IMAGEMAP)[..., None], img, out)
     return out
@@ -287,8 +293,8 @@ def eval_texture(scene, tex_id, uv, p, width=None):
     )
     c1 = jnp.clip(scene.tex_child[tex_id, 0], 0, scene.tex_type.shape[0] - 1)
     c2 = jnp.clip(scene.tex_child[tex_id, 1], 0, scene.tex_type.shape[0] - 1)
-    v1 = eval_leaf(scene, c1, uv, p)
-    v2 = eval_leaf(scene, c2, uv, p)
+    v1 = eval_leaf(scene, c1, uv, p, width)
+    v2 = eval_leaf(scene, c2, uv, p, width)
 
     tp = scene.tex_params[tex_id]
     su = jnp.where(tp[..., TP_SU] == 0.0, 1.0, tp[..., TP_SU])
