@@ -81,10 +81,11 @@ def _statue_cached():
     import jax
     import jax.numpy as jnp
 
-    from rs_pbrt_tpu.ops.bvh import LBVH
+    from rs_pbrt_tpu.ops.bvh import ACCEL_VERSION, LBVH
     from rs_pbrt_tpu.scene.arrays import Scene
 
-    schema = (Scene._fields, LBVH._fields)
+    # content key: field names alone miss layout/builder changes (ADVICE r3)
+    schema = (Scene._fields, LBVH._fields, ACCEL_VERSION, (256, 256), 8)
     try:
         with open(CACHE, "rb") as f:
             host = pickle.load(f)
@@ -98,7 +99,8 @@ def _statue_cached():
             lambda a: jnp.asarray(a) if isinstance(a, np.ndarray) else a, host["accel"]
         )
         return scene, camera, accel
-    except (OSError, EOFError, pickle.PickleError):
+    except Exception:  # noqa: BLE001 — stale caches can fail INSIDE
+        # pickle.load (old NamedTuple schemas), not just at the schema check
         pass
     from rs_pbrt_tpu.ops.scene_intersect import build_accel
     from rs_pbrt_tpu.scene import bigscene
@@ -143,7 +145,7 @@ def bench_statue():
     print(
         json.dumps(
             {
-                "metric": "camera_paths/s/chip (1.31M-tri statue 256x256 path 8spp, SAH-BVH4)",
+                "metric": "camera_paths/s/chip (1.31M-tri statue 256x256 path 8spp, SAH-BVH12)",
                 "value": round(paths2 / dt2, 1),
                 "unit": "paths/s",
                 "vs_baseline": round(paths2 / dt2 / BASELINE, 3),

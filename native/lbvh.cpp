@@ -738,14 +738,19 @@ struct WideN {
     collect_leaves(child_r[ref], out, k);
   }
 
+  // leaf rows are SoA BY COMPONENT (p0x[0:12] p0y[12:24] p0z[24:36]
+  // p1x[36:48] ... p2z[96:108]): the traversal's watertight test then
+  // runs entirely on (lanes, 12) slices of the gathered row — interleaved
+  // (x,y,z) triplets forced minor-dim-3 relayouts that cost more than the
+  // row gather itself (round-4 chip bisect)
   void fill_leaf_row(long row, const int* leafpos, int k) {
     float* r = &rows[(size_t)row * RW];
     for (int i = 0; i < L; ++i) {
       int prim = i < k ? prim_ids[leafpos[i]] : prim_ids[leafpos[0]];
       for (int c = 0; c < 3; ++c) {
-        r[0 + i * 3 + c] = p0[prim * 3 + c];
-        r[36 + i * 3 + c] = p1[prim * 3 + c];
-        r[72 + i * 3 + c] = p2[prim * 3 + c];
+        r[0 + c * L + i] = p0[prim * 3 + c];
+        r[36 + c * L + i] = p1[prim * 3 + c];
+        r[72 + c * L + i] = p2[prim * 3 + c];
       }
       r[108 + i] = (float)prim;
     }

@@ -217,6 +217,10 @@ def sample_li(scene: sa.Scene, light_idx, ref_p, u2) -> LiSample:
         is_sph = gx.coli(la, sa.LA_GEOM) == sa.ALG_SPHERE
         p_area = jnp.where(is_sph[..., None], p_sph, p_area)
         n_area = jnp.where(is_sph[..., None], n_sph, n_area)
+    if scene.has_quadric_lights:
+        p_qd, n_qd, is_qd = _quadric_light_sample(scene, la, u2)
+        p_area = jnp.where(is_qd[..., None], p_qd, p_area)
+        n_area = jnp.where(is_qd[..., None], n_qd, n_area)
     to_a = p_area - ref_p
     d2a = jnp.maximum(vm.length_squared(to_a), 1e-12)
     wi_area = to_a / jnp.sqrt(d2a)[..., None]
@@ -316,6 +320,51 @@ def _env_lookup(scene: sa.Scene, uv):
     top = img[yc0, xw0] * (1.0 - tx) + img[yc0, xw1] * tx
     bot = img[yc1, xw0] * (1.0 - tx) + img[yc1, xw1] * tx
     return top * (1.0 - ty) + bot * ty
+
+
+def _quadric_light_sample(scene: sa.Scene, la, u2):
+    """Uniform-by-area sample on an analytic disk/cylinder area light
+    (reference shapes/disk.rs sample + shapes/cylinder.rs sample; like the
+    reference, disk sampling covers the full disk even for annuli /
+    partial phi — the pdf uses the true area).  Returns (p, n, is_qd)."""
+    from ..ops import gathers as gx
+
+    sidx = jnp.clip(gx.coli(la, sa.LA_SHAPE_IDX), 0, scene.sph_attr.shape[0] - 1)
+    sat = gx.take_rows(scene.sph_attr, sidx)
+    o2w = sat[..., sa.SP_O2W : sa.SP_O2W + 16].reshape(sat.shape[:-1] + (4, 4))
+    w2o = sat[..., sa.SP_W2O : sa.SP_W2O + 16].reshape(sat.shape[:-1] + (4, 4))
+    prm = sat[..., sa.SP_PARAMS : sa.SP_PARAMS + 4]
+    reverse = sat[..., sa.SP_REVERSE] > 0.5
+    geom = gx.coli(la, sa.LA_GEOM)
+    is_cyl = geom == sa.ALG_CYLINDER
+    is_dsk = geom == sa.ALG_DISK
+
+    # disk (params: radius, inner, height, phi_max): concentric sample
+    radius = prm[..., 0]
+    cd = smp.concentric_sample_disk(u2)
+    p_dsk = jnp.stack(
+        [cd[..., 0] * radius, cd[..., 1] * radius, prm[..., 2]], axis=-1
+    )
+    n_dsk = jnp.broadcast_to(
+        jnp.asarray([0.0, 0.0, 1.0], jnp.float32), p_dsk.shape
+    )
+    # cylinder (params: radius, z_min, z_max, phi_max)
+    z = vm.lerp(u2[..., 0], prm[..., 1], prm[..., 2])
+    phi = u2[..., 1] * prm[..., 3]
+    p_cyl = jnp.stack(
+        [radius * jnp.cos(phi), radius * jnp.sin(phi), z], axis=-1
+    )
+    n_cyl = jnp.stack(
+        [jnp.cos(phi), jnp.sin(phi), jnp.zeros_like(phi)], axis=-1
+    )
+
+    p_obj = jnp.where(is_cyl[..., None], p_cyl, p_dsk)
+    n_obj = jnp.where(is_cyl[..., None], n_cyl, n_dsk)
+    p = tr.xform_point(o2w, p_obj)
+    nrm = vm.normalize(tr.xform_normal(w2o, n_obj))
+    flip = reverse ^ tr.swaps_handedness(o2w)
+    nrm = jnp.where(flip[..., None], -nrm, nrm)
+    return p, nrm, is_cyl | is_dsk
 
 
 def pdf_li_area(scene: sa.Scene, light_idx, ref_p, p_hit, n_hit):
@@ -468,6 +517,12 @@ def sample_le(scene: sa.Scene, light_idx, u_pos, u_dir) -> LeSample:
         )
         n_s = jnp.where(reverse[..., None], -dir_s, dir_s)
         n_area = jnp.where(is_sph[..., None], n_s, n_area)
+    if scene.has_quadric_lights:
+        # photon emission from analytic disk/cylinder lights: uniform by
+        # area (diffuse.rs sample_le position term)
+        p_qd, n_qd, is_qd = _quadric_light_sample(scene, la, u_pos)
+        p_area = jnp.where(is_qd[..., None], p_qd, p_area)
+        n_area = jnp.where(is_qd[..., None], n_qd, n_area)
     d_cos = smp.cosine_sample_hemisphere(u_dir)
     a1, a2 = vm.coordinate_system(n_area)
     d_area = d_cos[:, 0:1] * a1 + d_cos[:, 1:2] * a2 + d_cos[:, 2:3] * n_area

@@ -27,6 +27,11 @@ from .intersect import TriHit, intersect_tri
 
 STACK_DEPTH = 64  # mirrors the 64-slot traversal stack of reference bvh.rs:420
 
+# bump whenever builder output or row layouts change: disk caches of built
+# accels (bench.py, tools) key on this so a layout change can never be
+# silently served stale rows (ADVICE r3 #3)
+ACCEL_VERSION = 4
+
 # frontier-sweep window (rows per dynamic_slice chunk); also the stream
 # row-count alignment.  2048 keeps the one-hot gather matmul at
 # (lanes, 2048) @ (2048, 16) — comfortably MXU-sized.
@@ -872,6 +877,84 @@ _W12_PRIM = 108
 _W12_FLAG = 127
 
 
+def _tri_test_soa(o, t_max, shear, X0, Y0, Z0, X1, Y1, Z1, X2, Y2, Z2):
+    """Watertight ray-triangle test on COMPONENT-SOA vertex slices.
+
+    Same math as ops/intersect.intersect_tri (reference
+    triangle.rs:154-449) but with every operand a (lanes, K) component
+    array: the 12-wide traversal feeds (n,12) slices of the gathered row
+    directly, avoiding the (n,K,3) minor-dim-3 relayouts that cost more
+    than the row gather itself (round-4 chip bisect, tools/).
+    shear: ray_shear(o, d) columns reshaped (n,1).  Returns
+    (hit, t, b0, b1) each (lanes, K)."""
+    kx, ky, kz, sx, sy, sz = shear
+    ox, oy, oz = o[:, 0:1], o[:, 1:2], o[:, 2:3]
+
+    def perm(k, ax, ay, az):
+        return jnp.where(k == 0, ax, jnp.where(k == 1, ay, az))
+
+    def permuted(X, Y, Z):
+        px, py, pz = X - ox, Y - oy, Z - oz
+        return (
+            perm(kx, px, py, pz), perm(ky, px, py, pz), perm(kz, px, py, pz)
+        )
+
+    x0, y0, z0 = permuted(X0, Y0, Z0)
+    x1, y1, z1 = permuted(X1, Y1, Z1)
+    x2, y2, z2 = permuted(X2, Y2, Z2)
+    x0 = x0 + sx * z0
+    y0 = y0 + sy * z0
+    x1 = x1 + sx * z1
+    y1 = y1 + sy * z1
+    x2 = x2 + sx * z2
+    y2 = y2 + sy * z2
+
+    e0 = x1 * y2 - y1 * x2
+    e1 = x2 * y0 - y2 * x0
+    e2 = x0 * y1 - y0 * x1
+    neg = (e0 < 0) | (e1 < 0) | (e2 < 0)
+    pos = (e0 > 0) | (e1 > 0) | (e2 > 0)
+    miss_sign = neg & pos
+    det = e0 + e1 + e2
+    miss_det = det == 0.0
+
+    z0s = sz * z0
+    z1s = sz * z1
+    z2s = sz * z2
+    t_scaled = e0 * z0s + e1 * z1s + e2 * z2s
+    miss_range = jnp.where(
+        det < 0.0,
+        (t_scaled >= 0.0) | (t_scaled < t_max * det),
+        (t_scaled <= 0.0) | (t_scaled > t_max * det),
+    )
+
+    inv_det = 1.0 / jnp.where(det == 0.0, 1.0, det)
+    b0 = e0 * inv_det
+    b1 = e1 * inv_det
+    t = t_scaled * inv_det
+
+    # conservative t error bound (triangle.rs:421-449)
+    max_zt = jnp.maximum(jnp.maximum(jnp.abs(z0s), jnp.abs(z1s)), jnp.abs(z2s))
+    delta_z = vm.gamma(3.0) * max_zt
+    max_xt = jnp.maximum(jnp.maximum(jnp.abs(x0), jnp.abs(x1)), jnp.abs(x2))
+    max_yt = jnp.maximum(jnp.maximum(jnp.abs(y0), jnp.abs(y1)), jnp.abs(y2))
+    delta_x = vm.gamma(5.0) * (max_xt + max_zt)
+    delta_y = vm.gamma(5.0) * (max_yt + max_zt)
+    delta_e = 2.0 * (
+        vm.gamma(2.0) * max_xt * max_yt + delta_y * max_xt + delta_x * max_yt
+    )
+    max_e = jnp.maximum(jnp.maximum(jnp.abs(e0), jnp.abs(e1)), jnp.abs(e2))
+    delta_t = (
+        3.0
+        * (vm.gamma(3.0) * max_e * max_zt + delta_e * max_zt + delta_z * max_e)
+        * jnp.abs(inv_det)
+    )
+    miss_eps = t <= delta_t
+
+    hit = ~(miss_sign | miss_det | miss_range | miss_eps)
+    return hit, t, b0, b1
+
+
 def bvh12_intersect_tris(
     o, d, t_max, wide128, wide_depth: int, any_hit: bool = False,
     compact_stages: int = 3,
@@ -938,15 +1021,19 @@ def bvh12_intersect_tris(
         row = wide128[jnp.where(active, row_id, 0)]  # THE one gather (n,128)
         is_leaf = row[:, _W12_FLAG] > 0.5
 
-        # ---- internal: 12 child slab tests ----
-        o_ = o[:, :, None]
-        i_ = inv_d[:, :, None]
-        bmin12 = jnp.stack([row[:, 0:12], row[:, 12:24], row[:, 24:36]], axis=1)
-        bmax12 = jnp.stack([row[:, 36:48], row[:, 48:60], row[:, 60:72]], axis=1)
-        t_lo = (bmin12 - o_) * i_
-        t_hi = (bmax12 - o_) * i_
-        tn = jnp.max(jnp.minimum(t_lo, t_hi), axis=1)  # (n,12)
-        tf = jnp.min(jnp.maximum(t_lo, t_hi), axis=1) * eps
+        # ---- internal: 12 child slab tests, all in the (n,12) lane
+        # domain (no (n,3,12) stacking: minor-dim-3 relayouts cost more
+        # than the row gather, round-4 chip bisect) ----
+        def axis_slab(c_min, c_max, oc, ic):
+            t1 = (row[:, c_min : c_min + 12] - oc) * ic
+            t2 = (row[:, c_max : c_max + 12] - oc) * ic
+            return jnp.minimum(t1, t2), jnp.maximum(t1, t2)
+
+        tnx, tfx = axis_slab(0, 36, o[:, 0:1], inv_d[:, 0:1])
+        tny, tfy = axis_slab(12, 48, o[:, 1:2], inv_d[:, 1:2])
+        tnz, tfz = axis_slab(24, 60, o[:, 2:3], inv_d[:, 2:3])
+        tn = jnp.maximum(jnp.maximum(tnx, tny), tnz)  # (n,12)
+        tf = jnp.minimum(jnp.minimum(tfx, tfy), tfz) * eps
         hit12 = (tn <= tf) & (tf > 0.0) & (tn < best_t[:, None])
         hit12 &= (active & ~is_leaf)[:, None]
         # CRITICAL: mask slots >= the row's child count.  Empty slots carry
@@ -979,13 +1066,11 @@ def bvh12_intersect_tris(
         cur_b = jnp.where(descend, child_base, cur_b)
         cur_m = jnp.where(descend, near_bit, cur_m)
 
-        # ---- leaf: 12 packed triangle tests ----
-        p012 = row[:, 0:36].reshape(n, W12, 3)
-        p112 = row[:, 36:72].reshape(n, W12, 3)
-        p212 = row[:, 72:108].reshape(n, W12, 3)
-        th, tt, tb0, tb1 = intersect_tri(
-            o[:, None, :], d[:, None, :], best_t[:, None], p012, p112, p212,
-            shear=shear1,
+        # ---- leaf: 12 packed triangle tests on component-SoA slices ----
+        g = lambda c0: row[:, c0 : c0 + 12]
+        th, tt, tb0, tb1 = _tri_test_soa(
+            o, best_t[:, None], shear1,
+            g(0), g(12), g(24), g(36), g(48), g(60), g(72), g(84), g(96),
         )
         th &= (active & is_leaf)[:, None]
         tt_m = jnp.where(th, tt, jnp.inf)

@@ -455,10 +455,13 @@ def _instance_hit(scene: sa.Scene, o, d, t_cur, accel: Accel):
 def _anim_hits(scene: sa.Scene, o, d, t_cur, time):
     """Closest hit over the animated-mesh groups (reference
     TransformedPrimitive::intersect with AnimatedTransform,
-    primitive.rs:236-265): per group, carry the ray into object space by
-    the inverse transform interpolated at RAY TIME, brute-force test the
-    group's object-space triangles (animated groups are props, not
-    million-triangle statics), track the best (t, group, tri, b0, b1).
+    primitive.rs:236-265): carry the ray into each group's object space by
+    the inverse transform interpolated at RAY TIME and brute-force test
+    the object-space triangles (animated groups are props, not
+    million-triangle statics).  ONE pass over all A triangles with each
+    triangle seeing its own group's object-space ray (gathered by a tiny
+    (A,G) one-hot contraction) — the per-group loop was G passes over all
+    A triangles, i.e. G*A intersection tests (ADVICE r3 #4).
     Object-space direction is left unnormalized so object t == world t."""
     from ..utils import animated as an
 
@@ -466,41 +469,48 @@ def _anim_hits(scene: sa.Scene, o, d, t_cur, time):
     G = scene.anim_xf.shape[0]
     A = scene.n_anim_tris
     t_lane = jnp.zeros(n, jnp.float32) if time is None else jnp.asarray(time, jnp.float32)
-    best = dict(
-        valid=jnp.zeros(n, bool), t=jnp.asarray(t_cur, jnp.float32),
-        tri=jnp.zeros(n, jnp.int32), grp=jnp.zeros(n, jnp.int32),
-        b0=jnp.zeros(n, jnp.float32), b1=jnp.zeros(n, jnp.float32),
-    )
+    t_best = jnp.asarray(t_cur, jnp.float32)
+
+    # per-group object-space rays: (N,G,3)
+    xf = scene.anim_xf  # (G,32)
+    M = an.interpolate(
+        t_lane[:, None], xf[None, :, 0:3], xf[None, :, 3:7],
+        xf[None, :, 7:16].reshape(1, G, 3, 3),
+        xf[None, :, 16:19], xf[None, :, 19:23],
+        xf[None, :, 23:32].reshape(1, G, 3, 3),
+    )  # (N,G,4,4)
+    Mi = an.inverse_affine(M)
+    o_obj = tr.xform_point(Mi, o[:, None, :])  # (N,G,3)
+    d_obj = tr.xform_vector(Mi, d[:, None, :])
+
+    # group id per triangle from the contiguous sorted ranges
     tri_ids = jnp.arange(A)
-    for g in range(G):
-        xf = scene.anim_xf[g]
-        M = an.interpolate(
-            t_lane, xf[0:3], xf[3:7], xf[7:16].reshape(3, 3),
-            xf[16:19], xf[19:23], xf[23:32].reshape(3, 3),
-        )
-        Mi = an.inverse_affine(M)
-        o_obj = tr.xform_point(Mi, o)
-        d_obj = tr.xform_vector(Mi, d)
-        hit, t, b0, b1 = isect.intersect_tri(
-            o_obj[:, None, :], d_obj[:, None, :], best["t"][:, None],
-            scene.anim_p0[None], scene.anim_p1[None], scene.anim_p2[None],
-        )
-        member = (tri_ids >= scene.anim_range[g, 0]) & (tri_ids < scene.anim_range[g, 1])
-        hit &= member[None, :]
-        t_m = jnp.where(hit, t, jnp.inf)
-        bi = jnp.argmin(t_m, axis=1)
-        take = lambda a: jnp.take_along_axis(a, bi[:, None], axis=1)[:, 0]
-        t_new = take(t_m)
-        upd = jnp.any(hit, axis=1) & (t_new < best["t"])
-        best = dict(
-            valid=best["valid"] | upd,
-            t=jnp.where(upd, t_new, best["t"]),
-            tri=jnp.where(upd, bi.astype(jnp.int32), best["tri"]),
-            grp=jnp.where(upd, g, best["grp"]),
-            b0=jnp.where(upd, take(b0), best["b0"]),
-            b1=jnp.where(upd, take(b1), best["b1"]),
-        )
-    return best
+    gid = jnp.sum(
+        (tri_ids[:, None] >= scene.anim_range[None, :, 0]).astype(jnp.int32),
+        axis=1,
+    ) - 1  # (A,)
+    onehot = (gid[:, None] == jnp.arange(G)[None, :]).astype(jnp.float32)  # (A,G)
+    o_tri = jnp.einsum("ag,ngc->nac", onehot, o_obj)  # (N,A,3)
+    d_tri = jnp.einsum("ag,ngc->nac", onehot, d_obj)
+
+    hit, t, b0, b1 = isect.intersect_tri(
+        o_tri, d_tri, t_best[:, None],
+        scene.anim_p0[None], scene.anim_p1[None], scene.anim_p2[None],
+    )
+    t_m = jnp.where(hit, t, jnp.inf)
+    bi = jnp.argmin(t_m, axis=1)
+    oh_best = bi[:, None] == tri_ids[None, :]
+    take = lambda a: jnp.sum(jnp.where(oh_best, a, 0.0), axis=1)
+    t_new = jnp.min(t_m, axis=1)
+    upd = jnp.any(hit, axis=1) & (t_new < t_best)
+    return dict(
+        valid=upd,
+        t=jnp.where(upd, t_new, t_best),
+        tri=jnp.where(upd, bi.astype(jnp.int32), 0),
+        grp=jnp.where(upd, jnp.sum(jnp.where(oh_best, gid[None, :], 0), axis=1), 0),
+        b0=jnp.where(upd, take(b0), 0.0),
+        b1=jnp.where(upd, take(b1), 0.0),
+    )
 
 
 def _anim_interaction(scene: sa.Scene, best, time):

@@ -692,9 +692,9 @@ class PbrtAPI:
                 reverse_orientation=gs.reverse_orientation,
                 medium_interface=gs.medium_interface,
             )
-        elif kind == "cylinder" and al is None:
-            # analytic quadric (reference shapes/cylinder.rs); area-light
-            # cylinders fall back to tessellation (tri-range sampling)
+        elif kind == "cylinder":
+            # analytic quadric (reference shapes/cylinder.rs), with or
+            # without an attached area light (cylinder.rs sample)
             b.add_cylinder(
                 object_to_world=o2w,
                 radius=ps.find_one(st.params, "radius", 1.0),
@@ -702,10 +702,11 @@ class PbrtAPI:
                 z_max=ps.find_one(st.params, "zmax", 1.0),
                 phi_max=ps.find_one(st.params, "phimax", 360.0),
                 material=gs.material,
+                area_light=al,
                 reverse_orientation=gs.reverse_orientation,
                 medium_interface=gs.medium_interface,
             )
-        elif kind == "disk" and al is None:
+        elif kind == "disk":
             b.add_disk(
                 object_to_world=o2w,
                 height=ps.find_one(st.params, "height", 0.0),
@@ -713,10 +714,11 @@ class PbrtAPI:
                 inner_radius=ps.find_one(st.params, "innerradius", 0.0),
                 phi_max=ps.find_one(st.params, "phimax", 360.0),
                 material=gs.material,
+                area_light=al,
                 reverse_orientation=gs.reverse_orientation,
                 medium_interface=gs.medium_interface,
             )
-        elif kind in ("disk", "cylinder", "paraboloid", "cone", "hyperboloid"):
+        elif kind in ("paraboloid", "cone", "hyperboloid"):
             tris = _tessellate_quadric(kind, st.params)
             if tris is not None:
                 V, F = tris

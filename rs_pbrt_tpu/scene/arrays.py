@@ -93,12 +93,13 @@ LP_TEX = 14  # texture id for projection/goniometric maps (-1 none)
 LP_TAN_FOV = 15  # projection light: tan(fov/2)
 N_LIGHT_PARAMS = 16
 
-# area-light geometry kinds (disk/cylinder area lights tessellate to
-# ALG_TRI_RANGE at build time — scene/api.py:655-657 — so there is no
-# dedicated disk kind)
+# area-light geometry kinds (reference shape.rs:91-137 samples any shape
+# as an area light; here each analytic family has a sampling branch)
 ALG_NONE = 0
 ALG_TRI_RANGE = 1  # triangles [light_tri_start, light_tri_end)
 ALG_SPHERE = 2
+ALG_CYLINDER = 3  # analytic quadric (shapes/cylinder.rs sample)
+ALG_DISK = 4      # analytic quadric (shapes/disk.rs sample)
 
 # ---- packed per-object attribute tables (one-hot-matmul gather targets;
 # see ops/gathers.py — per-lane gathers from small tables are turned into
@@ -296,6 +297,10 @@ class Scene(NamedTuple):
     # (gates the sphere cone-sampling branch in models/lights.py)
     sphlight_flag: jnp.ndarray
 
+    # shape-encoded static flag: (1,) if any area light is an analytic
+    # disk/cylinder quadric (gates the quadric sampling branch)
+    qdlight_flag: jnp.ndarray
+
     # shape-encoded static flag: (1,) if any primitive or the camera carries
     # a medium interface (gates medium vertices in BDPT and medium code in
     # other integrators without a traced branch)
@@ -377,6 +382,10 @@ class Scene(NamedTuple):
     @property
     def has_sphere_lights(self):
         return self.sphlight_flag.shape[0] > 0
+
+    @property
+    def has_quadric_lights(self):
+        return self.qdlight_flag.shape[0] > 0
 
     @property
     def has_media(self):
@@ -649,6 +658,13 @@ def finalize_scene(arrs: dict) -> Scene:
     )
     arrs["sphlight_flag"] = np.zeros(
         1 if np.any(np.asarray(arrs["light_geom_kind"]) == ALG_SPHERE) else 0,
+        np.float32,
+    )
+    arrs["qdlight_flag"] = np.zeros(
+        1
+        if np.any(np.isin(np.asarray(arrs["light_geom_kind"]),
+                          (ALG_CYLINDER, ALG_DISK)))
+        else 0,
         np.float32,
     )
     arrs["med_flag"] = np.zeros(

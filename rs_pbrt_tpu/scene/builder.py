@@ -417,31 +417,61 @@ class SceneBuilder:
         self.sphs["reverse"].append(reverse_orientation)
         self.sphs.setdefault("med", []).append(medium_interface)
 
+    def _add_quadric_area_light(self, area_light, geom_kind, world_area):
+        """Area-light row for an analytic quadric shape (reference samples
+        any shape as an area light, shape.rs:91-137; disk.rs/cylinder.rs
+        sample + area)."""
+        return self._add_light(
+            sa.LIGHT_AREA, flags=sa.LF_AREA,
+            I=np.asarray(area_light.get("L", (1, 1, 1)), np.float32)
+            * np.asarray(area_light.get("scale", (1, 1, 1)), np.float32),
+            geom_kind=geom_kind, shape_idx=len(self.sphs["o2w"]),
+            area=world_area, two_sided=float(area_light.get("two_sided", False)),
+        )
+
     def add_cylinder(self, object_to_world=None, radius=1.0, z_min=-1.0,
                      z_max=1.0, phi_max=360.0, material: int = 0,
+                     area_light=None,
                      reverse_orientation: bool = False,
                      medium_interface=(-1, -1)):
         """Analytic cylinder (reference shapes/cylinder.rs)."""
         o2w = object_to_world or tr.identity()
+        light_id = -1
+        if area_light is not None:
+            scale = float(np.linalg.norm(np.asarray(o2w.m, np.float32)[:3, 0]))
+            area = (z_max - z_min) * radius * np.deg2rad(phi_max) * scale * scale
+            light_id = self._add_quadric_area_light(
+                area_light, sa.ALG_CYLINDER, area
+            )
         self._add_quadric(
             o2w, sa.QK_CYLINDER,
             np.array([radius, z_min, z_max, np.deg2rad(phi_max)], np.float32),
-            material, -1, reverse_orientation, medium_interface,
+            material, light_id, reverse_orientation, medium_interface,
         )
-        return -1
+        return light_id
 
     def add_disk(self, object_to_world=None, height=0.0, radius=1.0,
                  inner_radius=0.0, phi_max=360.0, material: int = 0,
+                 area_light=None,
                  reverse_orientation: bool = False,
                  medium_interface=(-1, -1)):
         """Analytic disk/annulus at z=height (reference shapes/disk.rs)."""
         o2w = object_to_world or tr.identity()
+        light_id = -1
+        if area_light is not None:
+            scale = float(np.linalg.norm(np.asarray(o2w.m, np.float32)[:3, 0]))
+            area = (
+                0.5 * np.deg2rad(phi_max)
+                * (radius * radius - inner_radius * inner_radius)
+                * scale * scale
+            )
+            light_id = self._add_quadric_area_light(area_light, sa.ALG_DISK, area)
         self._add_quadric(
             o2w, sa.QK_DISK,
             np.array([radius, inner_radius, height, np.deg2rad(phi_max)], np.float32),
-            material, -1, reverse_orientation, medium_interface,
+            material, light_id, reverse_orientation, medium_interface,
         )
-        return -1
+        return light_id
 
     def add_curve(
         self,
