@@ -215,6 +215,176 @@ def edge_boundary_grad(
     return jnp.sum(jnp.where(own, contrib * vn * dl_s, 0.0))
 
 
+def _moving_edges(scene, moving_mask):
+    mm = np.asarray(moving_mask)
+    tri_ids = np.where(mm)[0]
+    p0 = np.asarray(scene.tri_p0)[mm]
+    p1 = np.asarray(scene.tri_p1)[mm]
+    p2 = np.asarray(scene.tri_p2)[mm]
+    ea = np.concatenate([p0, p1, p2], 0)
+    eb = np.concatenate([p1, p2, p0], 0)
+    fids = np.concatenate([tri_ids] * 3)
+    return unique_edges((ea, eb), face_ids=fids)
+
+
+def shadow_boundary_grad(
+    scene: sa.Scene,
+    camera: cam.Camera,
+    cfg,
+    sampler_cfg,
+    moving_mask,
+    direction,
+    loss_weight_image,
+    accel=None,
+    samples_per_edge: int = 16,
+    light_idx: int = 0,
+    delta_world: float = 5e-3,
+    max_pixels: int = 4096,
+):
+    """SECONDARY-visibility (cast shadow) boundary term of d(loss)/dtheta
+    for translating the masked triangles along `direction` (VERDICT r3 #7;
+    Li et al. 2018 secondary edge sampling, recast for a wavefront).
+
+    The direct-light integral at a shading point p,
+    D(p) = int_A f Le G V(p,y) dA(y), is discontinuous in y along the
+    blocker edge's projection from p onto the light plane; translating the
+    blocker sweeps that curve, so
+        dD/dtheta |_boundary = int_curve (I- - I+) (v . n_c) dl
+    with everything measured ON the light plane.  The curve is sampled by
+    projecting points of each moving edge from p; the integrand at y +-
+    delta*n_c is evaluated by tracing p->y: if the first hit is the light
+    itself the NEE integrand f*Le*cos_p*|cos_l|/d^2 applies, otherwise 0
+    (one trace handles occlusion AND light-extent clipping).  The Li
+    silhouette test is the same adjacency-ownership filter as the primary
+    term: a sample counts only if one side's blocking hit lands on one of
+    the edge's own faces.
+
+    Scope: direct lighting at PRIMARY hits, planar tri-range area light
+    `light_idx` (the dominant term when only a cast shadow moves; deeper
+    bounces' shadow terms are not modeled).  Returns a scalar.
+    """
+    from ..models.integrators.path import _shading_frame_du, _to_local
+    from ..ops import bsdf as bx
+    from ..ops import scene_intersect as si
+    from ..utils import vecmath as vm
+
+    # ---- shading points: one center ray per weighted pixel ----
+    w_img = np.asarray(loss_weight_image)
+    w_scalar = w_img.sum(-1) if w_img.ndim == 3 else w_img
+    py, px = np.nonzero(w_scalar)
+    if len(px) == 0:
+        return jnp.float32(0.0)
+    if len(px) > max_pixels:
+        sel = np.linspace(0, len(px) - 1, max_pixels).astype(np.int64)
+        px, py = px[sel], py[sel]
+    # each retained pixel represents len/|kept| of the weighted set
+    scale_pix = len(np.nonzero(w_scalar)[0]) / len(px)
+    p_raster = jnp.asarray(np.stack([px + 0.5, py + 0.5], -1), jnp.float32)
+    rays = cam.generate_rays(
+        camera, p_raster, jnp.full((len(px), 2), 0.5, jnp.float32),
+        jnp.zeros((len(px),), jnp.float32),
+    )
+    it = si.scene_intersect(
+        scene, rays.o, rays.d, jnp.full(len(px), 1e30, jnp.float32), accel
+    )
+    wpx = jnp.asarray(
+        w_img[py, px] if w_img.ndim == 3
+        else np.repeat(w_scalar[py, px, None], 3, -1)
+    )
+
+    b = bx.make_bsdf_at(scene, it)
+    ss, ts = _shading_frame_du(it.ns, it.dpdu)
+
+    # ---- light plane + emission (planar tri-range light) ----
+    la = np.asarray(scene.light_attr)[light_idx]
+    t0 = int(la[sa.LA_TRI_START])
+    lp0 = np.asarray(scene.tri_p0)[t0]
+    lp1 = np.asarray(scene.tri_p1)[t0]
+    lp2 = np.asarray(scene.tri_p2)[t0]
+    n_l = np.cross(lp1 - lp0, lp2 - lp0)
+    n_l = jnp.asarray(n_l / max(np.linalg.norm(n_l), 1e-12), jnp.float32)
+    c_l = jnp.asarray(lp0, jnp.float32)
+    le = jnp.asarray(la[sa.LP_I : sa.LP_I + 3], jnp.float32)
+    two_sided = la[sa.LP_TWO_SIDED] > 0.5
+
+    # ---- edge samples projected onto the light plane ----
+    ea, eb, adj = _moving_edges(scene, moving_mask)
+    E = len(ea)
+    S = samples_per_edge
+    t = ((np.arange(S) + 0.5) / S).astype(np.float32)
+    m = (jnp.asarray(ea)[:, None] * (1 - t)[None, :, None]
+         + jnp.asarray(eb)[:, None] * t[None, :, None])  # (E,S,3)
+    Np = len(px)
+    lanes = Np * E * S
+    rep = lambda a: jnp.repeat(a, E * S, axis=0)  # pixel-major tiling
+    p = rep(it.p)  # (lanes,3)
+    m_l = jnp.tile(m.reshape(E * S, 3), (Np, 1))
+    edge_dir = jnp.tile(
+        jnp.repeat(jnp.asarray(eb - ea, jnp.float32), S, axis=0), (Np, 1)
+    )
+    dirv = jnp.asarray(direction, jnp.float32)
+
+    def proj(mq, pq):
+        denom = jnp.sum((mq - pq) * n_l, axis=-1)
+        s = jnp.sum((c_l - pq) * n_l, axis=-1) / jnp.where(denom == 0, 1e-20, denom)
+        return pq + s[..., None] * (mq - pq), s
+
+    (y, s_proj), (v_y, _) = jax.jvp(
+        lambda mq: proj(mq, p), (m_l,), (jnp.broadcast_to(dirv, m_l.shape),)
+    )
+    _, tau = jax.jvp(lambda mq: proj(mq, p)[0], (m_l,), (edge_dir,))
+    # blocker must sit between the shading point and the light plane
+    proj_ok = (s_proj > 1.0 + 1e-4) & jnp.isfinite(s_proj)
+    n_c = vm.normalize(vm.cross(n_l[None, :], tau))
+    dl = jnp.linalg.norm(tau, axis=-1) / S
+
+    valid_px = rep(it.valid)
+    b_l = jax.tree.map(
+        lambda a: rep(a) if hasattr(a, "ndim") and a.ndim >= 1 and a.shape[0] == Np
+        else a, b)
+    ss_l, ts_l = rep(ss), rep(ts)
+    ns_l, ng_l, wo_l3 = rep(it.ns), rep(it.ng), rep(it.wo)
+    perr_l = rep(it.p_error)
+    wpx_l = rep(wpx)
+
+    def integrand_and_blocker(y_off):
+        to_y = y_off - p
+        dist = jnp.linalg.norm(to_y, axis=-1)
+        wi = to_y / jnp.maximum(dist, 1e-12)[..., None]
+        o_sh = vm.offset_ray_origin(p, perr_l, ng_l, wi)
+        hit = si.scene_intersect(
+            scene, o_sh, wi, jnp.full(lanes, 1e30, jnp.float32), accel
+        )
+        on_light = hit.valid & (hit.light == light_idx)
+        blocker = jnp.where(hit.valid & ~on_light, hit.prim, -2)
+        wo_loc = _to_local(wo_l3, ss_l, ts_l, ns_l)
+        wi_loc = _to_local(wi, ss_l, ts_l, ns_l)
+        reflect = vm.dot(wi, ng_l) * vm.dot(wo_l3, ng_l) > 0.0
+        f = bx.bsdf_f(b_l, wo_loc, wi_loc, reflect)
+        cos_p = jnp.abs(vm.dot(ns_l, wi))
+        cos_l = vm.dot(n_l[None, :], -wi)
+        emits = bool(two_sided) | (cos_l > 0.0)
+        g = jnp.abs(cos_l) * cos_p / jnp.maximum(dist * dist, 1e-12)
+        i_val = jnp.where(
+            (on_light & emits)[..., None], f * le[None, :] * g[..., None], 0.0
+        )
+        return i_val, blocker
+
+    i_m, blk_m = integrand_and_blocker(y - delta_world * n_c)
+    i_p, blk_p = integrand_and_blocker(y + delta_world * n_c)
+
+    adj_l = jnp.tile(
+        jnp.repeat(jnp.asarray(adj, jnp.int32), S, axis=0), (Np, 1)
+    )
+    in_adj = lambda h: (h == adj_l[:, 0]) | (h == adj_l[:, 1])
+    own = in_adj(blk_m) | in_adj(blk_p)
+
+    contrib = jnp.sum((i_m - i_p) * wpx_l, axis=-1)
+    vn = jnp.sum(v_y * n_c, axis=-1)
+    keep = own & proj_ok & valid_px
+    return jnp.sum(jnp.where(keep, contrib * vn * dl, 0.0)) * scale_pix
+
+
 def grad_loss_wrt_translation(
     scene: sa.Scene,
     camera: cam.Camera,

@@ -692,7 +692,10 @@ def make_bsdf_from_mat(scene, mat_idx, uv=None, p_hit=None, width=None):
     ma = gx.take_rows(scene.mat_attr, mat_idx)  # one-hot matmul
     mat_type = gx.coli(ma, sa.MA_TYPE)
     params = ma[..., sa.MA_PARAMS : sa.MA_PARAMS + sa.N_MAT_PARAMS]
-    if uv is not None and scene.tex_type.shape[0] > 1 and scene.tex_slot_mask:
+    # gate on the slot bitmask alone: requiring tex_type rows > 1 silently
+    # disabled ALL texture overrides in single-texture scenes (the no-tex
+    # dummy table also has one row, but its slot_mask is 0)
+    if uv is not None and scene.tex_slot_mask:
         from . import texture as tx
 
         mt = jnp.round(ma[..., sa.MA_TEX : sa.MA_TEX + sa.N_TEX_SLOTS]).astype(jnp.int32)

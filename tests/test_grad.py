@@ -249,3 +249,183 @@ class TestGeometryGradients:
             w_img, samples_per_edge=8,
         ))
         assert g == 0.0
+
+
+class TestShadowBoundary:
+    """Secondary-visibility (cast shadow) boundary term (VERDICT r3 #7):
+    a floating blocker whose shadow falls on the weighted floor region
+    while the blocker itself is outside it — FD of the loss is then almost
+    entirely the shadow-silhouette term (interior AD ~ 0, primary
+    silhouettes unweighted)."""
+
+    def _scene(self):
+        from rs_pbrt_tpu.scene.builder import SceneBuilder
+
+        b = SceneBuilder()
+        floor = b.add_matte(kd=(0.7,) * 3)
+        dark = b.add_matte(kd=(0.2,) * 3)
+        g = 8.0
+        b.add_triangle_mesh(
+            [[0, 1, 2], [0, 2, 3]],
+            [[-g, 0, -g], [-g, 0, g], [g, 0, g], [g, 0, -g]], material=floor,
+        )
+        # blocker quad at y=2, x in [0, 0.8]
+        blk0 = b.builder_tri_count if hasattr(b, "builder_tri_count") else None
+        n_before = len(b.tris["p0"]) if hasattr(b, "tris") else 2
+        b.add_triangle_mesh(
+            [[0, 1, 2], [0, 2, 3]],
+            [[0.0, 2, -0.6], [0.8, 2, -0.6], [0.8, 2, 0.6], [0.0, 2, 0.6]],
+            material=dark,
+        )
+        # small light quad at (-1, 4, 0), facing down; two-sided dodges
+        # winding-orientation concerns (nothing is above it)
+        hl = 0.3
+        b.add_triangle_mesh(
+            [[0, 1, 2], [0, 2, 3]],
+            [[-1 - hl, 4, -hl], [-1 + hl, 4, -hl], [-1 + hl, 4, hl], [-1 - hl, 4, hl]],
+            material=dark,
+            area_light=dict(L=(40.0,) * 3, two_sided=True),
+        )
+        scene = b.finalize()
+        mask = np.zeros(scene.n_tris, bool)
+        mask[2:4] = True  # the blocker triangles
+        return scene, mask
+
+    def _camera(self, res):
+        from rs_pbrt_tpu.models import cameras as cam
+        from rs_pbrt_tpu.utils import transform as tr
+
+        return cam.make_perspective(
+            tr.look_at([1.5, 8.0, 0.0], [1.5, 0.0, 0.0], [0.0, 0.0, 1.0]),
+            fov=30.0, resolution=(res, res),
+        )
+
+    def test_smoke_finite(self):
+        from rs_pbrt_tpu.diff import geometry as dgeo
+
+        scene, mask = self._scene()
+        res = 24
+        camera = self._camera(res)
+        cfg = rdr.RenderCfg("path", spp=4, max_depth=1, rr_threshold=1.0)
+        scfg = smpl.make_sampler(smpl.SOBOL, 4, camera.resolution)
+        w = np.zeros((res, res), np.float32)
+        w[:, res // 2 :] = 1.0 / (res * res)
+        g = float(dgeo.shadow_boundary_grad(
+            scene, camera, cfg, scfg, mask, (1.0, 0.0, 0.0), jnp.asarray(w),
+            samples_per_edge=8,
+        ))
+        assert np.isfinite(g)
+
+    @pytest.mark.slow
+    def test_shadow_grad_matches_fd(self):
+        from rs_pbrt_tpu.diff import geometry as dgeo
+
+        scene, mask = self._scene()
+        res = 48
+        camera = self._camera(res)
+        cfg = rdr.RenderCfg("path", spp=64, max_depth=1, rr_threshold=1.0)
+        scfg = smpl.make_sampler(smpl.SOBOL, 64, camera.resolution)
+        # weight the raster half that maps to floor x > ~1.5: the shadow
+        # band lies there, the blocker's own image does not.  look_at up
+        # is +z; raster y runs along -z ... weight by raster x (floor x).
+        w = np.zeros((res, res), np.float32)
+        w[:, res // 2 :] = 1.0 / (res * res)
+        w_img = jnp.asarray(w)
+
+        shadow = float(dgeo.shadow_boundary_grad(
+            scene, camera, cfg, scfg, mask, (1.0, 0.0, 0.0), w_img,
+            samples_per_edge=64,
+        ))
+        h = 0.05
+
+        def loss_at(theta):
+            s2 = dgeo.translate_tris(scene, jnp.asarray(mask), jnp.asarray(
+                [theta, 0.0, 0.0], jnp.float32))
+            img = rdr.render(s2, camera, cfg, scfg)
+            return float(jnp.sum(img * w_img[..., None]))
+
+        fd = (loss_at(h) - loss_at(-h)) / (2 * h)
+        assert fd != 0.0
+        # primary-silhouette term must be ~0 here (blocker unweighted)
+        prim = float(dgeo.edge_boundary_grad(
+            scene, camera, cfg, scfg, mask, (1.0, 0.0, 0.0), w_img,
+            samples_per_edge=64,
+        ))
+        np.testing.assert_allclose(shadow + prim, fd, rtol=0.15)
+
+
+class TestTextureGradients:
+    """Texture leaves in DiffParams (VERDICT r3 #8): AD through imagemap
+    texels and constant-texture values must match finite differences."""
+
+    @pytest.fixture(scope="class")
+    def setup(self):
+        from rs_pbrt_tpu.models import cameras as cam
+        from rs_pbrt_tpu.ops import texture as txm
+        from rs_pbrt_tpu.scene.builder import SceneBuilder
+        from rs_pbrt_tpu.utils import transform as tr
+
+        b = SceneBuilder()
+        img = np.full((4, 4, 3), 0.5, np.float32)
+        tid = b.add_texture(txm.TEX_IMAGEMAP, {txm.TP_GAMMA_SCALE: 1.0}, image=img)
+        m = b.add_matte()
+        b.set_material_texture(m, 0, tid)
+        b.add_triangle_mesh(
+            [[0, 1, 2], [0, 2, 3]],
+            [[-1, -1, 0], [1, -1, 0], [1, 1, 0], [-1, 1, 0]],
+            uvs=[[0, 0], [1, 0], [1, 1], [0, 1]], material=m,
+        )
+        b.add_distant_light(from_p=(0, 0, 1), to=(0, 0, 0), L=(2.0,) * 3)
+        scene = b.finalize()
+        camera = cam.make_perspective(
+            tr.look_at([0, 0, 4], [0, 0, 0], [0, 1, 0]), fov=45.0,
+            resolution=(16, 16),
+        )
+        cfg = rdr.RenderCfg("path", spp=4, max_depth=1, rr_threshold=1.0)
+        scfg = smpl.make_sampler(smpl.SOBOL, 4, camera.resolution)
+        return scene, camera, cfg, scfg
+
+    def test_ad_matches_fd_atlas_texel(self, setup):
+        scene, camera, cfg, scfg = setup
+        params = dg.get_params(scene)
+        _, g = dg.grad_loss(scene, camera, cfg, scfg, _loss, params)
+        ga = np.asarray(g.tex_atlas)
+        # pick the strongest texel gradient; it must be nonzero and match FD
+        flat = np.abs(ga).sum(-1)
+        iy, ix = np.unravel_index(np.argmax(flat), flat.shape)
+        assert flat[iy, ix] > 0.0
+        idx = (iy, ix, 0)
+        ad = float(ga[idx])
+        fd = _fd(scene, camera, cfg, scfg, params, "tex_atlas", idx, 5e-2)
+        np.testing.assert_allclose(ad, fd, rtol=5e-2)
+
+    def test_ad_matches_fd_tex_value(self, setup):
+        from rs_pbrt_tpu.ops import texture as txm
+        from rs_pbrt_tpu.scene.builder import SceneBuilder
+        from rs_pbrt_tpu.models import cameras as cam
+        from rs_pbrt_tpu.utils import transform as tr
+
+        # constant texture driving kd through TP_VALUE
+        b = SceneBuilder()
+        tid = b.add_texture(txm.TEX_CONSTANT, {txm.TP_VALUE: (0.4, 0.5, 0.6)})
+        m = b.add_matte()
+        b.set_material_texture(m, 0, tid)
+        b.add_triangle_mesh(
+            [[0, 1, 2], [0, 2, 3]],
+            [[-1, -1, 0], [1, -1, 0], [1, 1, 0], [-1, 1, 0]], material=m,
+        )
+        b.add_distant_light(from_p=(0, 0, 1), to=(0, 0, 0), L=(2.0,) * 3)
+        scene = b.finalize()
+        camera = cam.make_perspective(
+            tr.look_at([0, 0, 4], [0, 0, 0], [0, 1, 0]), fov=45.0,
+            resolution=(12, 12),
+        )
+        cfg = rdr.RenderCfg("path", spp=4, max_depth=1, rr_threshold=1.0)
+        scfg = smpl.make_sampler(smpl.SOBOL, 4, camera.resolution)
+        params = dg.get_params(scene)
+        _, g = dg.grad_loss(scene, camera, cfg, scfg, _loss, params)
+        idx = (int(tid), txm.TP_VALUE)
+        ad = float(np.asarray(g.tex_params)[idx])
+        assert ad != 0.0
+        fd = _fd(scene, camera, cfg, scfg, params, "tex_params", idx, 2e-2)
+        np.testing.assert_allclose(ad, fd, rtol=5e-2)
