@@ -1,6 +1,7 @@
 """Arnold .ass scene importer — reference examples/parse_ass_file.rs.
 
-Same scope as the reference importer: polymesh / sphere geometry,
+Same scope as the reference importer: polymesh / sphere / disk / cylinder
+geometry,
 persp_camera, point / distant / quad / skydome lights, and a
 standard_surface -> (matte | metal | glass | mirror) material mapping.
 The token format is whitespace-separated per node block; array parameters
@@ -201,6 +202,24 @@ def load_ass(path_or_text, builder=None):
             o2w = tr.compose(o2w, tr.translate(tuple(c[:3])))
             mat = shaders.get(_str1(prm, "shader"), 0)
             b.add_sphere(o2w, radius=r, material=mat)
+        elif ntype == "disk":
+            # parse_ass_file.rs:995-1023: height 0, hole -> inner radius,
+            # full phi
+            r = _f1(prm, "radius", 0.5)
+            hole = _f1(prm, "hole", 0.0)
+            m = xform_of(prm)
+            o2w = tr.from_matrix(m) if m is not None else tr.identity()
+            mat = shaders.get(_str1(prm, "shader"), 0)
+            b.add_disk(o2w, height=0.0, radius=r, inner_radius=hole,
+                       material=mat)
+        elif ntype == "cylinder":
+            # parse_ass_file.rs:1055-1086: z in [0, radius] (the reference's
+            # own assumption), full phi
+            r = _f1(prm, "radius", 0.5)
+            m = xform_of(prm)
+            o2w = tr.from_matrix(m) if m is not None else tr.identity()
+            mat = shaders.get(_str1(prm, "shader"), 0)
+            b.add_cylinder(o2w, radius=r, z_min=0.0, z_max=r, material=mat)
         elif ntype == "point_light":
             pos = _floats(prm, "position", np.zeros(3))
             color = _floats(prm, "color", np.ones(3))

@@ -185,6 +185,12 @@ class BlendFile:
         fmt = "Q" if self.psize == 8 else "I"
         return struct.unpack_from(self._e() + fmt, data, off)[0]
 
+    def string(self, blk, name):
+        """NUL-terminated char-array field (e.g. Image.name[1024])."""
+        data, off, _, _, _ = self.field(blk, name)
+        q = data.index(b"\0", off)
+        return data[off:q].decode("utf-8", "replace")
+
     def id_name(self, blk):
         """ID.name (first field of ID-carrying structs): 'OBxxx', 'MExxx'."""
         code, sdna_i, count, data, old = blk
@@ -240,6 +246,26 @@ def load_blend(path, builder=None):
             else:
                 mats[blk[4]] = b.add_matte(kd=rgb)
 
+    # image datablocks: base name -> file path (reference
+    # parse_blend_file.rs:2525-2560 Image blocks feeding ImageTexture kd)
+    images = {}
+    for blk in bf.blocks:
+        if bf.struct_name(blk) != "Image":
+            continue
+        base = bf.id_name(blk)[2:]  # strip the "IM" ID prefix
+        lay = bf._layout(blk[1])
+        fname = None
+        for field in ("name", "filepath"):
+            if field in lay:
+                try:
+                    fname = bf.string(blk, field)
+                except (ValueError, KeyError):
+                    fname = None
+                if fname:
+                    break
+        if base and fname:
+            images[base] = fname
+
     # mesh datablocks keyed by pointer
     meshes = {}
     for blk in bf.blocks:
@@ -250,11 +276,13 @@ def load_blend(path, builder=None):
         mvert_p = bf.ptr(blk, "mvert")
         mpoly_p = bf.ptr(blk, "mpoly")
         mloop_p = bf.ptr(blk, "mloop")
+        lay = bf._layout(blk[1])
+        mloopuv_p = bf.ptr(blk, "mloopuv") if "mloopuv" in lay else 0
         # NOTE: real Blender Mesh.mat is Material** (pointer array); the
         # single-level follow lands on the array block and falls back to the
         # default material — same simplification as the reference importer's
         # name-matching assumption (parse_blend_file.rs:1-12)
-        mat_p = bf.ptr(blk, "mat") if "mat" in bf._layout(blk[1]) else 0
+        mat_p = bf.ptr(blk, "mat") if "mat" in lay else 0
         if not (mvert_p and mpoly_p and mloop_p):
             continue
         vb = bf.by_ptr.get(mvert_p)
@@ -266,14 +294,34 @@ def load_blend(path, builder=None):
             [bf.f32(vb, "co", i, 3) for i in range(totvert)], 0
         ).astype(np.float32)
         loops = [bf.i32(lb, "v", i) for i in range(lb[2])]
-        faces = []
-        for i in range(totpoly):
-            start = bf.i32(pb, "loopstart", i)
-            n = bf.i32(pb, "totloop", i)
-            poly = loops[start : start + n]
-            for t in range(1, n - 1):
-                faces.append((poly[0], poly[t], poly[t + 1]))
-        meshes[blk[4]] = (V, np.asarray(faces, np.int32), mat_p)
+        uvb = bf.by_ptr.get(mloopuv_p) if mloopuv_p else None
+        UV = None
+        if uvb is not None:
+            # per-loop UVs: split vertices per loop like the reference
+            # (parse_blend_file.rs:1395-1440 rebuilds vertex arrays so each
+            # face-corner owns its own uv)
+            uv_loop = np.stack(
+                [bf.f32(uvb, "uv", i, 2) for i in range(len(loops))], 0
+            ).astype(np.float32)
+            V = V[np.asarray(loops, np.int64)]
+            UV = uv_loop
+            faces = []
+            for i in range(totpoly):
+                start = bf.i32(pb, "loopstart", i)
+                n = bf.i32(pb, "totloop", i)
+                for t in range(1, n - 1):
+                    faces.append((start, start + t, start + t + 1))
+        else:
+            faces = []
+            for i in range(totpoly):
+                start = bf.i32(pb, "loopstart", i)
+                n = bf.i32(pb, "totloop", i)
+                poly = loops[start : start + n]
+                for t in range(1, n - 1):
+                    faces.append((poly[0], poly[t], poly[t + 1]))
+        meshes[blk[4]] = (
+            V, np.asarray(faces, np.int32), mat_p, UV, bf.id_name(blk)
+        )
 
     # objects place data blocks in the world
     for blk in bf.blocks:
@@ -287,8 +335,34 @@ def load_blend(path, builder=None):
         kind = bf.struct_name(target)
         o2w = tr.from_matrix(np.asarray(m, np.float32))
         if data_p in meshes:
-            V, F, mat_p = meshes[data_p]
-            b.add_triangle_mesh(F, V, material=mats.get(mat_p, 0), object_to_world=o2w)
+            V, F, mat_p, UV, mesh_name = meshes[data_p]
+            mat_id = mats.get(mat_p, 0)
+            # kd image texture by name match (reference tries a texture
+            # named exactly like the mesh, parse_blend_file.rs:583-603)
+            img_path = (images.get(mesh_name[2:])
+                        or images.get(bf.id_name(blk)[2:]))
+            if img_path is not None and UV is not None:
+                from pathlib import Path as _P
+
+                from ..ops import texture as txm
+                from .image import read_image
+
+                ipath = _P(img_path.lstrip("/"))
+                if not ipath.is_absolute():
+                    ipath = _P(path).parent / ipath
+                try:
+                    tex_img = read_image(ipath)
+                    tid = b.add_texture(
+                        txm.TEX_IMAGEMAP, {txm.TP_GAMMA_SCALE: 1.0},
+                        image=np.asarray(tex_img, np.float32),
+                    )
+                    mat_id = b.add_matte()
+                    b.set_material_texture(mat_id, 0, tid)
+                except (OSError, ValueError):
+                    pass
+            b.add_triangle_mesh(
+                F, V, uvs=UV, material=mat_id, object_to_world=o2w
+            )
         elif kind == "Camera":
             lens_mm = bf.f32(target, "lens")
             sensor = bf.f32(target, "sensor_x") if "sensor_x" in bf._layout(target[1]) else 32.0

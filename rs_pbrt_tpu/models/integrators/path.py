@@ -383,7 +383,12 @@ def radiance(
 
     def body(bounce, state):
         o, d, L, beta, alive, specular_bounce, prev_bsdf_pdf, eta_scale = state
-        it = si.scene_intersect(scene, o, d, jnp.full(n, vm.INFINITY), accel, time=time)
+        # dead lanes get t_max = -1: the traversal's root slab test fails
+        # instantly, so wavefront compaction drops them instead of walking
+        # the full tree with an unchanged stale ray (on the statue ~50% of
+        # lanes are dead from bounce 2 on)
+        t_cast = jnp.where(alive, vm.INFINITY, -1.0)
+        it = si.scene_intersect(scene, o, d, t_cast, accel, time=time)
         L = add_emitted(it, o, d, L, beta, alive, specular_bounce, prev_bsdf_pdf)
         alive = alive & it.valid
         dim0 = DIM_CAMERA + bounce * dims_per_bounce
@@ -441,8 +446,9 @@ def radiance(
             delta_sh = ls.p_target - p_shadow
             dist = vm.length(delta_sh)
             sh_d = delta_sh / jnp.maximum(dist, 1e-12)[..., None]
+            sh_t = jnp.where(contrib_ok, dist * (1.0 - 1e-3), -1.0)
             occluded = si.scene_intersect_p(
-                scene, p_shadow, sh_d, dist * (1.0 - 1e-3), accel, time=time
+                scene, p_shadow, sh_d, sh_t, accel, time=time
             )
             w_light = jnp.where(
                 ls.is_delta, 1.0, smp.power_heuristic(1.0, ls.pdf, 1.0, scat_pdf)
@@ -529,5 +535,7 @@ def radiance(
     # final pass: the path's last vertex only collects emission (no NEE,
     # no extension) — ~1/3 of a full bounce body's cost
     o, d, L, beta, alive, specular_bounce, prev_bsdf_pdf, _ = state
-    it = si.scene_intersect(scene, o, d, jnp.full(n, vm.INFINITY), accel)
+    it = si.scene_intersect(
+        scene, o, d, jnp.where(alive, vm.INFINITY, -1.0), accel
+    )
     return add_emitted(it, o, d, L, beta, alive, specular_bounce, prev_bsdf_pdf)

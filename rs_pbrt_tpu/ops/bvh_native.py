@@ -106,13 +106,19 @@ def build_wide12(*args):
     return _build_wide("wide12_build", 128, *args)
 
 
-def build_lbvh_native(bmin, bmax, tris=None, sah: bool = True) -> LBVH:
+def build_lbvh_native(bmin, bmax, tris=None, sah: bool = True,
+                      lean: bool = False) -> LBVH:
     """bmin/bmax: (N,3) float32 numpy arrays -> device LBVH pytree.
     tris: optional (p0, p1, p2) — also packs leaf triangle rows and the
     rope-traversal node stream (see bvh.build_stream).
     sah: binned-SAH construction (reference bvh.rs default; ~3x fewer
     traversal visits/ray than morton LBVH on mixed-scale scenes);
-    False = Karras morton LBVH."""
+    False = Karras morton LBVH.
+    lean: keep ONLY the wide12 rows the TPU traversal consumes (plus
+    binary child arrays for CPU fallback) — the full pytree's auxiliary
+    encodings (stream/leaf/node/wide4 rows) cost ~0.7GB HBM per 1.3M
+    triangles and ride every dispatch; at Ganesha scale that's the
+    difference between fitting and not."""
     bmin = np.ascontiguousarray(bmin, np.float32)
     bmax = np.ascontiguousarray(bmax, np.float32)
     n = bmin.shape[0]
@@ -156,9 +162,10 @@ def build_lbvh_native(bmin, bmax, tris=None, sah: bool = True) -> LBVH:
     wide = wide12 = None
     depth = depth12 = 0
     if tris is not None:
-        wide, depth = build_wide4(
-            child_l, child_r, bmin_l, bmax_l, bmin_r, bmax_r, prim_ids, *tris
-        )
+        if not lean:
+            wide, depth = build_wide4(
+                child_l, child_r, bmin_l, bmax_l, bmin_r, bmax_r, prim_ids, *tris
+            )
         wide12, depth12 = build_wide12(
             child_l, child_r, bmin_l, bmax_l, bmin_r, bmax_r, prim_ids, *tris
         )
@@ -167,9 +174,13 @@ def build_lbvh_native(bmin, bmax, tris=None, sah: bool = True) -> LBVH:
         jnp.asarray(bmin_l), jnp.asarray(bmax_l),
         jnp.asarray(bmin_r), jnp.asarray(bmax_r),
         jnp.asarray(prim_ids),
-        jnp.asarray(pack_nodes(child_l, child_r, bmin_l, bmax_l, bmin_r, bmax_r)),
-        None if tris is None else jnp.asarray(pack_leaf_tris(prim_ids, *tris)),
-        None if tris is None else jnp.asarray(build_stream(
+        None if lean else jnp.asarray(
+            pack_nodes(child_l, child_r, bmin_l, bmax_l, bmin_r, bmax_r)
+        ),
+        None if tris is None or lean else jnp.asarray(
+            pack_leaf_tris(prim_ids, *tris)
+        ),
+        None if tris is None or lean else jnp.asarray(build_stream(
             (child_l, child_r), bmin_l, bmax_l, bmin_r, bmax_r, prim_ids, *tris
         )),
         None if wide is None else jnp.asarray(wide),

@@ -762,23 +762,25 @@ def scene_intersect_p(scene: sa.Scene, o, d, t_max, accel=None, time=None):
     return occ
 
 
-def _build_lbvh_pref_native(bmin, bmax, tris=None):
+def _build_lbvh_pref_native(bmin, bmax, tris=None, lean=False):
     """Prefers the native C++ builder (native/lbvh.cpp, ~18x the numpy build
     at Ganesha scale); falls back to the vectorized numpy Karras build.
     tris: optional (p0, p1, p2) — attaches leaf-ordered packed triangle
-    rows for the single-gather leaf test."""
+    rows for the single-gather leaf test.  lean: wide12-only pytree
+    (TPU path of record) — ~8x less HBM at multi-million-triangle scale."""
     from . import bvh_native
 
     if bvh_native.native_available():
-        lb = bvh_native.build_lbvh_native(bmin, bmax, tris=tris)
+        lb = bvh_native.build_lbvh_native(bmin, bmax, tris=tris, lean=lean)
         return lb
     return bvhmod.build_lbvh(bmin, bmax, tris=tris)
 
 
-def build_accel(scene: sa.Scene, kind: str = "bvh") -> Accel:
+def build_accel(scene: sa.Scene, kind: str = "bvh", lean: bool = False) -> Accel:
     """Host-side accelerator build; families below the brute-force
     threshold get no tree.  kind: "bvh" (LBVH, default api.rs:528) or
-    "kdtree" (SAH kd-tree, kdtreeaccel.rs) for the triangle family."""
+    "kdtree" (SAH kd-tree, kdtreeaccel.rs) for the triangle family.
+    lean: TPU-only wide12 pytree (see bvh_native.build_lbvh_native)."""
     tri_bvh = None
     crv_bvh = None
     if scene.n_tris > BRUTE_FORCE_MAX_TRIS:
@@ -792,7 +794,8 @@ def build_accel(scene: sa.Scene, kind: str = "bvh") -> Accel:
 
             tri_bvh = kdmod.build_kdtree(bmin, bmax)
         else:
-            tri_bvh = _build_lbvh_pref_native(bmin, bmax, tris=(p0, p1, p2))
+            tri_bvh = _build_lbvh_pref_native(bmin, bmax, tris=(p0, p1, p2),
+                                              lean=lean)
     if scene.n_curve_segs > BRUTE_FORCE_MAX_CURVES:
         at = np.asarray(scene.crv_attr)
         cp = at[:, crv.CV_CP : crv.CV_CP + 12].reshape(-1, 4, 3)

@@ -128,3 +128,29 @@ class TestImport:
         scfg = smpl.make_sampler(smpl.SOBOL, 2, res)
         img = np.asarray(rdr.render(scene, camera, cfg, scfg))
         assert np.all(np.isfinite(img))
+
+
+class TestAssQuadrics:
+    def test_disk_and_cylinder(self):
+        """Analytic disk/cylinder nodes (reference parse_ass_file.rs:995,
+        1055: disk height 0 + hole, cylinder z in [0, radius])."""
+        from rs_pbrt_tpu.io.assfile import load_ass
+        from rs_pbrt_tpu.scene import arrays as sa
+
+        b, cam = load_ass('''
+options { xres 64 yres 64 }
+disk { name d1 radius 0.7 hole 0.2 }
+cylinder { name c1 radius 0.4 }
+distant_light { name sun color 1 1 1 intensity 2 }
+''')
+        scene = b.finalize()
+        assert scene.n_spheres == 2
+        kinds = set(np.asarray(scene.sph_kind).tolist())
+        assert kinds == {sa.QK_DISK, sa.QK_CYLINDER}
+        prm = np.asarray(scene.sph_params)
+        dsk = prm[np.asarray(scene.sph_kind) == sa.QK_DISK][0]
+        np.testing.assert_allclose(dsk[0], 0.7)  # radius
+        np.testing.assert_allclose(dsk[1], 0.2)  # inner (hole)
+        cyl = prm[np.asarray(scene.sph_kind) == sa.QK_CYLINDER][0]
+        np.testing.assert_allclose(cyl[0], 0.4)
+        np.testing.assert_allclose(cyl[2], 0.4)  # z_max = radius
