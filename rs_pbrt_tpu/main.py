@@ -96,18 +96,23 @@ def main(argv=None):
     accel = build_accel(scene, kind=getattr(cfg, "accelerator", "bvh"))
 
     n_dev = args.ndevices or len(devices)
+    crop = None
+    if (args.cropx0, args.cropx1, args.cropy0, args.cropy1) != (0.0, 1.0, 0.0, 1.0):
+        crop = (args.cropx0, args.cropx1, args.cropy0, args.cropy1)
     t0 = time.time()
-    if n_dev > 1:
+    # bdpt/mlt/sppm drive their own batch loops (light subpaths / chains /
+    # photon passes) and do not shard over the lane mesh — route them
+    # through render() at any device count (reference rs_pbrt.rs runs one
+    # integrator loop regardless of --nthreads)
+    if n_dev > 1 and cfg.integrator not in ("bdpt", "mlt", "sppm"):
         from rs_pbrt_tpu.parallel import mesh as pmesh
 
         mesh = pmesh.make_mesh(devices[:n_dev])
         img = pmesh.render_sharded(
-            scene, camera, cfg, sampler_cfg, filter_cfg, mesh=mesh, accel=accel
+            scene, camera, cfg, sampler_cfg, filter_cfg, mesh=mesh, accel=accel,
+            crop=crop,
         )
     else:
-        crop = None
-        if (args.cropx0, args.cropx1, args.cropy0, args.cropy1) != (0.0, 1.0, 0.0, 1.0):
-            crop = (args.cropx0, args.cropx1, args.cropy0, args.cropy1)
         img = rdr.render(
             scene, camera, cfg, sampler_cfg, filter_cfg, accel=accel, crop=crop
         )

@@ -858,7 +858,7 @@ def radiance_and_splats(scene, camera, cfg: "PathCfg", cfg_s, ctx, p_film, accel
 
 
 def render_bdpt(scene, camera, spp: int, max_depth: int = 5, sampler_cfg=None,
-                accel=None, max_lanes: int = 1 << 18):
+                accel=None, max_lanes: int = 1 << 18, crop_rect=None):
     """Full-frame BDPT render (reference BDPTIntegrator::render bdpt.rs:849).
     Splats are scaled by 1/spp at resolve (bdpt.rs:1071)."""
     from functools import partial
@@ -877,8 +877,14 @@ def render_bdpt(scene, camera, spp: int, max_depth: int = 5, sampler_cfg=None,
 
         max_lanes = min(max_lanes, ACCEL_LANE_CAP // 2)
     w, h = camera.resolution
-    n_pix = w * h
-    xs, ys = np.meshgrid(np.arange(w, dtype=np.int32), np.arange(h, dtype=np.int32))
+    # film cropwindow: camera subpaths start at cropped pixels only, and
+    # light-tracing (t=1) splats outside the crop are dropped at resolve
+    # (reference film.rs add_splat bounds check :519-527)
+    px0, px1, py0, py1 = crop_rect if crop_rect is not None else (0, w, 0, h)
+    n_pix = (px1 - px0) * (py1 - py0)
+    xs, ys = np.meshgrid(
+        np.arange(px0, px1, dtype=np.int32), np.arange(py0, py1, dtype=np.int32)
+    )
     pixels = np.stack([xs.ravel(), ys.ravel()], -1)
     film = filmmod.make_film((w, h))
     fcfg = filmmod.make_filter(filmmod.FILTER_BOX)
@@ -901,4 +907,9 @@ def render_bdpt(scene, camera, spp: int, max_depth: int = 5, sampler_cfg=None,
         snums = jnp.repeat(jnp.arange(sample, sample + nb, dtype=jnp.uint32), n_pix)
         film = batch(scene, film, pix, snums)
         sample += nb
-    return filmmod.to_rgb(film, splat_scale=1.0 / spp)
+    img = filmmod.to_rgb(film, splat_scale=1.0 / spp)
+    if crop_rect is not None:
+        img = jnp.zeros_like(img).at[py0:py1, px0:px1].set(
+            img[py0:py1, px0:px1]
+        )
+    return img

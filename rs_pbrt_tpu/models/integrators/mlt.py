@@ -44,7 +44,8 @@ def n_pss_for_depth(max_depth: int, has_media: bool = False) -> int:
     return s1_base + 3 * (t_max + 1) + 4
 
 
-def _eval_target(scene, camera, pcfg, cfg_s, pss, accel, depth_stratified=False):
+def _eval_target(scene, camera, pcfg, cfg_s, pss, accel, depth_stratified=False,
+                 crop_rect=None):
     """BDPT evaluation of a PSS vector batch.  Returns (lum, film positions
     + contributions for splatting).
 
@@ -60,7 +61,12 @@ def _eval_target(scene, camera, pcfg, cfg_s, pss, accel, depth_stratified=False)
         smpl.u64.U64(jnp.zeros(n, jnp.uint32), jnp.zeros(n, jnp.uint32)),
         pss,
     )
-    p_film = jnp.stack([pss[:, 0] * w, pss[:, 1] * h], axis=-1)
+    # film cropwindow: the PSS image dims map onto the cropped pixel
+    # bounds (reference film.rs get_sample_bounds over cropped_pixel_bounds)
+    px0, px1, py0, py1 = crop_rect if crop_rect is not None else (0, w, 0, h)
+    p_film = jnp.stack(
+        [px0 + pss[:, 0] * (px1 - px0), py0 + pss[:, 1] * (py1 - py0)], axis=-1
+    )
     sel = None
     if depth_stratified:
         # dims 6/7: depth + strategy selection (dims 3/4 are lens, 2 time).
@@ -102,9 +108,12 @@ def render_mlt(
     accel=None,
     seed: int = 7,
     depth_stratified: bool = False,
+    crop_rect=None,
 ):
     """reference MLTIntegrator::render mlt.rs:407."""
     w, h = camera.resolution
+    px0, px1, py0, py1 = crop_rect if crop_rect is not None else (0, w, 0, h)
+    crop_area = (px1 - px0) * (py1 - py0)
     pcfg = PathCfg(max_depth, 1.0)
     cfg_s = smpl.make_sampler(smpl.RANDOM, 1, camera.resolution)
     key = jax.random.PRNGKey(seed)
@@ -119,7 +128,8 @@ def render_mlt(
         # depth — same variance reduction for the normalization constant b)
         strata = (jnp.arange(n_bootstrap) % (max_depth + 1)).astype(jnp.float32)
         boot = boot.at[:, 6].set((strata + boot[:, 6]) / (max_depth + 1))
-    eval_j = jax.jit(lambda pss: _eval_target(scene, camera, pcfg, cfg_s, pss, accel, depth_stratified))
+    eval_j = jax.jit(lambda pss: _eval_target(
+        scene, camera, pcfg, cfg_s, pss, accel, depth_stratified, crop_rect))
     lum_b = []
     chunk = 4096
     for i in range(0, n_bootstrap, chunk):
@@ -140,7 +150,7 @@ def render_mlt(
     lum_cur, pf_c, L_c, sp_c, sl_c = eval_j(pss_cur)
 
     film = filmmod.make_film((w, h))
-    n_mut = max(1, (w * h * mutations_per_pixel) // n_chains)
+    n_mut = max(1, (crop_area * mutations_per_pixel) // n_chains)
 
     def step(pss_cur, cur_eval, film, key):
         lum_cur, pf_c, L_c, sp_c, sl_c = cur_eval
@@ -153,7 +163,8 @@ def render_mlt(
 
         # ONE evaluation per mutation: the proposal's (current is cached)
         lum_prop, pf_p, L_p, sp_p, sl_p = _eval_target(
-            scene, camera, pcfg, cfg_s, pss_prop, accel, depth_stratified
+            scene, camera, pcfg, cfg_s, pss_prop, accel, depth_stratified,
+            crop_rect
         )
         a = jnp.clip(lum_prop / jnp.maximum(lum_cur, 1e-12), 0.0, 1.0)
 
@@ -217,5 +228,14 @@ def render_mlt(
         done += k
 
     total_splats = n_mut * n_chains
-    scale = float(b) * (w * h) / total_splats
-    return film.splat * scale
+    # b is the target's mean over the (cropped) image plane; each splat
+    # carries 1/total_splats of the b * area integral (reference mlt.rs:559)
+    scale = float(b) * crop_area / total_splats
+    img = film.splat * scale
+    if crop_rect is not None:
+        # t=1 light-tracing splats outside the crop are dropped
+        # (reference film.rs add_splat bounds check)
+        img = jnp.zeros_like(img).at[py0:py1, px0:px1].set(
+            img[py0:py1, px0:px1]
+        )
+    return img

@@ -200,6 +200,20 @@ def load_checkpoint(path):
     return film, int(z["next_sample"])
 
 
+def crop_pixel_rect(resolution, crop):
+    """Fractional cropwindow -> integer pixel rect (px0, px1, py0, py1)
+    (reference film.rs:224-262: pMin = ceil(res*crop0), >=1 px wide)."""
+    w, h = resolution
+    if crop is None:
+        return 0, w, 0, h
+    x0, x1, y0, y1 = crop
+    px0 = int(np.ceil(w * x0))
+    px1 = max(int(np.ceil(w * x1)), px0 + 1)
+    py0 = int(np.ceil(h * y0))
+    py1 = max(int(np.ceil(h * y1)), py0 + 1)
+    return px0, px1, py0, py1
+
+
 def render(
     scene: sa.Scene,
     camera: cam.Camera,
@@ -224,51 +238,65 @@ def render(
     import time as _time
 
     ex = cfg.extra or {}
+    w, h = camera.resolution
+    if crop is None:
+        crop = cfg.crop  # scene-file film cropwindow
+    px0, px1, py0, py1 = crop_pixel_rect((w, h), crop)
+    cw, ch = px1 - px0, py1 - py0
+    crop_rect = (px0, px1, py0, py1) if crop is not None else None
+
+    def _exotic_stats(img, n_primary):
+        if stats is not None:
+            jax.block_until_ready(img)
+            dt = max(_time.time() - t0x, 1e-9)
+            stats.update(
+                camera_rays=n_primary, resolution=(w, h), wall_s=dt,
+                paths_per_s=n_primary / dt,
+            )
+        return img
+
+    t0x = _time.time()
     if cfg.integrator == "bdpt":
         from .bdpt import render_bdpt
 
-        return render_bdpt(
+        img = render_bdpt(
             scene, camera, cfg.spp, cfg.max_depth,
-            sampler_cfg=sampler_cfg, accel=accel,
+            sampler_cfg=sampler_cfg, accel=accel, crop_rect=crop_rect,
         )
+        return _exotic_stats(img, cw * ch * cfg.spp)
     if cfg.integrator == "mlt":
         from .mlt import render_mlt
 
-        return render_mlt(
+        mpp = int(ex.get("mutations_per_pixel", 16))
+        img = render_mlt(
             scene, camera,
-            mutations_per_pixel=int(ex.get("mutations_per_pixel", 16)),
+            mutations_per_pixel=mpp,
             max_depth=cfg.max_depth,
             n_chains=int(ex.get("chains", 4096)),
             n_bootstrap=int(ex.get("bootstrap_samples", 16384)),
             accel=accel,
+            crop_rect=crop_rect,
         )
+        return _exotic_stats(img, cw * ch * mpp)
     if cfg.integrator == "sppm":
         from .sppm import render_sppm
 
-        return render_sppm(
+        n_it = int(ex.get("n_iterations", 16))
+        img = render_sppm(
             scene, camera, sampler_cfg,
-            n_iterations=int(ex.get("n_iterations", 16)),
+            n_iterations=n_it,
             photons_per_iter=int(ex.get("photons_per_iteration", 0)),
             max_depth=cfg.max_depth,
             initial_radius=float(ex.get("initial_radius", 0.0)),
             accel=accel,
             stats=stats,
+            crop_rect=crop_rect,
         )
+        return _exotic_stats(img, cw * ch * n_it)
     extra_t = tuple(sorted(ex.items()))
 
     if filter_cfg is None:
         filter_cfg = filmmod.make_filter(filmmod.FILTER_BOX)
-    w, h = camera.resolution
-    if crop is None:
-        crop = cfg.crop  # scene-file film cropwindow
-    # crop window (reference film.rs:224-262: pMin = ceil(res*crop0))
-    if crop is not None:
-        x0, x1, y0, y1 = crop
-        px0, px1 = int(np.ceil(w * x0)), max(int(np.ceil(w * x1)), int(np.ceil(w * x0)) + 1)
-        py0, py1 = int(np.ceil(h * y0)), max(int(np.ceil(h * y1)), int(np.ceil(h * y0)) + 1)
-    else:
-        px0, px1, py0, py1 = 0, w, 0, h
-    cw, ch = px1 - px0, py1 - py0
     grid_rect = (py0, ch, px0, cw)
     n_pix = cw * ch
     film = None  # first batch builds the zero film in-dispatch

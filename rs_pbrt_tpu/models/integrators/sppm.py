@@ -293,6 +293,7 @@ def render_sppm(
     accel=None,
     seed: int = 0,
     stats: dict = None,
+    crop_rect=None,
 ):
     """Progressive render loop (reference SPPMIntegrator::render sppm.rs:66).
 
@@ -303,14 +304,21 @@ def render_sppm(
     from .. import cameras as cam
 
     w, h = camera.resolution
-    P = w * h
+    # film cropwindow (reference film.rs:224-262): visible points are
+    # generated for cropped pixels only; the returned image is full-res
+    # with zeros outside the crop (matches the path branch's grid_rect)
+    px0, px1, py0, py1 = crop_rect if crop_rect is not None else (0, w, 0, h)
+    cw, ch = px1 - px0, py1 - py0
+    P = cw * ch
     if photons_per_iter <= 0:
         photons_per_iter = P
     if initial_radius <= 0.0:
         initial_radius = float(scene.world_radius) * 2.0 / max(w, h)
     light_dist = _light_select_dist(scene)
 
-    xs, ys = np.meshgrid(np.arange(w, dtype=np.int32), np.arange(h, dtype=np.int32))
+    xs, ys = np.meshgrid(
+        np.arange(px0, px1, dtype=np.int32), np.arange(py0, py1, dtype=np.int32)
+    )
     pixels = jnp.asarray(np.stack([xs.ravel(), ys.ravel()], -1))
 
     state = SPPMState(
@@ -431,4 +439,7 @@ def render_sppm(
         np_total * vm.PI * state.radius[..., None] ** 2, 1e-12
     )
     img = l_photon + state.ld / n_iterations
+    if crop_rect is not None:
+        full = jnp.zeros((h, w, 3), img.dtype)
+        return full.at[py0:py1, px0:px1].set(img.reshape(ch, cw, 3))
     return img.reshape(h, w, 3)

