@@ -1,23 +1,31 @@
 #!/usr/bin/env python
-"""Headline benchmarks on one chip.  Prints ONE JSON line per config:
+"""Headline benchmarks on one chip — one JSON line per BASELINE config:
 {"metric", "value", "unit", "vs_baseline"}.
 
 Baseline: the reference renderer's only published throughput signal is the
 Cornell progress bar — 1024 16x16 tiles at 1828.38 tiles/s for 500x500 @
 8spp on a 28-core CPU (reference docs/source/getting_started.rst:163-174),
-i.e. ~3.57M camera paths/s.  vs_baseline is our paths/s over that.
+i.e. ~3.57M camera paths/s.  vs_baseline is our paths/s over that (for
+configs where the reference publishes nothing, this overstates the
+reference — conservative for us).
 
-Config #2 (Ganesha-scale, BASELINE.md row 3) is wrapped in try/except so a
-fault cannot zero the whole artifact (VERDICT r2 weak #1), and the built
-scene+accel are cached on disk (scene assembly is 25-140s of host numpy
-with high variance, VERDICT r2 weak #7).
+Configs (BASELINE.json):
+  1. Cornell path 256x256 @ 64spp
+  2. directlighting + whitted, sphere/quad area lights, 256x256 @ 64spp
+  3. Ganesha-scale statue (5.24M tris), 1024x1024 @ 64spp, SAH-BVH12
+     (+ the 1.31M-tri 256x256 row kept for round-over-round comparison)
+  4. SSS dragonette: volpath + BSSRDF @ 512spp (assets/scenes/)
+  5. SPPM caustic glass + hair curves (assets/scenes/caustic_hair.pbrt)
 
-Timing forces host materialization of the image: block_until_ready through
-the axon tunnel does not reliably wait for dispatch completion (measured
-852 TFLOP/s "matmuls" without it, tools/tpu_probe2.py).
+Every config is try/except-isolated so one fault cannot zero the whole
+artifact; scene+accel builds are disk-cached (host numpy assembly is
+minutes at statue scale).  Timing forces host materialization of the
+image: block_until_ready through the axon tunnel does not reliably wait
+(measured 852 TFLOP/s "matmuls" without it, tools/tpu_probe2.py).
 """
 
 import json
+import os
 import pickle
 import sys
 import time
@@ -25,7 +33,14 @@ import time
 import numpy as np
 
 CACHE = "/tmp/rs_pbrt_bench_statue.pkl"
+CACHE_BIG = "/tmp/rs_pbrt_bench_statue9.pkl"
 BASELINE = 3.57e6  # reference 28-core CPU camera paths/s
+
+
+def emit(metric, value, unit, vs, **extra):
+    row = {"metric": metric, "value": value, "unit": unit, "vs_baseline": vs}
+    row.update(extra)
+    print(json.dumps(row), flush=True)
 
 
 def timed_render(rdr, *args, **kw):
@@ -44,8 +59,6 @@ def best_of(fn, reps=3):
 
 
 def bench_cornell():
-    import jax
-
     from rs_pbrt_tpu.models import samplers as smpl
     from rs_pbrt_tpu.models.integrators import render as rdr
     from rs_pbrt_tpu.scene import presets
@@ -64,20 +77,39 @@ def bench_cornell():
     timed_render(rdr, scene, camera, cfg, scfg, max_lanes=lanes)
     dt = best_of(lambda: timed_render(rdr, scene, camera, cfg, scfg, max_lanes=lanes))
     paths = res[0] * res[1] * spp
-    print(
-        json.dumps(
-            {
-                "metric": "camera_paths/s/chip (Cornell 256x256 path 64spp sobol)",
-                "value": round(paths / dt, 1),
-                "unit": "paths/s",
-                "vs_baseline": round(paths / dt / BASELINE, 3),
-            }
-        ),
-        flush=True,
+    emit(
+        "camera_paths/s/chip (Cornell 256x256 path 64spp sobol)",
+        round(paths / dt, 1), "paths/s", round(paths / dt / BASELINE, 3),
     )
 
 
-def _statue_cached():
+def bench_direct():
+    # config 2: directlighting + whitted over sphere/quad area lights
+    from rs_pbrt_tpu.models import samplers as smpl
+    from rs_pbrt_tpu.models.integrators import render as rdr
+    from rs_pbrt_tpu.scene import presets
+
+    res = (256, 256)
+    spp = 64
+    scene, camera = presets.spheres_direct(resolution=res)
+    scfg = smpl.make_sampler(smpl.SOBOL, spp, camera.resolution)
+    lanes = 1 << 23
+    for integ in ("directlighting", "whitted"):
+        cfg = rdr.RenderCfg(integ, spp=spp, max_depth=5, rr_threshold=1.0)
+        timed_render(rdr, scene, camera, cfg, scfg, max_lanes=lanes)
+        dt = best_of(
+            lambda: timed_render(rdr, scene, camera, cfg, scfg, max_lanes=lanes),
+            reps=2,
+        )
+        paths = res[0] * res[1] * spp
+        emit(
+            f"camera_paths/s/chip (spheres {integ} 256x256 64spp, "
+            "sphere+quad area lights)",
+            round(paths / dt, 1), "paths/s", round(paths / dt / BASELINE, 3),
+        )
+
+
+def _statue_cached(cache, subdivisions, res, spp):
     import jax
     import jax.numpy as jnp
 
@@ -85,9 +117,9 @@ def _statue_cached():
     from rs_pbrt_tpu.scene.arrays import Scene
 
     # content key: field names alone miss layout/builder changes (ADVICE r3)
-    schema = (Scene._fields, LBVH._fields, ACCEL_VERSION, (256, 256), 8)
+    schema = (Scene._fields, LBVH._fields, ACCEL_VERSION, subdivisions, res, spp)
     try:
-        with open(CACHE, "rb") as f:
+        with open(cache, "rb") as f:
             host = pickle.load(f)
         if host.get("schema") != schema:
             raise EOFError("stale cache schema")
@@ -98,41 +130,41 @@ def _statue_cached():
         accel = jax.tree.map(
             lambda a: jnp.asarray(a) if isinstance(a, np.ndarray) else a, host["accel"]
         )
-        return scene, camera, accel
+        return scene, camera, accel, host.get("build_s", -1.0)
     except Exception:  # noqa: BLE001 — stale caches can fail INSIDE
         # pickle.load (old NamedTuple schemas), not just at the schema check
         pass
     from rs_pbrt_tpu.ops.scene_intersect import build_accel
     from rs_pbrt_tpu.scene import bigscene
 
-    scene, camera = bigscene.statue_scene(resolution=(256, 256), subdivisions=8)
+    scene, camera = bigscene.statue_scene(resolution=res, subdivisions=subdivisions)
+    t0 = time.time()
     accel = build_accel(scene, kind="bvh")
+    build_s = time.time() - t0
     tonp = lambda t: jax.tree.map(
         lambda a: np.asarray(a) if hasattr(a, "shape") else a, t
     )
     try:
-        with open(CACHE, "wb") as f:
+        with open(cache, "wb") as f:
             pickle.dump(
                 {"scene": tonp(scene), "camera": camera, "accel": tonp(accel),
-                 "schema": schema}, f
+                 "schema": schema, "build_s": build_s}, f,
+                protocol=pickle.HIGHEST_PROTOCOL,
             )
     except OSError:
         pass
-    return scene, camera, accel
+    return scene, camera, accel, build_s
 
 
 def bench_statue():
-    # Ganesha-scale: 1.31M-triangle displaced icosphere exercising LBVH
-    # frontier-sweep traversal end to end.  The reference publishes no
-    # throughput for its 4.3M-tri statue scene; vs_baseline reuses the only
-    # published CPU signal (Cornell tiles/s), which overstates the
-    # reference at this scale — conservative for us.
+    # 1.31M-triangle displaced icosphere, kept small for round-over-round
+    # comparability (BENCH_r02/r03 track this exact config)
     from rs_pbrt_tpu.models import samplers as smpl
     from rs_pbrt_tpu.models.integrators import render as rdr
 
-    scene, camera, accel = _statue_cached()
     res2 = (256, 256)
     spp2 = 8
+    scene, camera, accel, _ = _statue_cached(CACHE, 8, res2, spp2)
     cfg2 = rdr.RenderCfg("path", spp=spp2, max_depth=5, rr_threshold=1.0)
     scfg2 = smpl.make_sampler(smpl.SOBOL, spp2, res2)
     lanes = 1 << 23
@@ -142,16 +174,90 @@ def bench_statue():
         reps=2,
     )
     paths2 = res2[0] * res2[1] * spp2
-    print(
-        json.dumps(
-            {
-                "metric": "camera_paths/s/chip (1.31M-tri statue 256x256 path 8spp, SAH-BVH12)",
-                "value": round(paths2 / dt2, 1),
-                "unit": "paths/s",
-                "vs_baseline": round(paths2 / dt2 / BASELINE, 3),
-            }
-        ),
-        flush=True,
+    emit(
+        "camera_paths/s/chip (1.31M-tri statue 256x256 path 8spp, SAH-BVH12)",
+        round(paths2 / dt2, 1), "paths/s", round(paths2 / dt2 / BASELINE, 3),
+    )
+
+
+def bench_statue_full():
+    # config 3 at reference scale (README.md:53-61: 4.3M-tri Ganesha):
+    # subdiv-9 displaced icosphere = 5.24M tris, 1024x1024 @ 64spp.
+    # ONE timed full render (67.1M paths is minutes, not a best-of rep).
+    from rs_pbrt_tpu.models import samplers as smpl
+    from rs_pbrt_tpu.models.integrators import render as rdr
+
+    res = (1024, 1024)
+    spp = 64
+    scene, camera, accel, build_s = _statue_cached(CACHE_BIG, 9, res, spp)
+    cfg = rdr.RenderCfg("path", spp=spp, max_depth=5, rr_threshold=1.0)
+    scfg = smpl.make_sampler(smpl.SOBOL, spp, res)
+    lanes = 1 << 23
+    # warm-up on a 1-spp slice compiles the timed signature (same lane
+    # shape: the lane cap, not spp, sets the wavefront size)
+    cfg1 = rdr.RenderCfg("path", spp=1, max_depth=5, rr_threshold=1.0)
+    timed_render(rdr, scene, camera, cfg1, scfg, accel=accel, max_lanes=lanes)
+    t0 = time.time()
+    timed_render(rdr, scene, camera, cfg, scfg, accel=accel, max_lanes=lanes)
+    dt = time.time() - t0
+    paths = res[0] * res[1] * spp
+    emit(
+        "camera_paths/s/chip (5.24M-tri statue 1024x1024 path 64spp, SAH-BVH12)",
+        round(paths / dt, 1), "paths/s", round(paths / dt / BASELINE, 3),
+        sah_build_s=round(build_s, 1), full_render_s=round(dt, 1),
+    )
+
+
+def _load_scene(path, overrides=None):
+    from rs_pbrt_tpu.ops.scene_intersect import build_accel
+    from rs_pbrt_tpu.scene.api import load_pbrt
+
+    scene, camera, cfg, scfg, fcfg, _ = load_pbrt(path, overrides or {})
+    accel = build_accel(scene, kind=getattr(cfg, "accelerator", "bvh"))
+    return scene, camera, cfg, scfg, fcfg, accel
+
+
+def bench_sss():
+    # config 4: volpath + BSSRDF subsurface showcase @ 512spp
+    from rs_pbrt_tpu.models.integrators import render as rdr
+
+    scene, camera, cfg, scfg, fcfg, accel = _load_scene(
+        os.path.join(os.path.dirname(__file__), "assets/scenes/sss_dragonette.pbrt"),
+        {"samples": 512},
+    )
+    w, h = camera.resolution
+    lanes = 1 << 22
+    # warm-up: 8spp compiles the same batch signature
+    cfg8 = cfg._replace(spp=8)
+    timed_render(rdr, scene, camera, cfg8, scfg, fcfg, accel=accel, max_lanes=lanes)
+    t0 = time.time()
+    timed_render(rdr, scene, camera, cfg, scfg, fcfg, accel=accel, max_lanes=lanes)
+    dt = time.time() - t0
+    paths = w * h * cfg.spp
+    emit(
+        f"camera_paths/s/chip (SSS dragonette volpath+BSSRDF {w}x{h} {cfg.spp}spp)",
+        round(paths / dt, 1), "paths/s", round(paths / dt / BASELINE, 3),
+    )
+
+
+def bench_sppm_hair():
+    # config 5: SPPM caustic glass + hair curves; photon passes dominate.
+    # Throughput unit = (camera rays + photon launches) / s.
+    from rs_pbrt_tpu.models.integrators import render as rdr
+
+    scene, camera, cfg, scfg, fcfg, accel = _load_scene(
+        os.path.join(os.path.dirname(__file__), "assets/scenes/caustic_hair.pbrt"),
+    )
+    w, h = camera.resolution
+    ex = dict(cfg.extra or {})
+    n_it = int(ex.get("n_iterations", 16))
+    t0 = time.time()
+    timed_render(rdr, scene, camera, cfg, scfg, fcfg, accel=accel)
+    dt = time.time() - t0
+    work = w * h * n_it * 2  # camera pass + photon pass per iteration
+    emit(
+        f"sppm_rays/s/chip (caustic glass + hair {w}x{h}, {n_it} iterations)",
+        round(work / dt, 1), "rays/s", round(work / dt / BASELINE, 3),
     )
 
 
@@ -163,16 +269,25 @@ def main():
     x = jnp.ones((256, 256))
     (x @ x).block_until_ready()
 
+    only = set(sys.argv[1:])
+    benches = [
+        ("cornell", bench_cornell),
+        ("direct", bench_direct),
+        ("statue", bench_statue),
+        ("sss", bench_sss),
+        ("sppm", bench_sppm_hair),
+        ("statue_full", bench_statue_full),
+    ]
     rc = 0
-    try:
-        bench_cornell()
-    except Exception as e:  # noqa: BLE001
-        print(f"cornell bench failed: {type(e).__name__}: {e}", file=sys.stderr)
-        rc = 1
-    try:
-        bench_statue()
-    except Exception as e:  # noqa: BLE001
-        print(f"statue bench failed: {type(e).__name__}: {e}", file=sys.stderr)
+    for name, fn in benches:
+        if only and name not in only:
+            continue
+        try:
+            fn()
+        except Exception as e:  # noqa: BLE001
+            print(f"{name} bench failed: {type(e).__name__}: {e}", file=sys.stderr)
+            if name == "cornell":
+                rc = 1
     return rc
 
 

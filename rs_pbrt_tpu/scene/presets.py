@@ -82,6 +82,35 @@ def _box_quads(top, y0, y1):
     return quads
 
 
+def spheres_direct(resolution=(256, 256)):
+    """BASELINE config 2 scene: matte + mirror spheres on a floor lit by
+    a quad area light AND a sphere area light, for the directlighting /
+    whitted integrators (reference README.md gallery spheres scenes)."""
+    b = SceneBuilder()
+    floor = b.add_matte(kd=(0.6, 0.6, 0.6))
+    matte = b.add_matte(kd=(0.5, 0.2, 0.2))
+    mirror = b.add_mirror(kr=(0.9, 0.9, 0.9))
+    dark = b.add_matte(kd=(0.0, 0.0, 0.0))
+    _quad(b, [-6, 0, -6], [6, 0, -6], [6, 0, 6], [-6, 0, 6], floor)
+    b.add_sphere(tr.translate([-1.1, 1.0, 0]), radius=1.0, material=matte)
+    b.add_sphere(tr.translate([1.1, 1.0, 0.4]), radius=1.0, material=mirror)
+    # quad area light overhead
+    _quad(
+        b, [-1.5, 4.0, -1.0], [-0.5, 4.0, -1.0], [-0.5, 4.0, 0.0], [-1.5, 4.0, 0.0],
+        dark, area_light=dict(L=(18.0, 18.0, 18.0), two_sided=False),
+    )
+    # sphere area light to the side
+    b.add_sphere(
+        tr.translate([2.5, 2.5, -2.0]), radius=0.3, material=dark,
+        area_light=dict(L=(40.0, 40.0, 40.0)),
+    )
+    scene = b.finalize()
+    camera = cam.make_perspective(
+        tr.look_at([0, 2.2, 6.5], [0, 1.0, 0], [0, 1, 0]), resolution, fov=45.0
+    )
+    return scene, camera
+
+
 def furnace_sphere(resolution=(64, 64), albedo=0.5, env_l=1.0):
     """Furnace test: matte sphere of given albedo inside a constant env.
     Every pixel on the sphere must converge to env_l (energy conservation)."""
