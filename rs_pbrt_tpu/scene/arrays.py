@@ -539,27 +539,21 @@ def finalize_scene(arrs: dict) -> Scene:
         hw = arrs["crv_attr"][:, 12:14].max(1)[:, None] * 0.5
         pts += [cp.min(1) - hw, cp.max(1) + hw]
     if len(arrs.get("anim_p0", ())):
-        # conservative motion bound: object verts through BOTH endpoint
-        # transforms (transform.rs motion_bounds approximated by the
-        # endpoints union; slerp paths stay near the chord for the small
-        # rotations motion blur uses)
+        # interval motion bound over the WHOLE shutter, not just the
+        # endpoint union (reference transform.rs:2207-2281 motion_bounds;
+        # utils/animated.motion_bounds chord + arc-deviation form)
+        from ..utils import animated as _an
+
         av = np.concatenate([arrs["anim_p0"], arrs["anim_p1"], arrs["anim_p2"]])
         rg = np.asarray(arrs["anim_range"], np.int64)
         A = len(arrs["anim_p0"])
         for g, (a, b) in enumerate(rg):
             xf = arrs["anim_xf"][g]
-            for T0, q0, S0 in ((xf[0:3], xf[3:7], xf[7:16]),
-                               (xf[16:19], xf[19:23], xf[23:32])):
-                x, y, z, w = q0
-                R3 = np.array([
-                    [1 - 2 * (y * y + z * z), 2 * (x * y - z * w), 2 * (x * z + y * w)],
-                    [2 * (x * y + z * w), 1 - 2 * (x * x + z * z), 2 * (y * z - x * w)],
-                    [2 * (x * z - y * w), 2 * (y * z + x * w), 1 - 2 * (x * x + y * y)],
-                ]) @ S0.reshape(3, 3)
-                vv = np.concatenate([av[a:b], av[A + a:A + b], av[2 * A + a:2 * A + b]])
-                wv = vv @ R3.T + T0
-                pts += [wv.min(0, keepdims=True).astype(np.float32),
-                        wv.max(0, keepdims=True).astype(np.float32)]
+            vv = np.concatenate([av[a:b], av[A + a:A + b], av[2 * A + a:2 * A + b]])
+            lo, hi = _an.motion_bounds(
+                xf[0:3], xf[3:7], xf[7:16], xf[16:19], xf[19:23], xf[23:32], vv
+            )
+            pts += [lo[None], hi[None]]
     if pts:
         allp = np.concatenate(pts, 0)
         lo, hi = allp.min(0), allp.max(0)

@@ -90,6 +90,70 @@ def interpolate(t, T0, q0, S0, T1, q1, S1):
     return out
 
 
+def _quat_to_mat_np(q):
+    x, y, z, w = q
+    return np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - z * w), 2 * (x * z + y * w)],
+        [2 * (x * y + z * w), 1 - 2 * (x * x + z * z), 2 * (y * z - x * w)],
+        [2 * (x * z - y * w), 2 * (y * z + x * w), 1 - 2 * (x * x + y * y)],
+    ])
+
+
+def motion_bounds(T0, q0, S0, T1, q1, S1, points):
+    """Conservative AABB of `points` (N,3) under the animated transform
+    over the WHOLE t in [0,1] interval — host/build-time (reference
+    transform.rs:2207-2281 motion_bounds / bound_point_motion).
+
+    The reference bounds each corner's motion by symbolically
+    differentiating the interpolated-matrix path and interval-searching
+    the derivative's zeros (an auto-generated ~600-term expansion).  We
+    use a closed-form chord + arc-deviation bound instead: with
+    x(t) = T(t) + R(t) v(t), T and v = S(t)p linear and
+    R(t) = R0 rot(a, t*theta) the slerp arc,
+
+        || x(t) - lerp(x(0), x(1))(t) ||
+          <= (1-t) 2 sin(t theta/2) d(v0) + t 2 sin((1-t) theta/2) d(v1)
+          <= t (1-t) theta (d0 + d1)  <=  theta (d0 + d1) / 4
+
+    where d(v) is the distance of v from the rotation axis a (of
+    q0^-1 q1, shortest arc).  So the endpoint-union box padded by
+    theta(d0+d1)/4 per point contains the whole path.  nlerp (the
+    near-case in `interpolate`) lies on the same great-circle arc, so
+    the bound covers it too.  Looser than the reference's root-finding
+    (by <= ~23% of the pad at theta=pi) but strictly conservative and
+    26 lines instead of 600."""
+    P = np.asarray(points, np.float64).reshape(-1, 3)
+    T0 = np.asarray(T0, np.float64)
+    T1 = np.asarray(T1, np.float64)
+    S0 = np.asarray(S0, np.float64).reshape(3, 3)
+    S1 = np.asarray(S1, np.float64).reshape(3, 3)
+    q0 = np.asarray(q0, np.float64)
+    q1 = np.asarray(q1, np.float64)
+    v0 = P @ S0.T
+    v1 = P @ S1.T
+    x0 = v0 @ _quat_to_mat_np(q0).T + T0
+    x1 = v1 @ _quat_to_mat_np(q1).T + T1
+    # relative rotation q0^-1 q1 (x,y,z,w), shortest arc
+    x0q, y0q, z0q, w0q = -q0[0], -q0[1], -q0[2], q0[3]  # conjugate
+    x1q, y1q, z1q, w1q = q1
+    qd = np.array([
+        w0q * x1q + x0q * w1q + y0q * z1q - z0q * y1q,
+        w0q * y1q - x0q * z1q + y0q * w1q + z0q * x1q,
+        w0q * z1q + x0q * y1q - y0q * x1q + z0q * w1q,
+        w0q * w1q - x0q * x1q - y0q * y1q - z0q * z1q,
+    ])
+    if qd[3] < 0.0:
+        qd = -qd
+    theta = 2.0 * np.arccos(np.clip(qd[3], -1.0, 1.0))
+    an = np.linalg.norm(qd[:3])
+    axis = qd[:3] / an if an > 1e-12 else np.array([0.0, 0.0, 1.0])
+    dist = lambda v: np.linalg.norm(v - np.outer(v @ axis, axis), axis=-1)
+    pad = (0.25 * theta * (dist(v0) + dist(v1)))[:, None]
+    lo = np.minimum(x0 - pad, x1 - pad).min(0)
+    hi = np.maximum(x0 + pad, x1 + pad).max(0)
+    return lo.astype(np.float32), hi.astype(np.float32)
+
+
 def inverse_affine(m):
     """Per-lane inverse of affine (..., 4, 4) matrices (3x3 cofactor +
     translation); used to carry rays into the object space of an animated

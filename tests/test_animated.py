@@ -76,3 +76,71 @@ class TestMotionBlur:
         assert np.all(np.isfinite(img_m))
         # the smear covers noticeably more pixels than the static spot
         assert lit_m > 1.8 * lit_s, (lit_s, lit_m)
+
+
+class TestMotionBounds:
+    """motion_bounds must contain the exact interpolated path at all t
+    (reference transform.rs:2207-2281; here a chord + arc-deviation
+    interval bound — see utils/animated.motion_bounds docstring)."""
+
+    def _check(self, m0, m1, pts, tightness=None):
+        T0, q0, S0 = an.decompose(m0)
+        T1, q1, S1 = an.decompose(m1)
+        lo, hi = an.motion_bounds(T0, q0, S0, T1, q1, S1, pts)
+        ts = jnp.linspace(0.0, 1.0, 64)
+        M = np.asarray(an.interpolate(
+            ts, T0, q0, S0.reshape(3, 3), T1, q1, S1.reshape(3, 3)
+        ))  # (64,4,4)
+        x = np.einsum("tij,nj->tni", M[:, :3, :3], pts) + M[:, None, :3, 3]
+        eps = 1e-4 * (1.0 + np.abs(x).max())
+        assert (x >= lo - eps).all() and (x <= hi + eps).all(), (
+            x.min((0, 1)), lo, x.max((0, 1)), hi
+        )
+        if tightness is not None:
+            # the bound must not be absurdly loose either
+            span = (hi - lo).max()
+            true_span = (x.max((0, 1)) - x.min((0, 1))).max()
+            assert span <= tightness * true_span + 1e-3, (span, true_span)
+
+    def test_rotation_sweep_contained(self):
+        # 170-degree rotation about z plus translation: the arc bulges far
+        # outside the endpoint union — the pad must cover it
+        pts = np.array([[1.0, 0, 0], [0.5, 0.5, 0.3], [0, 1.0, -0.2]])
+        m0 = np.eye(4)
+        c, s = np.cos(np.deg2rad(170)), np.sin(np.deg2rad(170))
+        m1 = np.array([
+            [c, -s, 0, 2.0], [s, c, 0, 0.0], [0, 0, 1, 0.5], [0, 0, 0, 1],
+        ])
+        self._check(m0, m1, pts, tightness=2.5)
+
+    def test_endpoint_union_insufficient(self):
+        # 180-degree flip: at t=0.5 the point is at y=+-1, the endpoints
+        # both at x=+-1 — the old endpoint-union box missed the excursion
+        pts = np.array([[1.0, 0.0, 0.0]])
+        m0 = np.eye(4)
+        m1 = np.diag([-1.0, -1.0, 1.0, 1.0])  # rot_z(pi)
+        T0, q0, S0 = an.decompose(m0)
+        T1, q1, S1 = an.decompose(m1)
+        lo, hi = an.motion_bounds(T0, q0, S0, T1, q1, S1, pts)
+        assert hi[1] >= 1.0 - 1e-5 and lo[1] <= -1.0 + 1e-5  # covers the arc
+        self._check(m0, m1, pts)
+
+    def test_scale_and_small_rotation(self):
+        pts = np.random.RandomState(3).randn(16, 3).astype(np.float32)
+        m0 = np.diag([1.0, 2.0, 0.5, 1.0])
+        c, s = np.cos(0.2), np.sin(0.2)
+        m1 = np.array([
+            [c, 0, s, 0.3], [0, 1, 0, -0.1], [-s, 0, c, 0.0], [0, 0, 0, 1],
+        ]) @ np.diag([1.5, 1.0, 1.0, 1.0])
+        self._check(m0, m1, pts, tightness=1.5)
+
+    def test_pure_translation_tight(self):
+        pts = np.array([[0.3, -0.2, 1.0], [1.0, 1.0, 1.0]])
+        m0 = np.eye(4)
+        m1 = np.eye(4); m1[:3, 3] = [3.0, -1.0, 2.0]
+        T0, q0, S0 = an.decompose(m0)
+        T1, q1, S1 = an.decompose(m1)
+        lo, hi = an.motion_bounds(T0, q0, S0, T1, q1, S1, pts)
+        # no rotation -> zero pad -> exact endpoint hull
+        np.testing.assert_allclose(lo, [0.3, -1.2, 1.0], atol=1e-6)
+        np.testing.assert_allclose(hi, [4.0, 1.0, 3.0], atol=1e-6)
