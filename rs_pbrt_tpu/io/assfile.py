@@ -1,7 +1,7 @@
 """Arnold .ass scene importer — reference examples/parse_ass_file.rs.
 
-Same scope as the reference importer: polymesh / sphere / disk / cylinder
-geometry,
+Same scope as the reference importer: polymesh / sphere / disk / cylinder /
+points geometry,
 persp_camera, point / distant / quad / skydome lights, and a
 standard_surface -> (matte | metal | glass | mirror) material mapping.
 The token format is whitespace-separated per node block; array parameters
@@ -220,6 +220,25 @@ def load_ass(path_or_text, builder=None):
             o2w = tr.from_matrix(m) if m is not None else tr.identity()
             mat = shaders.get(_str1(prm, "shader"), 0)
             b.add_cylinder(o2w, radius=r, z_min=0.0, z_max=r, material=mat)
+        elif ntype == "points":
+            # parse_ass_file.rs points node: one sphere per point, radius
+            # from the (per-point or scalar) radius array
+            pts = _floats(prm, "points")
+            if pts is None:
+                continue
+            P = pts.reshape(-1, 3).astype(np.float32)
+            rad = _floats(prm, "radius", np.asarray([0.5]))
+            rad = np.broadcast_to(
+                np.atleast_1d(np.asarray(rad, np.float64)), (len(P),)
+            ) if np.atleast_1d(rad).size in (1, len(P)) else np.full(len(P), 0.5)
+            m = xform_of(prm)
+            base = tr.from_matrix(m) if m is not None else tr.identity()
+            mat = shaders.get(_str1(prm, "shader"), 0)
+            for p, r in zip(P, rad):
+                b.add_sphere(
+                    tr.compose(base, tr.translate(tuple(p))), radius=float(r),
+                    material=mat,
+                )
         elif ntype == "point_light":
             pos = _floats(prm, "position", np.zeros(3))
             color = _floats(prm, "color", np.ones(3))

@@ -154,3 +154,27 @@ distant_light { name sun color 1 1 1 intensity 2 }
         cyl = prm[np.asarray(scene.sph_kind) == sa.QK_CYLINDER][0]
         np.testing.assert_allclose(cyl[0], 0.4)
         np.testing.assert_allclose(cyl[2], 0.4)  # z_max = radius
+
+
+class TestAssPoints:
+    def test_points_become_spheres(self):
+        """points node -> one sphere per point with per-point radius
+        (reference parse_ass_file.rs points handling)."""
+        from rs_pbrt_tpu.io.assfile import load_ass
+        from rs_pbrt_tpu.scene import arrays as sa
+
+        b, cam = load_ass('''
+options { xres 32 yres 32 }
+points {
+ name pts
+ points 3 1 POINT 0 0 0  1 0 0  0 2 0
+ radius 3 1 FLOAT 0.1 0.2 0.3
+}
+point_light { name l position 0 3 0 intensity 5 }
+''')
+        scene = b.finalize()
+        assert scene.n_spheres == 3
+        kinds = np.asarray(scene.sph_kind)
+        assert (kinds == sa.QK_SPHERE).all()
+        radii = np.sort(np.asarray(scene.sph_params)[:, 0])
+        np.testing.assert_allclose(radii, [0.1, 0.2, 0.3], atol=1e-6)
