@@ -814,7 +814,7 @@ def bvh4_intersect_tris(
     return TriHit(valid, state["best_t"], best_tri, state["best_b0"], state["best_b1"])
 
 
-def _compacted_traversal(body, live_mask, state, R, compact_stages):
+def _compacted_traversal(body, live_mask, state, R, compact_stages, unroll=1):
     """Adaptive wavefront-compaction driver shared by the wide traversals.
 
     Per-lane visit counts are heavy-tailed (statue: mean 14, p99 42, max
@@ -824,7 +824,21 @@ def _compacted_traversal(body, live_mask, state, R, compact_stages):
     into a 4x smaller prefix and the loop continues there (correctness
     guaranteed: compaction only triggers when every live lane fits the
     prefix).  Quartering stages measured equal to halving on the statue
-    (131.9k vs 129.9k paths/s) with half the compiled loops."""
+    (131.9k vs 129.9k paths/s) with half the compiled loops.
+
+    unroll > 1 applies `body` that many times per while iteration: lanes
+    whose walk is finished no-op inside `body`, so the only cost is up to
+    unroll-1 wasted steps at the very end of each loop, against saving the
+    fixed ~0.2-0.7ms-per-iteration dispatch glue (CLAUDE.md measurement)
+    on every iteration."""
+    if unroll > 1:
+        inner = body
+
+        def body(st):  # noqa: F811 — deliberate wrap
+            for _ in range(unroll):
+                st = inner(st)
+            return st
+
     sizes = [R]
     for _ in range(max(compact_stages, 0)):
         nxt = sizes[-1] // 4
@@ -957,7 +971,7 @@ def _tri_test_soa(o, t_max, shear, X0, Y0, Z0, X1, Y1, Z1, X2, Y2, Z2):
 
 def bvh12_intersect_tris(
     o, d, t_max, wide128, wide_depth: int, any_hit: bool = False,
-    compact_stages: int = 3,
+    compact_stages: int = 3, unroll: int = 1,
 ):
     """ORDERED 12-wide BVH traversal over unified 512B rows — the TPU
     accel path of record (round 4).
@@ -1110,7 +1124,7 @@ def bvh12_intersect_tris(
         best_b0=vary_f, best_b1=vary_f,
         o=o, d=d, inv_d=inv_d, shear=shear1,
     )
-    state = _compacted_traversal(body, live_mask, state, R, compact_stages)
+    state = _compacted_traversal(body, live_mask, state, R, compact_stages, unroll)
     best_tri = state["best_tri"]
     valid = best_tri >= 0
     return TriHit(valid, state["best_t"], best_tri, state["best_b0"], state["best_b1"])
