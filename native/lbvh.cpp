@@ -650,10 +650,11 @@ extern "C" long wide4_build(const int* child_l, const int* child_r,
 
 namespace {
 
+template <int AA, int LL, int RWW>
 struct WideN {
-  static constexpr int A = 12;    // arity (child slots per internal row)
-  static constexpr int L = 12;    // leaf capacity (triangles per leaf row)
-  static constexpr int RW = 128;  // row width in f32 cols
+  static constexpr int A = AA;    // arity (child slots per internal row)
+  static constexpr int L = LL;    // leaf capacity (triangles per leaf row)
+  static constexpr int RW = RWW;  // row width in f32 cols
   const int* child_l;
   const int* child_r;
   const float* bmin_l;
@@ -749,13 +750,13 @@ struct WideN {
       int prim = i < k ? prim_ids[leafpos[i]] : prim_ids[leafpos[0]];
       for (int c = 0; c < 3; ++c) {
         r[0 + c * L + i] = p0[prim * 3 + c];
-        r[36 + c * L + i] = p1[prim * 3 + c];
-        r[72 + c * L + i] = p2[prim * 3 + c];
+        r[3 * L + c * L + i] = p1[prim * 3 + c];
+        r[6 * L + c * L + i] = p2[prim * 3 + c];
       }
-      r[108 + i] = (float)prim;
+      r[9 * L + i] = (float)prim;
     }
-    r[120] = (float)k;
-    r[127] = 1.0f;
+    r[10 * L] = (float)k;
+    r[RW - 1] = 1.0f;
   }
 
   void emit(int ref, long row, int depth) {
@@ -776,30 +777,29 @@ struct WideN {
     float* r = &rows[(size_t)row * RW];
     for (int i = 0; i < A; ++i) {
       bool live = i < count;
-      r[0 + i] = live ? bs[i * 6 + 0] : 1e30f;
-      r[12 + i] = live ? bs[i * 6 + 1] : 1e30f;
-      r[24 + i] = live ? bs[i * 6 + 2] : 1e30f;
-      r[36 + i] = live ? bs[i * 6 + 3] : -1e30f;
-      r[48 + i] = live ? bs[i * 6 + 4] : -1e30f;
-      r[60 + i] = live ? bs[i * 6 + 5] : -1e30f;
+      r[0 * A + i] = live ? bs[i * 6 + 0] : 1e30f;
+      r[1 * A + i] = live ? bs[i * 6 + 1] : 1e30f;
+      r[2 * A + i] = live ? bs[i * 6 + 2] : 1e30f;
+      r[3 * A + i] = live ? bs[i * 6 + 3] : -1e30f;
+      r[4 * A + i] = live ? bs[i * 6 + 4] : -1e30f;
+      r[5 * A + i] = live ? bs[i * 6 + 5] : -1e30f;
     }
-    r[72] = (float)base;
-    r[73] = (float)count;
-    r[127] = 0.0f;
+    r[6 * A] = (float)base;
+    r[6 * A + 1] = (float)count;
+    r[RW - 1] = 0.0f;
     for (int i = 0; i < count; ++i) emit(refs[i], base + i, depth + 1);
   }
 };
 
-}  // namespace
-
-extern "C" long wide12_build(const int* child_l, const int* child_r,
-                             const float* bmin_l, const float* bmax_l,
-                             const float* bmin_r, const float* bmax_r,
-                             const int* prim_ids, const float* p0,
-                             const float* p1, const float* p2, int n,
-                             float* rows_out, long cap, int* depth_out) {
+template <int AA, int LL, int RWW>
+long widen_build_impl(const int* child_l, const int* child_r,
+                      const float* bmin_l, const float* bmax_l,
+                      const float* bmin_r, const float* bmax_r,
+                      const int* prim_ids, const float* p0, const float* p1,
+                      const float* p2, int n, float* rows_out, long cap,
+                      int* depth_out) {
   if (n < 1) return 0;
-  WideN W;
+  WideN<AA, LL, RWW> W;
   W.child_l = child_l;
   W.child_r = child_r;
   W.bmin_l = bmin_l;
@@ -819,8 +819,36 @@ extern "C" long wide12_build(const int* child_l, const int* child_r,
     W.emit(0, 0, 1);
   }
   if (depth_out) *depth_out = W.max_depth;
-  if (W.n_rows * (long)WideN::RW > cap) return -W.n_rows;
-  std::memcpy(rows_out, W.rows.data(),
-              (size_t)W.n_rows * WideN::RW * sizeof(float));
+  if (W.n_rows * (long)RWW > cap) return -W.n_rows;
+  std::memcpy(rows_out, W.rows.data(), (size_t)W.n_rows * RWW * sizeof(float));
   return W.n_rows;
+}
+
+}  // namespace
+
+extern "C" long wide12_build(const int* child_l, const int* child_r,
+                             const float* bmin_l, const float* bmax_l,
+                             const float* bmin_r, const float* bmax_r,
+                             const int* prim_ids, const float* p0,
+                             const float* p1, const float* p2, int n,
+                             float* rows_out, long cap, int* depth_out) {
+  return widen_build_impl<12, 12, 128>(child_l, child_r, bmin_l, bmax_l,
+                                       bmin_r, bmax_r, prim_ids, p0, p1, p2,
+                                       n, rows_out, cap, depth_out);
+}
+
+// 24-wide collapse with 256-col (1024B) rows: same layout family as
+// wide12 (all offsets are multiples of the arity) — 24 child AABBs use
+// cols [0:144], base/count at 144/145; leaves pack 24 triangles
+// ([0:216] SoA components, prim ids [216:240], count 240); col 255 is
+// the leaf flag.
+extern "C" long wide24_build(const int* child_l, const int* child_r,
+                             const float* bmin_l, const float* bmax_l,
+                             const float* bmin_r, const float* bmax_r,
+                             const int* prim_ids, const float* p0,
+                             const float* p1, const float* p2, int n,
+                             float* rows_out, long cap, int* depth_out) {
+  return widen_build_impl<24, 24, 256>(child_l, child_r, bmin_l, bmax_l,
+                                       bmin_r, bmax_r, prim_ids, p0, p1, p2,
+                                       n, rows_out, cap, depth_out);
 }

@@ -80,10 +80,19 @@ class LBVH(NamedTuple):
     # tests and the megakernel.
     wide128: jnp.ndarray = None  # (M, 128) f32
     wide128_dflag: jnp.ndarray = None
+    # unified 24-wide 1024B rows (native wide24_build; same layout family,
+    # offsets scale with the arity) — round-4 A/B candidate against the
+    # 12-wide rows; kept only when it measures faster
+    wide256: jnp.ndarray = None  # (M, 256) f32
+    wide256_dflag: jnp.ndarray = None
 
     @property
     def wide_depth(self) -> int:
         return 0 if self.wide_dflag is None else self.wide_dflag.shape[0]
+
+    @property
+    def wide24_depth(self) -> int:
+        return 0 if self.wide256_dflag is None else self.wide256_dflag.shape[0]
 
     @property
     def wide12_depth(self) -> int:
@@ -989,13 +998,41 @@ def bvh12_intersect_tris(
     Mirrors reference bvh.rs:401-514 capability (stack machine,
     dir_is_neg ordering) with a hardware-shaped algorithm.
     """
+    return _bvhw_intersect_tris(
+        o, d, t_max, wide128, wide_depth, W12, any_hit, compact_stages, unroll
+    )
+
+
+def bvh24_intersect_tris(
+    o, d, t_max, wide256, wide_depth: int, any_hit: bool = False,
+    compact_stages: int = 3, unroll: int = 1,
+):
+    """24-wide variant over 1024B rows (native wide24_build) — same
+    ordered traversal at double arity; see bvh12_intersect_tris."""
+    return _bvhw_intersect_tris(
+        o, d, t_max, wide256, wide_depth, 24, any_hit, compact_stages, unroll
+    )
+
+
+def _bvhw_intersect_tris(
+    o, d, t_max, table, wide_depth: int, W: int, any_hit: bool,
+    compact_stages: int, unroll: int = 1,
+):
+    """Arity-generic ordered wide traversal (row layout offsets are all
+    multiples of the arity W; see native/lbvh.cpp WideN)."""
     R = o.shape[0]
     K = max(2 * wide_depth + 4, 8)
     eps = 1.0 + 2.0 * vm.gamma(3.0)
     from .intersect import ray_shear
 
-    bits = jax.lax.shift_left(jnp.int32(1), jnp.arange(W12, dtype=jnp.int32))
-    full = jnp.int32((1 << W12) - 1)
+    rw = table.shape[1]
+    _W12_BASE = 6 * W
+    _W12_COUNT = 6 * W + 1
+    _W12_PRIM = 9 * W
+    _W12_FLAG = rw - 1
+    wide128 = table
+    bits = jax.lax.shift_left(jnp.int32(1), jnp.arange(W, dtype=jnp.int32))
+    full = jnp.int32((1 << W) - 1)
 
     def live_mask(st):
         l = (st["cur_m"] != 0) | (st["stk_m"][:, 0] != 0)
@@ -1039,13 +1076,13 @@ def bvh12_intersect_tris(
         # domain (no (n,3,12) stacking: minor-dim-3 relayouts cost more
         # than the row gather, round-4 chip bisect) ----
         def axis_slab(c_min, c_max, oc, ic):
-            t1 = (row[:, c_min : c_min + 12] - oc) * ic
-            t2 = (row[:, c_max : c_max + 12] - oc) * ic
+            t1 = (row[:, c_min : c_min + W] - oc) * ic
+            t2 = (row[:, c_max : c_max + W] - oc) * ic
             return jnp.minimum(t1, t2), jnp.maximum(t1, t2)
 
-        tnx, tfx = axis_slab(0, 36, o[:, 0:1], inv_d[:, 0:1])
-        tny, tfy = axis_slab(12, 48, o[:, 1:2], inv_d[:, 1:2])
-        tnz, tfz = axis_slab(24, 60, o[:, 2:3], inv_d[:, 2:3])
+        tnx, tfx = axis_slab(0 * W, 3 * W, o[:, 0:1], inv_d[:, 0:1])
+        tny, tfy = axis_slab(1 * W, 4 * W, o[:, 1:2], inv_d[:, 1:2])
+        tnz, tfz = axis_slab(2 * W, 5 * W, o[:, 2:3], inv_d[:, 2:3])
         tn = jnp.maximum(jnp.maximum(tnx, tny), tnz)  # (n,12)
         tf = jnp.minimum(jnp.minimum(tfx, tfy), tfz) * eps
         hit12 = (tn <= tf) & (tf > 0.0) & (tn < best_t[:, None])
@@ -1057,7 +1094,7 @@ def bvh12_intersect_tris(
         # explode ~20x on the statue; results stay right — the phantom rows
         # hold real geometry — but the walk is chaotic)
         cnt = jnp.round(row[:, _W12_COUNT]).astype(jnp.int32)
-        hit12 &= jnp.arange(W12, dtype=jnp.int32)[None, :] < cnt[:, None]
+        hit12 &= jnp.arange(W, dtype=jnp.int32)[None, :] < cnt[:, None]
         child_base = jnp.round(row[:, _W12_BASE]).astype(jnp.int32)
         tn_m = jnp.where(hit12, tn, jnp.inf)
         near = jnp.argmin(tn_m, axis=1).astype(jnp.int32)
@@ -1081,10 +1118,10 @@ def bvh12_intersect_tris(
         cur_m = jnp.where(descend, near_bit, cur_m)
 
         # ---- leaf: 12 packed triangle tests on component-SoA slices ----
-        g = lambda c0: row[:, c0 : c0 + 12]
+        g = lambda c0: row[:, c0 : c0 + W]
         th, tt, tb0, tb1 = _tri_test_soa(
             o, best_t[:, None], shear1,
-            g(0), g(12), g(24), g(36), g(48), g(60), g(72), g(84), g(96),
+            *[g(i * W) for i in range(9)],
         )
         th &= (active & is_leaf)[:, None]
         tt_m = jnp.where(th, tt, jnp.inf)
@@ -1092,11 +1129,11 @@ def bvh12_intersect_tris(
         tri_hit = jnp.any(th, axis=1)
         # one-hot select instead of take_along_axis: (n,12) per-lane
         # gathers hit the same slow gather unit as table rows
-        onehot = bi[:, None] == jnp.arange(W12, dtype=bi.dtype)[None, :]
+        onehot = bi[:, None] == jnp.arange(W, dtype=bi.dtype)[None, :]
         take = lambda a: jnp.sum(jnp.where(onehot, a, 0.0), axis=1)
         t_new = jnp.min(tt_m, axis=1)
         upd = tri_hit & (t_new < best_t)
-        prim12 = jnp.round(row[:, _W12_PRIM : _W12_PRIM + W12]).astype(jnp.int32)
+        prim12 = jnp.round(row[:, _W12_PRIM : _W12_PRIM + W]).astype(jnp.int32)
         best_t = jnp.where(upd, t_new, best_t)
         best_tri = jnp.where(
             upd, jnp.sum(jnp.where(onehot, prim12, 0), axis=1), best_tri

@@ -44,6 +44,8 @@ def _load():
     lib.wide4_build.restype = ctypes.c_long
     lib.wide12_build.argtypes = wide_sig
     lib.wide12_build.restype = ctypes.c_long
+    lib.wide24_build.argtypes = wide_sig
+    lib.wide24_build.restype = ctypes.c_long
     _lib = lib
     return lib
 
@@ -106,8 +108,14 @@ def build_wide12(*args):
     return _build_wide("wide12_build", 128, *args)
 
 
+def build_wide24(*args):
+    """24-wide 1024B-row variant (native wide24_build).  Returns
+    (rows (M,256), max_depth)."""
+    return _build_wide("wide24_build", 256, *args)
+
+
 def build_lbvh_native(bmin, bmax, tris=None, sah: bool = True,
-                      lean: bool = False) -> LBVH:
+                      lean: bool = False, wide24: bool = False) -> LBVH:
     """bmin/bmax: (N,3) float32 numpy arrays -> device LBVH pytree.
     tris: optional (p0, p1, p2) — also packs leaf triangle rows and the
     rope-traversal node stream (see bvh.build_stream).
@@ -159,8 +167,8 @@ def build_lbvh_native(bmin, bmax, tris=None, sah: bool = True,
         raise RuntimeError(f"lbvh_build failed rc={rc}")
     from .bvh import build_stream, pack_leaf_tris, pack_nodes
 
-    wide = wide12 = None
-    depth = depth12 = 0
+    wide = wide12 = wide24_rows = None
+    depth = depth12 = depth24 = 0
     if tris is not None:
         if not lean:
             wide, depth = build_wide4(
@@ -169,6 +177,10 @@ def build_lbvh_native(bmin, bmax, tris=None, sah: bool = True,
         wide12, depth12 = build_wide12(
             child_l, child_r, bmin_l, bmax_l, bmin_r, bmax_r, prim_ids, *tris
         )
+        if wide24:
+            wide24_rows, depth24 = build_wide24(
+                child_l, child_r, bmin_l, bmax_l, bmin_r, bmax_r, prim_ids, *tris
+            )
     return LBVH(
         jnp.asarray(child_l), jnp.asarray(child_r),
         jnp.asarray(bmin_l), jnp.asarray(bmax_l),
@@ -187,4 +199,6 @@ def build_lbvh_native(bmin, bmax, tris=None, sah: bool = True,
         None if wide is None else jnp.zeros((depth, 0), jnp.float32),
         None if wide12 is None else jnp.asarray(wide12),
         None if wide12 is None else jnp.zeros((depth12, 0), jnp.float32),
+        None if wide24_rows is None else jnp.asarray(wide24_rows),
+        None if wide24_rows is None else jnp.zeros((depth24, 0), jnp.float32),
     )
