@@ -24,11 +24,13 @@ from . import path as pathmod
 
 
 # per-dispatch lane cap for accelerated (BVH) scenes — see render().
-# Measured on the statue bench: 64k beats 128k (131.9k vs 119.9k paths/s;
-# larger wavefronts gather more rows per traversal iteration without
-# proportionally fewer iterations) and keeps dispatches far from the
-# ~1-minute worker-kill budget
-ACCEL_LANE_CAP = 1 << 16
+# Round-4 re-measure (tools/tpu_bvh24_bench.py): the wide traversals hit a
+# fixed ~45ms floor at 64k lanes (per-iteration loop glue), while 524k-lane
+# wavefronts run ~1.3x more rays/s — so the cap is now 512k.  A full
+# 524k-lane bounce loop is ~3-4s of traversal, still far from the
+# ~1-minute worker-kill budget.  (The old 64k cap was tuned on the 4-wide
+# tree: 131.9k vs 119.9k paths/s against 128k lanes.)
+ACCEL_LANE_CAP = 1 << 19
 
 
 class RenderCfg(NamedTuple):

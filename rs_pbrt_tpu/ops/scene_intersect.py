@@ -55,6 +55,17 @@ def _tri_accel_hit(o, d, t_max, tree, p0, p1, p2, any_hit: bool = False):
 
     if isinstance(tree, kdmod.KdTree):
         return kdmod.kdtree_intersect_tris(o, d, t_max, tree, p0, p1, p2, any_hit=any_hit)
+    if getattr(tree, "wide256", None) is not None and _use_pallas():
+        # 24-wide ordered traversal + 2-step unroll — the round-4 A/B
+        # winner (tools/tpu_bvh24_bench.py at 524k lanes: 2.04M rays/s
+        # closest / 2.11M any-hit vs 1.59M for 12-wide base; the gather
+        # unit is ~42GB/s byte-bound, so 1024B rows tie 512B per row but
+        # halve the iteration count, and the unroll halves the
+        # ~0.2-0.7ms/iteration fixed loop glue)
+        return bvhmod.bvh24_intersect_tris(
+            o, d, t_max, tree.wide256, tree.wide24_depth, any_hit=any_hit,
+            unroll=2,
+        )
     if getattr(tree, "wide128", None) is not None and _use_pallas():
         # 12-wide ordered traversal: ONE 512B row gather per step (512B
         # rows gather at the same rate as 256B; see bvh.bvh12_intersect_tris)
@@ -766,12 +777,14 @@ def _build_lbvh_pref_native(bmin, bmax, tris=None, lean=False):
     """Prefers the native C++ builder (native/lbvh.cpp, ~18x the numpy build
     at Ganesha scale); falls back to the vectorized numpy Karras build.
     tris: optional (p0, p1, p2) — attaches leaf-ordered packed triangle
-    rows for the single-gather leaf test.  lean: wide12-only pytree
+    rows for the single-gather leaf test.  lean: wide-rows-only pytree
     (TPU path of record) — ~8x less HBM at multi-million-triangle scale."""
     from . import bvh_native
 
     if bvh_native.native_available():
-        lb = bvh_native.build_lbvh_native(bmin, bmax, tris=tris, lean=lean)
+        lb = bvh_native.build_lbvh_native(
+            bmin, bmax, tris=tris, lean=lean, wide24=tris is not None
+        )
         return lb
     return bvhmod.build_lbvh(bmin, bmax, tris=tris)
 
