@@ -205,11 +205,14 @@ def render_mlt(
     # one dispatch's traversal work stays under the ~1-minute worker-kill
     # budget (chunk * n_chains lanes ~ ACCEL_LANE_CAP); simple scenes run
     # ALL mutations in one dispatch (the loop body compiles once either way).
-    from .render import ACCEL_LANE_CAP
-
+    # NOTE deliberately NOT render.ACCEL_LANE_CAP: mutations in a chunk run
+    # SEQUENTIALLY (each is a full BDPT eval of n_chains lanes), so the
+    # chunk budget bounds dispatch WALL TIME, not wavefront width — the
+    # round-4 cap raise (64k -> 512k lanes) must not 8x MLT's dispatches
+    MLT_CHUNK_BUDGET = 1 << 16
     accel_scene = accel is not None and getattr(accel, "tri", None) is not None
     mut_chunk = (
-        max(1, ACCEL_LANE_CAP // max(n_chains, 1)) if accel_scene else n_mut
+        max(1, MLT_CHUNK_BUDGET // max(n_chains, 1)) if accel_scene else n_mut
     )
 
     @jax.jit
