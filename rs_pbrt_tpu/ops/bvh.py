@@ -659,7 +659,7 @@ def bvh_intersect_tris_stream(o, d, t_max, stream16, any_hit: bool = False):
 
 def bvh4_intersect_tris(
     o, d, t_max, wide64, wide_depth: int, any_hit: bool = False,
-    compact_stages: int = 3,
+    compact_stages: int = 6,
 ):
     """ORDERED 4-wide BVH traversal over the unified 256B row array — the
     TPU accel path of record.
@@ -839,7 +839,14 @@ def _compacted_traversal(body, live_mask, state, R, compact_stages, unroll=1):
     whose walk is finished no-op inside `body`, so the only cost is up to
     unroll-1 wasted steps at the very end of each loop, against saving the
     fixed ~0.2-0.7ms-per-iteration dispatch glue (CLAUDE.md measurement)
-    on every iteration."""
+    on every iteration.
+
+    compact_stages bounds the LADDER LENGTH, but the floor is what
+    matters: the size builder below stops quartering at 1024 lanes, so
+    stages must be enough to REACH that floor from R (3 was tuned at
+    R=64k; at the round-4 512k lane cap 3 stages left an 8192-lane floor
+    and the heavy tail iterations ran 8x too wide — statue end-to-end
+    DROPPED from 388k to 246k paths/s until the ladder was deepened)."""
     if unroll > 1:
         inner = body
 
@@ -980,7 +987,7 @@ def _tri_test_soa(o, t_max, shear, X0, Y0, Z0, X1, Y1, Z1, X2, Y2, Z2):
 
 def bvh12_intersect_tris(
     o, d, t_max, wide128, wide_depth: int, any_hit: bool = False,
-    compact_stages: int = 3, unroll: int = 1,
+    compact_stages: int = 6, unroll: int = 1,
 ):
     """ORDERED 12-wide BVH traversal over unified 512B rows — the TPU
     accel path of record (round 4).
@@ -1005,7 +1012,7 @@ def bvh12_intersect_tris(
 
 def bvh24_intersect_tris(
     o, d, t_max, wide256, wide_depth: int, any_hit: bool = False,
-    compact_stages: int = 3, unroll: int = 1,
+    compact_stages: int = 6, unroll: int = 1,
 ):
     """24-wide variant over 1024B rows (native wide24_build) — same
     ordered traversal at double arity; see bvh12_intersect_tris."""
