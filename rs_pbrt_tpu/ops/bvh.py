@@ -823,7 +823,8 @@ def bvh4_intersect_tris(
     return TriHit(valid, state["best_t"], best_tri, state["best_b0"], state["best_b1"])
 
 
-def _compacted_traversal(body, live_mask, state, R, compact_stages, unroll=1):
+def _compacted_traversal(body, live_mask, state, R, compact_stages, unroll=1,
+                         compact_factor=4):
     """Adaptive wavefront-compaction driver shared by the wide traversals.
 
     Per-lane visit counts are heavy-tailed (statue: mean 14, p99 42, max
@@ -855,9 +856,14 @@ def _compacted_traversal(body, live_mask, state, R, compact_stages, unroll=1):
                 st = inner(st)
             return st
 
+    # compact_factor: ladder granularity.  A stage only exits (and
+    # compacts) when live < next size, so entry-width waste is bounded by
+    # the factor — e.g. a wavefront entering with 28% live rides the full
+    # width under factor 4 but compacts immediately under factor 2.
+    # Factor 2 doubles the argsort/loop count in exchange.
     sizes = [R]
     for _ in range(max(compact_stages, 0)):
-        nxt = sizes[-1] // 4
+        nxt = sizes[-1] // compact_factor
         if nxt < 1024:
             break
         sizes.append(nxt)
@@ -987,7 +993,7 @@ def _tri_test_soa(o, t_max, shear, X0, Y0, Z0, X1, Y1, Z1, X2, Y2, Z2):
 
 def bvh12_intersect_tris(
     o, d, t_max, wide128, wide_depth: int, any_hit: bool = False,
-    compact_stages: int = 6, unroll: int = 1,
+    compact_stages: int = 6, unroll: int = 1, compact_factor: int = 4,
 ):
     """ORDERED 12-wide BVH traversal over unified 512B rows — the TPU
     accel path of record (round 4).
@@ -1006,24 +1012,26 @@ def bvh12_intersect_tris(
     dir_is_neg ordering) with a hardware-shaped algorithm.
     """
     return _bvhw_intersect_tris(
-        o, d, t_max, wide128, wide_depth, W12, any_hit, compact_stages, unroll
+        o, d, t_max, wide128, wide_depth, W12, any_hit, compact_stages, unroll,
+        compact_factor,
     )
 
 
 def bvh24_intersect_tris(
     o, d, t_max, wide256, wide_depth: int, any_hit: bool = False,
-    compact_stages: int = 6, unroll: int = 1,
+    compact_stages: int = 6, unroll: int = 1, compact_factor: int = 4,
 ):
     """24-wide variant over 1024B rows (native wide24_build) — same
     ordered traversal at double arity; see bvh12_intersect_tris."""
     return _bvhw_intersect_tris(
-        o, d, t_max, wide256, wide_depth, 24, any_hit, compact_stages, unroll
+        o, d, t_max, wide256, wide_depth, 24, any_hit, compact_stages, unroll,
+        compact_factor,
     )
 
 
 def _bvhw_intersect_tris(
     o, d, t_max, table, wide_depth: int, W: int, any_hit: bool,
-    compact_stages: int, unroll: int = 1,
+    compact_stages: int, unroll: int = 1, compact_factor: int = 4,
 ):
     """Arity-generic ordered wide traversal (row layout offsets are all
     multiples of the arity W; see native/lbvh.cpp WideN)."""
@@ -1168,7 +1176,8 @@ def _bvhw_intersect_tris(
         best_b0=vary_f, best_b1=vary_f,
         o=o, d=d, inv_d=inv_d, shear=shear1,
     )
-    state = _compacted_traversal(body, live_mask, state, R, compact_stages, unroll)
+    state = _compacted_traversal(body, live_mask, state, R, compact_stages, unroll,
+                                 compact_factor)
     best_tri = state["best_tri"]
     valid = best_tri >= 0
     return TriHit(valid, state["best_t"], best_tri, state["best_b0"], state["best_b1"])
