@@ -24,13 +24,13 @@ from . import path as pathmod
 
 
 # per-dispatch lane cap for accelerated (BVH) scenes — see render().
-# Round-4 re-measure (tools/tpu_bvh24_bench.py): the wide traversals hit a
-# fixed ~45ms floor at 64k lanes (per-iteration loop glue), while 524k-lane
-# wavefronts run ~1.3x more rays/s — so the cap is now 512k.  A full
-# 524k-lane bounce loop is ~3-4s of traversal, still far from the
-# ~1-minute worker-kill budget.  (The old 64k cap was tuned on the 4-wide
-# tree: 131.9k vs 119.9k paths/s against 128k lanes.)
-ACCEL_LANE_CAP = 1 << 19
+# Round-4 A/B: RAW traversal runs ~1.3x more rays/s at 524k lanes than at
+# 64k (tools/tpu_bvh24_bench.py), but END-TO-END the 512k cap measured
+# 226-246k paths/s on the statue vs 388k at 64k (BENCH ledger) — the
+# mid-liveness bounces ride the quartering ladder's entry width and the
+# in-dispatch argsorts grow ~10x (tools/tpu_probe9.py stages sweep), so
+# the smaller dispatch wins end to end.  Keep 64k.
+ACCEL_LANE_CAP = 1 << 16
 
 
 class RenderCfg(NamedTuple):

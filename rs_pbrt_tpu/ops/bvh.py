@@ -659,7 +659,7 @@ def bvh_intersect_tris_stream(o, d, t_max, stream16, any_hit: bool = False):
 
 def bvh4_intersect_tris(
     o, d, t_max, wide64, wide_depth: int, any_hit: bool = False,
-    compact_stages: int = 6,
+    compact_stages: int = 3,
 ):
     """ORDERED 4-wide BVH traversal over the unified 256B row array — the
     TPU accel path of record.
@@ -993,7 +993,7 @@ def _tri_test_soa(o, t_max, shear, X0, Y0, Z0, X1, Y1, Z1, X2, Y2, Z2):
 
 def bvh12_intersect_tris(
     o, d, t_max, wide128, wide_depth: int, any_hit: bool = False,
-    compact_stages: int = 6, unroll: int = 1, compact_factor: int = 4,
+    compact_stages: int = 3, unroll: int = 1, compact_factor: int = 4,
 ):
     """ORDERED 12-wide BVH traversal over unified 512B rows — the TPU
     accel path of record (round 4).
@@ -1019,7 +1019,7 @@ def bvh12_intersect_tris(
 
 def bvh24_intersect_tris(
     o, d, t_max, wide256, wide_depth: int, any_hit: bool = False,
-    compact_stages: int = 6, unroll: int = 1, compact_factor: int = 4,
+    compact_stages: int = 3, unroll: int = 1, compact_factor: int = 4,
 ):
     """24-wide variant over 1024B rows (native wide24_build) — same
     ordered traversal at double arity; see bvh12_intersect_tris."""
