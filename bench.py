@@ -175,7 +175,7 @@ def bench_statue():
     )
     paths2 = res2[0] * res2[1] * spp2
     emit(
-        "camera_paths/s/chip (1.31M-tri statue 256x256 path 8spp, SAH-BVH12)",
+        "camera_paths/s/chip (1.31M-tri statue 256x256 path 8spp, SAH-BVH24)",
         round(paths2 / dt2, 1), "paths/s", round(paths2 / dt2 / BASELINE, 3),
     )
 
@@ -202,7 +202,7 @@ def bench_statue_full():
     dt = time.time() - t0
     paths = res[0] * res[1] * spp
     emit(
-        "camera_paths/s/chip (5.24M-tri statue 1024x1024 path 64spp, SAH-BVH12)",
+        "camera_paths/s/chip (5.24M-tri statue 1024x1024 path 64spp, SAH-BVH24)",
         round(paths / dt, 1), "paths/s", round(paths / dt / BASELINE, 3),
         sah_build_s=round(build_s, 1), full_render_s=round(dt, 1),
     )
@@ -270,13 +270,16 @@ def main():
     (x @ x).block_until_ready()
 
     only = set(sys.argv[1:])
+    # sppm LAST: its photon-pass compile crashed the TPU worker once
+    # (SIGILL in the remote process); isolation keeps the row loss local
+    # but a dead worker can poison later dispatches in the same process
     benches = [
         ("cornell", bench_cornell),
         ("direct", bench_direct),
         ("statue", bench_statue),
         ("sss", bench_sss),
-        ("sppm", bench_sppm_hair),
         ("statue_full", bench_statue_full),
+        ("sppm", bench_sppm_hair),
     ]
     rc = 0
     for name, fn in benches:
