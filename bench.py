@@ -243,22 +243,36 @@ def bench_sss():
 def bench_sppm_hair():
     # config 5: SPPM caustic glass + hair curves; photon passes dominate.
     # Throughput unit = (camera rays + photon launches) / s.
+    # The hair+SPPM program SIGILLs the XLA:TPU remote compiler (observed
+    # r4: "tpu_compile_helper subprocess exit signal SIGILL"); on that
+    # failure, fall back to the hairless caustic variant so config 5
+    # still gets a ledger row.
     from rs_pbrt_tpu.models.integrators import render as rdr
 
-    scene, camera, cfg, scfg, fcfg, accel = _load_scene(
-        os.path.join(os.path.dirname(__file__), "assets/scenes/caustic_hair.pbrt"),
-    )
-    w, h = camera.resolution
-    ex = dict(cfg.extra or {})
-    n_it = int(ex.get("n_iterations", 16))
-    t0 = time.time()
-    timed_render(rdr, scene, camera, cfg, scfg, fcfg, accel=accel)
-    dt = time.time() - t0
-    work = w * h * n_it * 2  # camera pass + photon pass per iteration
-    emit(
-        f"sppm_rays/s/chip (caustic glass + hair {w}x{h}, {n_it} iterations)",
-        round(work / dt, 1), "rays/s", round(work / dt / BASELINE, 3),
-    )
+    for fname, label in (
+        ("caustic_hair.pbrt", "caustic glass + hair"),
+        ("caustic_only.pbrt", "caustic glass, hair dropped: TPU compiler SIGILL"),
+    ):
+        try:
+            scene, camera, cfg, scfg, fcfg, accel = _load_scene(
+                os.path.join(os.path.dirname(__file__), "assets/scenes", fname),
+            )
+            w, h = camera.resolution
+            ex = dict(cfg.extra or {})
+            n_it = int(ex.get("n_iterations", 16))
+            t0 = time.time()
+            timed_render(rdr, scene, camera, cfg, scfg, fcfg, accel=accel)
+            dt = time.time() - t0
+            work = w * h * n_it * 2  # camera pass + photon pass per iteration
+            emit(
+                f"sppm_rays/s/chip ({label} {w}x{h}, {n_it} iterations)",
+                round(work / dt, 1), "rays/s", round(work / dt / BASELINE, 3),
+            )
+            return
+        except Exception as e:  # noqa: BLE001
+            print(f"sppm[{fname}] failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+    raise RuntimeError("all sppm variants failed")
 
 
 def main():
