@@ -368,9 +368,15 @@ def render_sppm(
     )
 
     if not chunked:
+        # pixels rides as an ARGUMENT, not a closure constant: closed-over
+        # device arrays are re-staged through the tunnel every call
+        # (CLAUDE.md rule), and embedding the 2P-int literal in the
+        # program was implicated in a remote tpu_compile_helper SIGILL
+        # (round-4 bisect, tools/tpu_sppm_bisect.py: the same program
+        # with pixels as an argument compiles clean)
         @partial(jax.jit, static_argnames=())
-        def one_iteration(scene, state, it_num):
-            vps, ld_inc = cam_pass(scene, pixels, it_num)
+        def one_iteration(scene, px, state, it_num):
+            vps, ld_inc = cam_pass(scene, px, it_num)
             grid = _build_grid(vps, state.radius)
             phi, mcount = _photon_pass(
                 scene, vps, grid, state.radius, photons_per_iter, max_depth,
@@ -382,7 +388,7 @@ def render_sppm(
         total_overflow = 0
         last_res = 0
         for i in range(n_iterations):
-            state, overflow, res = one_iteration(scene, state, i)
+            state, overflow, res = one_iteration(scene, pixels, state, i)
             total_overflow += int(overflow)
             last_res = int(res)
     else:
