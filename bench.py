@@ -27,6 +27,7 @@ image: block_until_ready through the axon tunnel does not reliably wait
 import json
 import os
 import pickle
+import subprocess
 import sys
 import time
 
@@ -35,12 +36,70 @@ import numpy as np
 CACHE = "/tmp/rs_pbrt_bench_statue.pkl"
 CACHE_BIG = "/tmp/rs_pbrt_bench_statue9.pkl"
 BASELINE = 3.57e6  # reference 28-core CPU camera paths/s
+LOCAL_JSON = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "BENCH_LOCAL.json")
+
+# Round-4 post-mortem: a crashing config (SPPM SIGILLed the remote XLA:TPU
+# compiler) flooded stdout/stderr with crash dumps and the driver's
+# 2000-char tail lost EVERY earlier row (BENCH_r04.json parsed:null).
+# Three defenses now:
+#   1. every row is appended to BENCH_LOCAL.json the moment it's produced;
+#   2. all rows are RE-PRINTED as the very last stdout lines of the run;
+#   3. crash-prone configs run in a SUBPROCESS so compiler crashes cannot
+#      take down the parent or interleave spew with its stdout.
+ROWS = []
 
 
 def emit(metric, value, unit, vs, **extra):
     row = {"metric": metric, "value": value, "unit": unit, "vs_baseline": vs}
     row.update(extra)
+    ROWS.append(row)
     print(json.dumps(row), flush=True)
+    if os.environ.get("BENCH_CHILD"):
+        return  # parent appends to the file when it harvests our stdout
+    try:
+        with open(LOCAL_JSON, "a") as f:
+            f.write(json.dumps(row) + "\n")
+    except OSError:
+        pass
+
+
+def run_config_subprocess(name, timeout=1800):
+    """Run one bench config in a child process; harvest its JSON rows.
+
+    The child prints rows to stdout (one JSON object per line, same emit
+    format).  A child crash — including an XLA compiler SIGILL that kills
+    the process mid-compile — costs only that config's rows."""
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--child", name],
+            capture_output=True, text=True, timeout=timeout,
+        )
+    except subprocess.TimeoutExpired:
+        print(f"{name} subprocess timed out", file=sys.stderr)
+        return False
+    got = False
+    for line in out.stdout.splitlines():
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                row = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if "metric" in row:
+                ROWS.append(row)
+                print(json.dumps(row), flush=True)
+                try:
+                    with open(LOCAL_JSON, "a") as f:
+                        f.write(json.dumps(row) + "\n")
+                except OSError:
+                    pass
+                got = True
+    if not got:
+        tail = (out.stderr or "")[-500:]
+        print(f"{name} subprocess produced no rows (rc={out.returncode}); "
+              f"stderr tail: {tail}", file=sys.stderr)
+    return got
 
 
 def timed_render(rdr, *args, **kw):
@@ -275,29 +334,45 @@ def bench_sppm_hair():
     raise RuntimeError("all sppm variants failed")
 
 
-def main():
-    import jax
+BENCHES = [
+    ("cornell", bench_cornell),
+    ("direct", bench_direct),
+    ("statue", bench_statue),
+    ("sss", bench_sss),
+    ("statue_full", bench_statue_full),
+    ("sppm", bench_sppm_hair),
+]
+# configs that have crashed the XLA:TPU compiler/worker — always isolated
+SUBPROCESS_CONFIGS = {"sppm"}
+
+
+def _warm_device():
     import jax.numpy as jnp
 
-    # warm the device (first op through the tunnel is slow)
     x = jnp.ones((256, 256))
     (x @ x).block_until_ready()
 
+
+def main():
+    if len(sys.argv) >= 3 and sys.argv[1] == "--child":
+        # child mode: run exactly one config in-process, rows to stdout
+        os.environ["BENCH_CHILD"] = "1"
+        _warm_device()
+        dict(BENCHES)[sys.argv[2]]()
+        return 0
+
     only = set(sys.argv[1:])
-    # sppm LAST: its photon-pass compile crashed the TPU worker once
-    # (SIGILL in the remote process); isolation keeps the row loss local
-    # but a dead worker can poison later dispatches in the same process
-    benches = [
-        ("cornell", bench_cornell),
-        ("direct", bench_direct),
-        ("statue", bench_statue),
-        ("sss", bench_sss),
-        ("statue_full", bench_statue_full),
-        ("sppm", bench_sppm_hair),
-    ]
+    try:
+        os.remove(LOCAL_JSON)
+    except OSError:
+        pass
+    _warm_device()
     rc = 0
-    for name, fn in benches:
+    for name, fn in BENCHES:
         if only and name not in only:
+            continue
+        if name in SUBPROCESS_CONFIGS:
+            run_config_subprocess(name)
             continue
         try:
             fn()
@@ -305,6 +380,15 @@ def main():
             print(f"{name} bench failed: {type(e).__name__}: {e}", file=sys.stderr)
             if name == "cornell":
                 rc = 1
+    # final act: re-print every row so the LAST stdout lines of the run are
+    # the complete artifact, whatever any config spewed before this point.
+    # The driver parses the LAST JSON line (BENCH_r03 proved it) — order the
+    # Cornell flagship row last so `parsed` is the headline number.
+    print("=== BENCH ROWS ===", flush=True)
+    is_flagship = lambda r: r["metric"].startswith("camera_paths/s/chip (Cornell")
+    for row in [r for r in ROWS if not is_flagship(r)] + \
+               [r for r in ROWS if is_flagship(r)]:
+        print(json.dumps(row), flush=True)
     return rc
 
 
