@@ -103,8 +103,18 @@ def run_config_subprocess(name, timeout=1800):
 
 
 def timed_render(rdr, *args, **kw):
+    import jax.numpy as jnp
+
     img = rdr.render(*args, **kw)
-    return np.asarray(img)  # host materialization = true completion
+    # forced completion via SCALAR readback: float(sum) drains the device
+    # queue (block_until_ready lies through the tunnel) without paying the
+    # tunnel's full-image transfer, which probe11 measured at a JITTERY
+    # 33-97ms per call on a 768KB image (tools/tpu_probe11.py: the same
+    # Cornell dispatch is a stable 106ms with sum-readback vs 139-251ms
+    # with np.asarray) — the r3->r4 "30% Cornell regression" was entirely
+    # this transfer noise, not compute.
+    float(jnp.sum(img))
+    return img
 
 
 def best_of(fn, reps=3):

@@ -80,7 +80,7 @@ def radiance_fn(integrator: str, max_depth: int, rr_threshold: float,
 
         pcfg = pathmod.PathCfg(max_depth, rr_threshold)
         return lambda scene, cfg_s, ctx, o, d, accel, ld=None, time=None, diffs=None: volmod.radiance(
-            scene, pcfg, cfg_s, ctx, o, d, accel
+            scene, pcfg, cfg_s, ctx, o, d, accel, diffs=diffs
         )
     if integrator == "ao":
         acfg = directmod.AOCfg(
@@ -156,7 +156,7 @@ def render_batch(
     from ...ops import differentials as rd
 
     want_diffs = rd.needs_diffs(scene) and integrator in (
-        "path", "whitted", "directlighting"
+        "path", "volpath", "whitted", "directlighting"
     )
     rays, p_film, diffs = _camera_rays(
         camera, sampler_cfg, ctx, pixel, want_diffs=want_diffs
@@ -249,7 +249,10 @@ def render(
 
     def _exotic_stats(img, n_primary):
         if stats is not None:
-            jax.block_until_ready(img)
+            # forced host readback: block_until_ready does not reliably
+            # wait through the axon tunnel (CLAUDE.md; measured impossible
+            # 852 TFLOP/s) — same rule as bench.py's timed_render
+            np.asarray(img)
             dt = max(_time.time() - t0x, 1e-9)
             stats.update(
                 camera_rays=n_primary, resolution=(w, h), wall_s=dt,

@@ -154,7 +154,13 @@ def radiance(
     ray_o,
     ray_d,
     accel=None,
+    diffs=None,
 ):
+    """diffs: optional ops/differentials.RayDiffs for the camera rays —
+    texture-footprint mip filtering at primary hits, like path.py (the
+    reference threads differentials through every SamplerIntegrator,
+    core/integrator.rs:139-141 + interaction.rs:388-470, so textured
+    volpath scenes must mip-filter too, not alias)."""
     n = ray_o.shape[0]
     light_dist = _light_select_dist(scene) if scene.n_lights > 0 else None
 
@@ -173,6 +179,14 @@ def radiance(
     def body(bounce, state):
         (o, d, L, beta, alive, specular_bounce, prev_pdf, cur_med) = state
         it = si.scene_intersect(scene, o, d, jnp.full(n, vm.INFINITY), accel)
+        if diffs is not None:
+            from ...ops import differentials as rdiff
+
+            tex_width = jnp.where(
+                bounce == 0, rdiff.duv_width_at_hit(scene, it, diffs), 0.0
+            )
+        else:
+            tex_width = None
         dim0 = DIM_CAMERA + bounce * dims_per_bounce
         if all_dims is not None:
             dims = jax.lax.dynamic_slice_in_dim(
@@ -242,7 +256,7 @@ def radiance(
             ls = lt.sample_li(scene, li_idx, ref_p, u_light)
 
             # scattering term: phase (medium) or BSDF*cos (surface)
-            b = bx.make_bsdf_at(scene, it)
+            b = bx.make_bsdf_at(scene, it, width=tex_width)
             ss, ts = _shading_frame_du(it.ns, it.dpdu)
             wo_l = _to_local(it.wo, ss, ts, it.ns)
             wi_l = _to_local(ls.wi, ss, ts, it.ns)
@@ -278,7 +292,7 @@ def radiance(
         u_phase = u2d(9)
         wi_med, ph_pdf = med.hg_sample_phase(-d, u_phase, g)
 
-        b = bx.make_bsdf_at(scene, it)
+        b = bx.make_bsdf_at(scene, it, width=tex_width)
         ss, ts = _shading_frame_du(it.ns, it.dpdu)
         wo_l = _to_local(it.wo, ss, ts, it.ns)
         u_bsdf = u2d(3)

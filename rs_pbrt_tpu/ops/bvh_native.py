@@ -149,6 +149,12 @@ def build_lbvh_native(bmin, bmax, tris=None, sah: bool = True,
                 wide128=jnp.asarray(wide12),
                 wide128_dflag=jnp.zeros((depth12, 0), jnp.float32),
             )
+            if wide24:
+                w24, depth24 = build_wide24(z1, z1, z3, z3, z3, z3, z1, *tris)
+                lb = lb._replace(
+                    wide256=jnp.asarray(w24),
+                    wide256_dflag=jnp.zeros((depth24, 0), jnp.float32),
+                )
         return lb
     lib = _load()
     m = max(n - 1, 1)

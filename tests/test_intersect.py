@@ -283,7 +283,9 @@ class TestWideTraversals:
         p0, p1, p2 = random_tris(n, seed=seed)
         bmin = np.minimum(np.minimum(p0, p1), p2)
         bmax = np.maximum(np.maximum(p0, p1), p2)
-        bvh = bvh_native.build_lbvh_native(bmin, bmax, tris=(p0, p1, p2))
+        bvh = bvh_native.build_lbvh_native(
+            bmin, bmax, tris=(p0, p1, p2), wide24=True
+        )
         return bvh, (p0, p1, p2)
 
     def _check(self, bvh, tris, n_rays, seed, any_hit=False):
@@ -295,6 +297,7 @@ class TestWideTraversals:
             jnp.asarray(p0), jnp.asarray(p1), jnp.asarray(p2),
         )
         assert bvh.wide64 is not None and bvh.wide128 is not None
+        assert bvh.wide256 is not None
         h4 = bvhmod.bvh4_intersect_tris(
             jnp.asarray(o), jnp.asarray(d), t_max, bvh.wide64,
             bvh.wide_depth, any_hit=any_hit,
@@ -303,7 +306,18 @@ class TestWideTraversals:
             jnp.asarray(o), jnp.asarray(d), t_max, bvh.wide128,
             bvh.wide12_depth, any_hit=any_hit,
         )
-        for h in (h4, h12):
+        # the TPU production invocations of record (ADVICE r4 medium #2):
+        # 24-wide with unroll=2 exactly as scene_intersect dispatches it,
+        # plus the 12-wide ladder knobs (unroll, compact_factor)
+        h24 = bvhmod.bvh24_intersect_tris(
+            jnp.asarray(o), jnp.asarray(d), t_max, bvh.wide256,
+            bvh.wide24_depth, any_hit=any_hit, unroll=2,
+        )
+        h12u = bvhmod.bvh12_intersect_tris(
+            jnp.asarray(o), jnp.asarray(d), t_max, bvh.wide128,
+            bvh.wide12_depth, any_hit=any_hit, unroll=2, compact_factor=2,
+        )
+        for h in (h4, h12, h24, h12u):
             np.testing.assert_array_equal(np.asarray(h.valid), np.asarray(hb.valid))
             if not any_hit:
                 v = np.asarray(hb.valid)
