@@ -34,6 +34,10 @@ from .path import PathCfg
 
 SIGMA = 0.01  # small-step stddev (reference mlt.rs default)
 P_LARGE = 0.3  # large-step probability (reference default)
+# accel-scene mutation chunk budget: bounds dispatch WALL TIME (mutations
+# run sequentially inside the dispatch), deliberately independent of
+# render.ACCEL_LANE_CAP — see the note in render_mlt
+MLT_CHUNK_BUDGET = 1 << 16
 
 
 def n_pss_for_depth(max_depth: int, has_media: bool = False) -> int:
@@ -98,28 +102,66 @@ def _eval_target(scene, camera, pcfg, cfg_s, pss, accel, depth_stratified=False,
     return lum_main + lum_splat, p_film, L, sp, sl
 
 
-def render_mlt(
-    scene,
-    camera,
-    mutations_per_pixel: int = 16,
-    max_depth: int = 5,
-    n_chains: int = 4096,
-    n_bootstrap: int = 16384,
-    accel=None,
-    seed: int = 7,
-    depth_stratified: bool = False,
-    crop_rect=None,
-):
-    """reference MLTIntegrator::render mlt.rs:407."""
-    w, h = camera.resolution
-    px0, px1, py0, py1 = crop_rect if crop_rect is not None else (0, w, 0, h)
-    crop_area = (px1 - px0) * (py1 - py0)
-    pcfg = PathCfg(max_depth, 1.0)
-    cfg_s = smpl.make_sampler(smpl.RANDOM, 1, camera.resolution)
-    key = jax.random.PRNGKey(seed)
-    n_pss = n_pss_for_depth(max_depth, scene.has_media)
+def _mutation_step(scene, camera, pcfg, cfg_s, accel, depth_stratified,
+                   crop_rect, pss_cur, cur_eval, film, uniforms):
+    """One Metropolis mutation for a wavefront of chains (reference
+    mlt.rs:526-563).  uniforms = (u_large, u_fresh, noise, u_accept) with
+    leading dim n = chains in THIS wavefront — supplied by the caller so
+    the single-device path (one key per step) and the sharded path
+    (per-chain fold_in keys, device-layout independent) share the exact
+    proposal/accept/splat logic."""
+    lum_cur, pf_c, L_c, sp_c, sl_c = cur_eval
+    u_large, u_fresh, noise, u_accept = uniforms
+    n = pss_cur.shape[0]
+    large = u_large < P_LARGE
+    perturbed = pss_cur + SIGMA * noise
+    perturbed = perturbed - jnp.floor(perturbed)  # wrap to [0,1)
+    pss_prop = jnp.where(large[:, None], u_fresh, perturbed)
 
-    # --- bootstrap (reference :418-476) ---
+    # ONE evaluation per mutation: the proposal's (current is cached)
+    lum_prop, pf_p, L_p, sp_p, sl_p = _eval_target(
+        scene, camera, pcfg, cfg_s, pss_prop, accel, depth_stratified,
+        crop_rect
+    )
+    a = jnp.clip(lum_prop / jnp.maximum(lum_cur, 1e-12), 0.0, 1.0)
+
+    # splat both states (reference :542-548)
+    w_prop = jnp.where(lum_prop > 0, a / jnp.maximum(lum_prop, 1e-12), 0.0)
+    w_cur = jnp.where(lum_cur > 0, (1.0 - a) / jnp.maximum(lum_cur, 1e-12), 0.0)
+    film = filmmod.add_splats(film, pf_p, L_p * w_prop[:, None])
+    film = filmmod.add_splats(film, pf_c, L_c * w_cur[:, None])
+    for g in range(sp_p.shape[0] // n):
+        film = filmmod.add_splats(
+            film, sp_p[g * n : (g + 1) * n], sl_p[g * n : (g + 1) * n] * w_prop[:, None]
+        )
+        film = filmmod.add_splats(
+            film, sp_c[g * n : (g + 1) * n], sl_c[g * n : (g + 1) * n] * w_cur[:, None]
+        )
+
+    accept = u_accept < a
+    pss_new = jnp.where(accept[:, None], pss_prop, pss_cur)
+    acc1 = accept[:, None]
+    # splat arrays stack per-strategy groups of n chains: tile the
+    # accept mask across groups
+    acc_g = jnp.tile(acc1, (sp_p.shape[0] // n, 1))
+    new_eval = (
+        jnp.where(accept, lum_prop, lum_cur),
+        jnp.where(acc1, pf_p, pf_c),
+        jnp.where(acc1, L_p, L_c),
+        jnp.where(acc_g, sp_p, sp_c),
+        jnp.where(acc_g, sl_p, sl_c),
+    )
+    return pss_new, new_eval, film
+
+
+def _bootstrap_chains(scene, camera, pcfg, cfg_s, accel, depth_stratified,
+                      crop_rect, n_bootstrap, n_chains, n_pss, max_depth, key):
+    """Bootstrap phase (reference mlt.rs:418-476): uniform PSS seeds,
+    target evaluation, Distribution1D over luminances -> normalization b
+    and the selected chain heads with their cached full evaluation.
+    Shared by render_mlt and parallel/mesh.render_mlt_sharded (the
+    bootstrap is cheap and runs unsharded, so both paths seed identical
+    chains)."""
     key, k1 = jax.random.split(key)
     boot = jax.random.uniform(k1, (n_bootstrap, n_pss))
     if depth_stratified:
@@ -147,53 +189,51 @@ def render_mlt(
     pss_cur = boot[pick]
     # evaluate the selected chain heads ONCE; thereafter the current
     # state's full evaluation is carried in the chain state
-    lum_cur, pf_c, L_c, sp_c, sl_c = eval_j(pss_cur)
+    cur_eval = eval_j(pss_cur)
+    return b, pss_cur, cur_eval, key
+
+
+def render_mlt(
+    scene,
+    camera,
+    mutations_per_pixel: int = 16,
+    max_depth: int = 5,
+    n_chains: int = 4096,
+    n_bootstrap: int = 16384,
+    accel=None,
+    seed: int = 7,
+    depth_stratified: bool = False,
+    crop_rect=None,
+):
+    """reference MLTIntegrator::render mlt.rs:407."""
+    w, h = camera.resolution
+    px0, px1, py0, py1 = crop_rect if crop_rect is not None else (0, w, 0, h)
+    crop_area = (px1 - px0) * (py1 - py0)
+    pcfg = PathCfg(max_depth, 1.0)
+    cfg_s = smpl.make_sampler(smpl.RANDOM, 1, camera.resolution)
+    key = jax.random.PRNGKey(seed)
+    n_pss = n_pss_for_depth(max_depth, scene.has_media)
+
+    b, pss_cur, cur_eval0, key = _bootstrap_chains(
+        scene, camera, pcfg, cfg_s, accel, depth_stratified, crop_rect,
+        n_bootstrap, n_chains, n_pss, max_depth, key,
+    )
+    lum_cur, pf_c, L_c, sp_c, sl_c = cur_eval0
 
     film = filmmod.make_film((w, h))
     n_mut = max(1, (crop_area * mutations_per_pixel) // n_chains)
 
     def step(pss_cur, cur_eval, film, key):
-        lum_cur, pf_c, L_c, sp_c, sl_c = cur_eval
         key, ku, kl, ks, ka = jax.random.split(key, 5)
-        large = jax.random.uniform(kl, (n_chains,)) < P_LARGE
-        fresh = jax.random.uniform(ku, (n_chains, n_pss))
-        perturbed = pss_cur + SIGMA * jax.random.normal(ks, (n_chains, n_pss))
-        perturbed = perturbed - jnp.floor(perturbed)  # wrap to [0,1)
-        pss_prop = jnp.where(large[:, None], fresh, perturbed)
-
-        # ONE evaluation per mutation: the proposal's (current is cached)
-        lum_prop, pf_p, L_p, sp_p, sl_p = _eval_target(
-            scene, camera, pcfg, cfg_s, pss_prop, accel, depth_stratified,
-            crop_rect
+        uniforms = (
+            jax.random.uniform(kl, (n_chains,)),
+            jax.random.uniform(ku, (n_chains, n_pss)),
+            jax.random.normal(ks, (n_chains, n_pss)),
+            jax.random.uniform(ka, (n_chains,)),
         )
-        a = jnp.clip(lum_prop / jnp.maximum(lum_cur, 1e-12), 0.0, 1.0)
-
-        # splat both states (reference :542-548)
-        w_prop = jnp.where(lum_prop > 0, a / jnp.maximum(lum_prop, 1e-12), 0.0)
-        w_cur = jnp.where(lum_cur > 0, (1.0 - a) / jnp.maximum(lum_cur, 1e-12), 0.0)
-        film = filmmod.add_splats(film, pf_p, L_p * w_prop[:, None])
-        film = filmmod.add_splats(film, pf_c, L_c * w_cur[:, None])
-        n = n_chains
-        for g in range(sp_p.shape[0] // n):
-            film = filmmod.add_splats(
-                film, sp_p[g * n : (g + 1) * n], sl_p[g * n : (g + 1) * n] * w_prop[:, None]
-            )
-            film = filmmod.add_splats(
-                film, sp_c[g * n : (g + 1) * n], sl_c[g * n : (g + 1) * n] * w_cur[:, None]
-            )
-
-        accept = jax.random.uniform(ka, (n_chains,)) < a
-        pss_new = jnp.where(accept[:, None], pss_prop, pss_cur)
-        acc1 = accept[:, None]
-        # splat arrays stack per-strategy groups of n chains: tile the
-        # accept mask across groups
-        acc_g = jnp.tile(acc1, (sp_p.shape[0] // n, 1))
-        new_eval = (
-            jnp.where(accept, lum_prop, lum_cur),
-            jnp.where(acc1, pf_p, pf_c),
-            jnp.where(acc1, L_p, L_c),
-            jnp.where(acc_g, sp_p, sp_c),
-            jnp.where(acc_g, sl_p, sl_c),
+        pss_new, new_eval, film = _mutation_step(
+            scene, camera, pcfg, cfg_s, accel, depth_stratified, crop_rect,
+            pss_cur, cur_eval, film, uniforms,
         )
         return pss_new, new_eval, film, key
 
@@ -209,7 +249,6 @@ def render_mlt(
     # SEQUENTIALLY (each is a full BDPT eval of n_chains lanes), so the
     # chunk budget bounds dispatch WALL TIME, not wavefront width — the
     # round-4 cap raise (64k -> 512k lanes) must not 8x MLT's dispatches
-    MLT_CHUNK_BUDGET = 1 << 16
     accel_scene = accel is not None and getattr(accel, "tri", None) is not None
     mut_chunk = (
         max(1, MLT_CHUNK_BUDGET // max(n_chains, 1)) if accel_scene else n_mut

@@ -229,6 +229,7 @@ def render(
     stats: Optional[dict] = None,
     crop=None,
     profile_dir: Optional[str] = None,
+    mesh=None,
 ):
     """Single-device render: loops spp batches over the full pixel grid.
 
@@ -236,6 +237,11 @@ def render(
     checkpoint_path/_every: progressive-state persistence (spp batches are
     the checkpoint unit).  stats: optional dict filled with counters
     (the reference's TODO'd nCameraRays-style stats, SURVEY §5).
+    mesh: optional jax.sharding.Mesh — routes every integrator family
+    through its multi-device path (parallel/mesh.py): the path family via
+    render_sharded, bdpt/mlt/sppm via their chain/photon-sharded variants
+    (the reference parallelizes all of them: integrator.rs:101,
+    bdpt.rs:880, mlt.rs:496, sppm.rs:461).
     """
     import time as _time
 
@@ -262,18 +268,23 @@ def render(
 
     t0x = _time.time()
     if cfg.integrator == "bdpt":
-        from .bdpt import render_bdpt
-
-        img = render_bdpt(
+        if mesh is not None:
+            from ...parallel.mesh import render_bdpt_sharded as _bdpt_fn
+        else:
+            from .bdpt import render_bdpt as _bdpt_fn
+        img = _bdpt_fn(
             scene, camera, cfg.spp, cfg.max_depth,
             sampler_cfg=sampler_cfg, accel=accel, crop_rect=crop_rect,
+            **({"mesh": mesh} if mesh is not None else {}),
         )
         return _exotic_stats(img, cw * ch * cfg.spp)
     if cfg.integrator == "mlt":
-        from .mlt import render_mlt
-
+        if mesh is not None:
+            from ...parallel.mesh import render_mlt_sharded as _mlt_fn
+        else:
+            from .mlt import render_mlt as _mlt_fn
         mpp = int(ex.get("mutations_per_pixel", 16))
-        img = render_mlt(
+        img = _mlt_fn(
             scene, camera,
             mutations_per_pixel=mpp,
             max_depth=cfg.max_depth,
@@ -281,13 +292,16 @@ def render(
             n_bootstrap=int(ex.get("bootstrap_samples", 16384)),
             accel=accel,
             crop_rect=crop_rect,
+            **({"mesh": mesh} if mesh is not None else {}),
         )
         return _exotic_stats(img, cw * ch * mpp)
     if cfg.integrator == "sppm":
-        from .sppm import render_sppm
-
+        if mesh is not None:
+            from ...parallel.mesh import render_sppm_sharded as _sppm_fn
+        else:
+            from .sppm import render_sppm as _sppm_fn
         n_it = int(ex.get("n_iterations", 16))
-        img = render_sppm(
+        img = _sppm_fn(
             scene, camera, sampler_cfg,
             n_iterations=n_it,
             photons_per_iter=int(ex.get("photons_per_iteration", 0)),
@@ -296,8 +310,25 @@ def render(
             accel=accel,
             stats=stats,
             crop_rect=crop_rect,
+            **({"mesh": mesh} if mesh is not None else {}),
         )
         return _exotic_stats(img, cw * ch * n_it)
+    if mesh is not None:
+        # path-family multi-device: shard lanes over the mesh + film psum
+        from ...parallel.mesh import render_sharded
+
+        img = render_sharded(
+            scene, camera, cfg, sampler_cfg, filter_cfg=filter_cfg,
+            mesh=mesh, accel=accel, crop=crop,
+        )
+        if stats is not None:
+            np.asarray(img)
+            dt = max(_time.time() - t0x, 1e-9)
+            stats.update(
+                camera_rays=cw * ch * cfg.spp, resolution=(w, h), wall_s=dt,
+                paths_per_s=cw * ch * cfg.spp / dt,
+            )
+        return img
     extra_t = tuple(sorted(ex.items()))
 
     if filter_cfg is None:

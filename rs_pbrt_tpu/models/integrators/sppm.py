@@ -209,8 +209,13 @@ def _photon_pass(scene, vps: VisiblePoints, grid: Grid, radius, n_photons: int,
     d = ls.d
     alive = jnp.any(beta > 0.0, axis=-1)
 
-    phi = jnp.zeros((P, 3), jnp.float32)
-    m = jnp.zeros(P, jnp.int32)
+    # accumulators derive a zero from idx (device-VARYING under shard_map:
+    # idx0 comes from axis_index in the sharded photon pass) so the
+    # fori_loop carry has consistent varying-axis types; a plain zeros
+    # carry is unvarying and shard_map's scan rejects the mismatch
+    zf = (idx[0] * 0).astype(jnp.float32)
+    phi = jnp.zeros((P, 3), jnp.float32) + zf
+    m = jnp.zeros(P, jnp.int32) + (idx[0] * 0).astype(jnp.int32)
 
     E = grid.order.shape[0]
     res = grid.res
@@ -282,6 +287,30 @@ def _photon_pass(scene, vps: VisiblePoints, grid: Grid, radius, n_photons: int,
     return phi, m
 
 
+def _update_state(state: SPPMState, vps: VisiblePoints, ld_inc, phi, mcount):
+    """Radius/tau/n update (reference sppm.rs:736-764, gamma = 2/3).
+    Module-level so the sharded renderer (parallel/mesh.py) reuses the
+    exact single-device math on psum'd phi/m partials."""
+    mf = mcount.astype(jnp.float32)
+    has = mf > 0
+    n_new = state.n + GAMMA * mf
+    r_new = jnp.where(
+        has,
+        state.radius
+        * jnp.sqrt(jnp.maximum(n_new, 1e-12) / jnp.maximum(state.n + mf, 1e-12)),
+        state.radius,
+    )
+    tau_new = jnp.where(
+        has[..., None],
+        (state.tau + vps.beta * phi)
+        * (r_new * r_new / jnp.maximum(state.radius**2, 1e-20))[..., None],
+        state.tau,
+    )
+    return SPPMState(
+        r_new, state.ld + ld_inc, jnp.where(has, n_new, state.n), tau_new
+    )
+
+
 def render_sppm(
     scene,
     camera,
@@ -340,21 +369,7 @@ def render_sppm(
             scene, sampler_cfg, ctx, rays.o, rays.d, max_depth, light_dist, accel
         )
 
-    def update(state, vps, ld_inc, phi, mcount):
-        # radius/tau update (reference :736-764)
-        mf = mcount.astype(jnp.float32)
-        has = mf > 0
-        n_new = state.n + GAMMA * mf
-        r_new = jnp.where(
-            has, state.radius * jnp.sqrt(jnp.maximum(n_new, 1e-12) / jnp.maximum(state.n + mf, 1e-12)),
-            state.radius,
-        )
-        tau_new = jnp.where(
-            has[..., None],
-            (state.tau + vps.beta * phi) * (r_new * r_new / jnp.maximum(state.radius**2, 1e-20))[..., None],
-            state.tau,
-        )
-        return SPPMState(r_new, state.ld + ld_inc, jnp.where(has, n_new, state.n), tau_new)
+    update = _update_state
 
     # wavefront caps: on accelerated scenes a single dispatch running the
     # full pixel or photon wavefront through BVH traversal can exceed the
@@ -440,6 +455,16 @@ def render_sppm(
         stats["grid_bucket_overflow"] = total_overflow
         stats["grid_res_last"] = last_res
 
+    return _resolve(state, n_iterations, photons_per_iter, (w, h), crop_rect)
+
+
+def _resolve(state: SPPMState, n_iterations, photons_per_iter, resolution,
+             crop_rect):
+    """tau -> radiance image (reference sppm.rs:802-807: L = tau/(N pi r^2)
+    + Ld/iters)."""
+    w, h = resolution
+    px0, px1, py0, py1 = crop_rect if crop_rect is not None else (0, w, 0, h)
+    cw, ch = px1 - px0, py1 - py0
     np_total = n_iterations * photons_per_iter
     l_photon = state.tau / jnp.maximum(
         np_total * vm.PI * state.radius[..., None] ** 2, 1e-12
