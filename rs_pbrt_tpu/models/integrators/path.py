@@ -270,6 +270,172 @@ def sss_transport(
     return L, beta, o, d, alive, specular_bounce, prev_bsdf_pdf
 
 
+def _add_emitted(scene, dist_at, it, o, d, L, beta, alive, specular_bounce,
+                 prev_bsdf_pdf):
+    """Emitted radiance at a hit + env radiance for escaped rays
+    (reference path.rs:97-116).  Shared by the bounce body, the final
+    emit-only pass, and the regeneration loop (regen.py)."""
+    hit = it.valid & alive
+    if scene.n_lights > 0:
+        hit_light = jnp.where(hit, it.light, -1)
+        is_emitter = hit_light >= 0
+        le = lt.area_light_emitted(scene, jnp.maximum(hit_light, 0), it.ns, it.wo)
+        le = jnp.where(is_emitter[..., None], le, 0.0)
+        sel_pdf = smp.distribution_1d_discrete_pdf(
+            dist_at(o), jnp.maximum(hit_light, 0)
+        )
+        area_pdf = lt.pdf_li_area(scene, jnp.maximum(hit_light, 0), o, it.p, it.ns)
+        light_pdf = sel_pdf * area_pdf
+        w_bsdf = jnp.where(
+            specular_bounce,
+            1.0,
+            smp.power_heuristic(1.0, prev_bsdf_pdf, 1.0, light_pdf),
+        )
+        # detached-sampling AD: MIS weights are sampling artifacts
+        w_bsdf = jax.lax.stop_gradient(w_bsdf)
+        L = L + beta * le * w_bsdf[..., None]
+    if scene.has_env:
+        esc = alive & ~it.valid
+        le_env = lt.env_le(scene, d)
+        env_sel = smp.distribution_1d_discrete_pdf(
+            dist_at(o), jnp.argmax(scene.light_type == sa.LIGHT_INFINITE)
+        )
+        env_pdf = env_sel * lt.pdf_li_env(scene, d)
+        w_env = jnp.where(
+            specular_bounce, 1.0, smp.power_heuristic(1.0, prev_bsdf_pdf, 1.0, env_pdf)
+        )
+        L = L + jnp.where(esc[..., None], beta * le_env * w_env[..., None], 0.0)
+    return L
+
+
+def _shade_and_extend(scene, cfg, accel, time, dist_at, light_dist, diffs,
+                      dims, bounce, it, state, u1=None, u2d=None):
+    """One vertex's shading work: BSDF build, NEE with MIS, BSDF-sampled
+    extension, BSSRDF transport, Russian roulette (reference
+    path.rs:117-262 + integrator.rs:359-570).
+
+    bounce may be a traced SCALAR (the fixed-depth fori_loop) or a
+    PER-LANE vector (the regeneration loop, where each lane sits at its
+    own depth) — every use broadcasts.  dims: (N, dims_per_bounce) slice
+    of the hoisted Sobol table for this vertex, or None with u1/u2d
+    callables for dynamic samplers."""
+    o, d, L, beta, alive, specular_bounce, prev_bsdf_pdf, eta_scale = state
+    if dims is not None:
+        def u1(k):  # noqa: F811
+            return dims[:, k]
+
+        def u2d(k):  # noqa: F811
+            return dims[:, k : k + 2]
+
+    # --- build BSDF at hit ---
+    if diffs is not None:
+        from ...ops import differentials as rdiff
+
+        tex_width = jnp.where(
+            bounce == 0, rdiff.duv_width_at_hit(scene, it, diffs), 0.0
+        )
+    else:
+        tex_width = None
+    b = bx.make_bsdf_at(scene, it, width=tex_width)
+    ss, ts = _shading_frame_du(it.ns, it.dpdu)
+    ns_sh, ss, ts = bx.apply_bump(scene, it, ss, ts)
+    it = it._replace(ns=ns_sh)
+    wo_l = _to_local(it.wo, ss, ts, it.ns)
+    has_nonspecular = bx.has_nonspecular(b)
+
+    # --- NEE: sample one light (reference integrator.rs:359-570) ---
+    if scene.n_lights > 0:
+        u_select = u1(0)
+        u_light = u2d(1)
+        li_idx, sel_pdf_n, _ = smp.sample_distribution_1d_discrete(
+            dist_at(it.p), u_select
+        )
+        ls = lt.sample_li(scene, li_idx, it.p, u_light)
+        wi_l = _to_local(ls.wi, ss, ts, it.ns)
+        reflect = vm.dot(ls.wi, it.ng) * vm.dot(it.wo, it.ng) > 0.0
+        f = bx.bsdf_f(b, wo_l, wi_l, reflect) * bx.abs_cos_theta(wi_l)[..., None]
+        scat_pdf = bx.bsdf_pdf(b, wo_l, wi_l)
+        contrib_ok = (
+            alive
+            & has_nonspecular
+            & (ls.pdf > 0.0)
+            & jnp.any(ls.li > 0.0, axis=-1)
+            & jnp.any(f > 0.0, axis=-1)
+        )
+        p_shadow = vm.offset_ray_origin(it.p, it.p_error, it.ng, ls.wi)
+        delta_sh = ls.p_target - p_shadow
+        dist = vm.length(delta_sh)
+        sh_d = delta_sh / jnp.maximum(dist, 1e-12)[..., None]
+        sh_t = jnp.where(contrib_ok, dist * (1.0 - 1e-3), -1.0)
+        occluded = si.scene_intersect_p(
+            scene, p_shadow, sh_d, sh_t, accel, time=time
+        )
+        w_light = jnp.where(
+            ls.is_delta, 1.0, smp.power_heuristic(1.0, ls.pdf, 1.0, scat_pdf)
+        )
+        # detached sampling: the MIS weight and the light-SELECTION pdf
+        # are sampling artifacts (constants under AD), but the area
+        # pdf's measure-conversion factor (dist^2 / cos) is a real
+        # geometric dependence — keeping it differentiable is what
+        # carries camera/geometry gradients; material/light gradients
+        # are unchanged (the pdf does not depend on those parameters)
+        inv_pdf = jax.lax.stop_gradient(
+            w_light / jnp.maximum(sel_pdf_n, 1e-12)
+        ) / jnp.maximum(ls.pdf, 1e-12)
+        ld = beta * f * ls.li * inv_pdf[..., None]
+        L = L + jnp.where((contrib_ok & ~occluded)[..., None], ld, 0.0)
+
+    # --- BSDF sample for extension + MIS (reference path.rs:147-190) ---
+    u_bsdf = u2d(3)
+    u_lobe = u1(5)
+    bs = bx.bsdf_sample(b, wo_l, u_bsdf, u_lobe)
+    # detach the sampled direction and its pdf (direction is a sampling
+    # decision; f stays differentiable w.r.t. material params)
+    wi_w = jax.lax.stop_gradient(_to_world(bs.wi, ss, ts, it.ns))
+    cos_wi = jax.lax.stop_gradient(vm.absdot(wi_w, it.ns))
+    ok = (bs.pdf > 0.0) & jnp.any(bs.f > 0.0, axis=-1)
+    beta_next = beta * bs.f * (
+        cos_wi / jnp.maximum(jax.lax.stop_gradient(bs.pdf), 1e-12)
+    )[..., None]
+    beta = jnp.where((alive & ok)[..., None], beta_next, beta)
+    alive = alive & ok
+    specular_bounce = jnp.where(alive, bs.is_specular, specular_bounce)
+    prev_bsdf_pdf = jnp.where(alive, jnp.where(bs.is_specular, 1.0, bs.pdf), prev_bsdf_pdf)
+    # track refraction radiance scaling for RR (reference path.rs:174-187)
+    etas = jnp.where(bs.is_transmission, b.eta * b.eta, jnp.ones_like(b.eta))
+    eta_scale = eta_scale * jnp.where(
+        bs.is_transmission & (bx.cos_theta(wo_l) > 0),
+        1.0 / jnp.maximum(etas, 1e-6),
+        etas,
+    )
+
+    o = jnp.where(
+        alive[..., None], vm.offset_ray_origin(it.p, it.p_error, it.ng, wi_w), o
+    )
+    d = jnp.where(alive[..., None], wi_w, d)
+
+    # --- BSSRDF: subsurface transport (reference path.rs:191-249) ---
+    if scene.has_subsurface:
+        (L, beta, o, d, alive, specular_bounce, prev_bsdf_pdf) = sss_transport(
+            scene, accel, it, bs, ss, ts, beta, L, alive, o, d,
+            specular_bounce, prev_bsdf_pdf, light_dist, u1, u2d, 7,
+        )
+
+    # --- Russian roulette after bounce 3 (reference path.rs:253-262) ---
+    rr_active = bounce > 2
+    rr_beta_max = jax.lax.stop_gradient(jnp.max(beta * eta_scale[..., None], axis=-1))
+    q = jnp.maximum(0.05, 1.0 - rr_beta_max)
+    u_rr = u1(6)
+    consider = rr_active & (rr_beta_max < cfg.rr_threshold) & alive
+    kill = consider & (u_rr < q)
+    beta = jnp.where(
+        (consider & ~kill)[..., None], beta / jnp.maximum(1.0 - q, 1e-6)[..., None], beta
+    )
+    alive = alive & ~kill
+
+    return o, d, L, beta, alive, specular_bounce, prev_bsdf_pdf, eta_scale
+
+
 def radiance(
     scene: sa.Scene,
     cfg: PathCfg,
@@ -345,41 +511,10 @@ def radiance(
     )
 
     def add_emitted(it, o, d, L, beta, alive, specular_bounce, prev_bsdf_pdf):
-        """Emitted radiance at a hit + env radiance for escaped rays
-        (reference path.rs:97-116).  Shared by the bounce body and the
-        final pass (the last path vertex only collects emission — running
-        the full NEE/BSDF body there would be dead masked work)."""
-        hit = it.valid & alive
-        if scene.n_lights > 0:
-            hit_light = jnp.where(hit, it.light, -1)
-            is_emitter = hit_light >= 0
-            le = lt.area_light_emitted(scene, jnp.maximum(hit_light, 0), it.ns, it.wo)
-            le = jnp.where(is_emitter[..., None], le, 0.0)
-            sel_pdf = smp.distribution_1d_discrete_pdf(
-                dist_at(o), jnp.maximum(hit_light, 0)
-            )
-            area_pdf = lt.pdf_li_area(scene, jnp.maximum(hit_light, 0), o, it.p, it.ns)
-            light_pdf = sel_pdf * area_pdf
-            w_bsdf = jnp.where(
-                specular_bounce,
-                1.0,
-                smp.power_heuristic(1.0, prev_bsdf_pdf, 1.0, light_pdf),
-            )
-            # detached-sampling AD: MIS weights are sampling artifacts
-            w_bsdf = jax.lax.stop_gradient(w_bsdf)
-            L = L + beta * le * w_bsdf[..., None]
-        if scene.has_env:
-            esc = alive & ~it.valid
-            le_env = lt.env_le(scene, d)
-            env_sel = smp.distribution_1d_discrete_pdf(
-                dist_at(o), jnp.argmax(scene.light_type == sa.LIGHT_INFINITE)
-            )
-            env_pdf = env_sel * lt.pdf_li_env(scene, d)
-            w_env = jnp.where(
-                specular_bounce, 1.0, smp.power_heuristic(1.0, prev_bsdf_pdf, 1.0, env_pdf)
-            )
-            L = L + jnp.where(esc[..., None], beta * le_env * w_env[..., None], 0.0)
-        return L
+        return _add_emitted(
+            scene, dist_at, it, o, d, L, beta, alive, specular_bounce,
+            prev_bsdf_pdf,
+        )
 
     def body(bounce, state):
         o, d, L, beta, alive, specular_bounce, prev_bsdf_pdf, eta_scale = state
@@ -398,122 +533,11 @@ def radiance(
             )
         else:
             dims = smpl.get_dims(sampler_cfg, ctx, dim0, dims_per_bounce)
-        def u1(k):
-            return dims[:, k] if dims is not None else smpl.get_1d_dyn(sampler_cfg, ctx, dim0 + k)
-        def u2d(k):
-            return (dims[:, k : k + 2] if dims is not None
-                    else smpl.get_2d_dyn(sampler_cfg, ctx, dim0 + k))
-
-        # --- build BSDF at hit ---
-        if diffs is not None:
-            from ...ops import differentials as rdiff
-
-            tex_width = jnp.where(
-                bounce == 0, rdiff.duv_width_at_hit(scene, it, diffs), 0.0
-            )
-        else:
-            tex_width = None
-        b = bx.make_bsdf_at(scene, it, width=tex_width)
-        ss, ts = _shading_frame_du(it.ns, it.dpdu)
-        ns_sh, ss, ts = bx.apply_bump(scene, it, ss, ts)
-        it = it._replace(ns=ns_sh)
-        wo_l = _to_local(it.wo, ss, ts, it.ns)
-        non_spec = lambda k: (k != bx.LOBE_NONE) & (k != bx.LOBE_SPEC_REFL) & (
-            k != bx.LOBE_FRESNEL_SPEC
+        return _shade_and_extend(
+            scene, cfg, accel, time, dist_at, light_dist, diffs, dims,
+            bounce, it,
+            (o, d, L, beta, alive, specular_bounce, prev_bsdf_pdf, eta_scale),
         )
-        has_nonspecular = bx.has_nonspecular(b)
-
-        # --- NEE: sample one light (reference integrator.rs:359-570) ---
-        if scene.n_lights > 0:
-            u_select = u1(0)
-            u_light = u2d(1)
-            li_idx, sel_pdf_n, _ = smp.sample_distribution_1d_discrete(
-                dist_at(it.p), u_select
-            )
-            ls = lt.sample_li(scene, li_idx, it.p, u_light)
-            wi_l = _to_local(ls.wi, ss, ts, it.ns)
-            reflect = vm.dot(ls.wi, it.ng) * vm.dot(it.wo, it.ng) > 0.0
-            f = bx.bsdf_f(b, wo_l, wi_l, reflect) * bx.abs_cos_theta(wi_l)[..., None]
-            scat_pdf = bx.bsdf_pdf(b, wo_l, wi_l)
-            contrib_ok = (
-                alive
-                & has_nonspecular
-                & (ls.pdf > 0.0)
-                & jnp.any(ls.li > 0.0, axis=-1)
-                & jnp.any(f > 0.0, axis=-1)
-            )
-            p_shadow = vm.offset_ray_origin(it.p, it.p_error, it.ng, ls.wi)
-            delta_sh = ls.p_target - p_shadow
-            dist = vm.length(delta_sh)
-            sh_d = delta_sh / jnp.maximum(dist, 1e-12)[..., None]
-            sh_t = jnp.where(contrib_ok, dist * (1.0 - 1e-3), -1.0)
-            occluded = si.scene_intersect_p(
-                scene, p_shadow, sh_d, sh_t, accel, time=time
-            )
-            w_light = jnp.where(
-                ls.is_delta, 1.0, smp.power_heuristic(1.0, ls.pdf, 1.0, scat_pdf)
-            )
-            # detached sampling: the MIS weight and the light-SELECTION pdf
-            # are sampling artifacts (constants under AD), but the area
-            # pdf's measure-conversion factor (dist^2 / cos) is a real
-            # geometric dependence — keeping it differentiable is what
-            # carries camera/geometry gradients; material/light gradients
-            # are unchanged (the pdf does not depend on those parameters)
-            inv_pdf = jax.lax.stop_gradient(
-                w_light / jnp.maximum(sel_pdf_n, 1e-12)
-            ) / jnp.maximum(ls.pdf, 1e-12)
-            ld = beta * f * ls.li * inv_pdf[..., None]
-            L = L + jnp.where((contrib_ok & ~occluded)[..., None], ld, 0.0)
-
-        # --- BSDF sample for extension + MIS (reference path.rs:147-190) ---
-        u_bsdf = u2d(3)
-        u_lobe = u1(5)
-        bs = bx.bsdf_sample(b, wo_l, u_bsdf, u_lobe)
-        # detach the sampled direction and its pdf (direction is a sampling
-        # decision; f stays differentiable w.r.t. material params)
-        wi_w = jax.lax.stop_gradient(_to_world(bs.wi, ss, ts, it.ns))
-        cos_wi = jax.lax.stop_gradient(vm.absdot(wi_w, it.ns))
-        ok = (bs.pdf > 0.0) & jnp.any(bs.f > 0.0, axis=-1)
-        beta_next = beta * bs.f * (
-            cos_wi / jnp.maximum(jax.lax.stop_gradient(bs.pdf), 1e-12)
-        )[..., None]
-        beta = jnp.where((alive & ok)[..., None], beta_next, beta)
-        alive = alive & ok
-        specular_bounce = jnp.where(alive, bs.is_specular, specular_bounce)
-        prev_bsdf_pdf = jnp.where(alive, jnp.where(bs.is_specular, 1.0, bs.pdf), prev_bsdf_pdf)
-        # track refraction radiance scaling for RR (reference path.rs:174-187)
-        etas = jnp.where(bs.is_transmission, b.eta * b.eta, jnp.ones_like(b.eta))
-        eta_scale = eta_scale * jnp.where(
-            bs.is_transmission & (bx.cos_theta(wo_l) > 0),
-            1.0 / jnp.maximum(etas, 1e-6),
-            etas,
-        )
-
-        o = jnp.where(
-            alive[..., None], vm.offset_ray_origin(it.p, it.p_error, it.ng, wi_w), o
-        )
-        d = jnp.where(alive[..., None], wi_w, d)
-
-        # --- BSSRDF: subsurface transport (reference path.rs:191-249) ---
-        if scene.has_subsurface:
-            (L, beta, o, d, alive, specular_bounce, prev_bsdf_pdf) = sss_transport(
-                scene, accel, it, bs, ss, ts, beta, L, alive, o, d,
-                specular_bounce, prev_bsdf_pdf, light_dist, u1, u2d, 7,
-            )
-
-        # --- Russian roulette after bounce 3 (reference path.rs:253-262) ---
-        rr_active = bounce > 2
-        rr_beta_max = jax.lax.stop_gradient(jnp.max(beta * eta_scale[..., None], axis=-1))
-        q = jnp.maximum(0.05, 1.0 - rr_beta_max)
-        u_rr = u1(6)
-        consider = rr_active & (rr_beta_max < cfg.rr_threshold) & alive
-        kill = consider & (u_rr < q)
-        beta = jnp.where(
-            (consider & ~kill)[..., None], beta / jnp.maximum(1.0 - q, 1e-6)[..., None], beta
-        )
-        alive = alive & ~kill
-
-        return o, d, L, beta, alive, specular_bounce, prev_bsdf_pdf, eta_scale
 
     # derive the initial carry from ray_o so every leaf inherits ray_o's
     # device-varying axes (required for fori_loop under shard_map)
