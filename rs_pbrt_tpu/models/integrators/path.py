@@ -448,8 +448,14 @@ def radiance(
     mega=None,
     time=None,
     diffs=None,
+    regen: bool = False,
 ):
     """Estimate L for a wavefront of camera rays.  Returns (N,3).
+
+    regen: enable the wavefront path-regeneration loop (regen.py) for
+    accelerated scenes — same estimator, ~100% live traversal lanes.
+    Forward rendering only: the regeneration while_loop is not
+    reverse-mode differentiable, so AD callers leave this False.
 
     diffs: optional ops/differentials.RayDiffs for the camera rays —
     texture-footprint mip filtering at primary hits (like the reference,
@@ -501,6 +507,16 @@ def radiance(
             return pp.mega_radiance(
                 scene, mega, cfg, ctx.global_index.hi, ctx.global_index.lo,
                 DIM_CAMERA, bits, ray_o, ray_d,
+            )
+
+    if regen:
+        from . import regen as regen_mod
+
+        if regen_mod.eligible(scene, cfg, sampler_cfg, ctx, accel, n,
+                              time=time, diffs=diffs):
+            return regen_mod.radiance_regen(
+                scene, cfg, sampler_cfg, ctx, ray_o, ray_d, accel,
+                light_distrib=light_distrib, time=time,
             )
 
     total_dims = dims_per_bounce * cfg.max_depth

@@ -32,6 +32,11 @@ from . import path as pathmod
 # the smaller dispatch wins end to end.  Keep 64k.
 ACCEL_LANE_CAP = 1 << 16
 
+# total paths per dispatch when the regeneration loop is active (the loop
+# itself runs regen.REGEN_LANE_WIDTH lanes; this bounds dispatch WALL TIME
+# against the ~1-minute worker-kill budget)
+REGEN_PATH_CAP = 1 << 20
+
 
 class RenderCfg(NamedTuple):
     integrator: str  # static
@@ -61,7 +66,7 @@ def _camera_rays(camera: cam.Camera, sampler_cfg, ctx, pixel, want_diffs=False):
 
 
 def radiance_fn(integrator: str, max_depth: int, rr_threshold: float,
-                extra: tuple = (), mega=None):
+                extra: tuple = (), mega=None, regen: bool = False):
     """Integrator dispatch (reference Integrator enum integrator.rs:31).
     extra: hashable tuple of integrator-specific (name, value) params
     (RenderCfg.extra) — static under jit.  mega: optional static
@@ -73,7 +78,7 @@ def radiance_fn(integrator: str, max_depth: int, rr_threshold: float,
         pcfg = pathmod.PathCfg(max_depth, rr_threshold)
         return lambda scene, cfg_s, ctx, o, d, accel, ld=None, time=None, diffs=None: pathmod.radiance(
             scene, pcfg, cfg_s, ctx, o, d, accel, light_distrib=ld, mega=mega,
-            time=time, diffs=diffs,
+            time=time, diffs=diffs, regen=regen,
         )
     if integrator == "volpath":
         from . import volpath as volmod
@@ -109,7 +114,7 @@ def radiance_fn(integrator: str, max_depth: int, rr_threshold: float,
     jax.jit,
     static_argnames=(
         "integrator", "max_depth", "rr_threshold", "sampler_cfg", "filter_cfg",
-        "grid_spp", "grid_rect", "extra", "mega", "finalize",
+        "grid_spp", "grid_rect", "extra", "mega", "finalize", "regen",
     ),
 )
 def render_batch(
@@ -130,6 +135,7 @@ def render_batch(
     extra: tuple = (),
     mega=None,
     finalize: bool = False,
+    regen: bool = False,
 ):
     """One wavefront batch.  Static args exclude spp so different sample
     counts share one compilation (only shapes + depth matter).
@@ -161,7 +167,8 @@ def render_batch(
     rays, p_film, diffs = _camera_rays(
         camera, sampler_cfg, ctx, pixel, want_diffs=want_diffs
     )
-    L = radiance_fn(integrator, max_depth, rr_threshold, extra, mega)(
+    L = radiance_fn(integrator, max_depth, rr_threshold, extra, mega,
+                    regen=regen)(
         scene, sampler_cfg, ctx, rays.o, rays.d, accel, light_distrib,
         time=rays.time, diffs=diffs,
     )
@@ -230,6 +237,7 @@ def render(
     crop=None,
     profile_dir: Optional[str] = None,
     mesh=None,
+    regen: bool = True,
 ):
     """Single-device render: loops spp batches over the full pixel grid.
 
@@ -368,6 +376,25 @@ def render(
     # them — dispatches beyond ~1 minute get the worker killed
     # (reproduced: BENCH_r02 rc=1 was a ~3 min single dispatch)
     lane_cap = max_lanes if accel is None else min(max_lanes, ACCEL_LANE_CAP)
+    use_regen = False
+    if regen and accel is not None and cfg.integrator == "path":
+        # path regeneration streams many paths through a fixed-width lane
+        # pool inside ONE dispatch (models/integrators/regen.py): the
+        # dispatch budget is then total PATHS, not lane width
+        from ...ops import differentials as rd
+        from . import regen as regen_mod
+
+        dpb = pathmod.DIMS_PER_BOUNCE + (
+            pathmod.SSS_EXTRA_DIMS if scene.has_subsurface else 0
+        )
+        use_regen = (
+            sampler_cfg.kind == smpl.SOBOL
+            and cfg.max_depth > 0
+            and 0 < dpb * cfg.max_depth <= 128
+            and not rd.needs_diffs(scene)
+        )
+        if use_regen:
+            lane_cap = min(max_lanes, REGEN_PATH_CAP)
     spp_per_batch = max(1, min(cfg.spp, lane_cap // n_pix))
     since_ck = 0
     img_final = None
@@ -381,7 +408,7 @@ def render(
             sampler_cfg, film, filter_cfg, None, jnp.uint32(sample),
             light_distrib,
             grid_spp=nb, grid_rect=grid_rect, extra=extra_t, mega=mega,
-            finalize=last,
+            finalize=last, regen=use_regen,
         )
         if last:
             film, img_final = out

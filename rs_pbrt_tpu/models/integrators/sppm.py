@@ -381,6 +381,16 @@ def render_sppm(
         accel is not None and getattr(accel, "tri", None) is not None
         and max(P, photons_per_iter) > ACCEL_LANE_CAP
     )
+    # On the TPU backend the FUSED one_iteration program (camera pass +
+    # grid sort + photon deposit + update in a single jit) SIGILLs the
+    # remote tpu_compile_helper, while each sub-pass compiles clean in its
+    # own jit (tools/tpu_sppm_bisect.py, rounds 4-5; reproduced on both
+    # caustic_hair and the hairless fallback even after the
+    # pixels-as-argument fix d544910).  Use the split-dispatch structure
+    # there — it shares the chunked code path with chunk count 1, costing
+    # ~3 extra ~30ms dispatches per iteration.
+    if si._use_pallas():
+        chunked = True
 
     if not chunked:
         # pixels rides as an ARGUMENT, not a closure constant: closed-over
