@@ -548,13 +548,27 @@ def _light_origin_pdfs(scene, light_dist, light_idx, p_light, n_light, p_to):
     )
 
     pdf_dir_solid = cos_l * vm.INV_PI  # area: cosine-hemisphere emission
-    pdf_dir_solid = jnp.where(is_pt, smp.UNIFORM_SPHERE_PDF, pdf_dir_solid)
+    is_gonio = ltype == sa.LIGHT_GONIO
+    pdf_dir_solid = jnp.where(
+        is_pt | is_gonio, smp.UNIFORM_SPHERE_PDF, pdf_dir_solid
+    )
     spot_dir = vm.normalize(la[:, sa.LP_WORLD_CENTER : sa.LP_WORLD_CENTER + 3])
     ct_total = la[:, sa.LP_COS_TOTAL]
     in_cone = vm.dot(spot_dir, w) >= ct_total
     pdf_dir_solid = jnp.where(
         is_spot,
         jnp.where(in_cone, smp.uniform_cone_pdf(ct_total), 0.0),
+        pdf_dir_solid,
+    )
+    # projection: uniform-cone over the projection window (the emission
+    # density lights.sample_le now uses — projection.rs:408-435)
+    is_proj = ltype == sa.LIGHT_PROJECTION
+    tan_fov = jnp.maximum(la[:, sa.LP_TAN_FOV], 1e-6)
+    ct_proj = 1.0 / jnp.sqrt(1.0 + 2.0 * tan_fov * tan_fov)
+    in_pcone = vm.dot(spot_dir, w) >= ct_proj
+    pdf_dir_solid = jnp.where(
+        is_proj,
+        jnp.where(in_pcone, smp.uniform_cone_pdf(ct_proj), 0.0),
         pdf_dir_solid,
     )
     pdf_dir_solid = jnp.where(is_dist, 0.0, pdf_dir_solid)

@@ -170,30 +170,8 @@ def sample_li(scene: sa.Scene, light_idx, ref_p, u2) -> LiSample:
     # --- projection (lights/projection.rs): spot frame + image modulation
     # --- goniometric (lights/gonio.rs): angular map modulation ---
     if scene.tex_atlas.shape[0] > 1:
-        from ..ops import gathers as gx2
-        from ..ops.texture import atlas_lookup
-
-        tex_id = jnp.clip(lp[:, sa.LP_TEX].astype(jnp.int32), 0, scene.tex_rect.shape[0] - 1)
-        rect = scene.tex_rect[tex_id]
-        w_l = vm.normalize(spot_dir)
-        s1, s2 = vm.coordinate_system(w_l)
-        dl = -wi_point  # direction from light toward the shaded point
-        x_l = vm.dot(dl, s1)
-        y_l = vm.dot(dl, s2)
-        z_l = vm.dot(dl, w_l)
-        tan_fov = jnp.maximum(lp[:, sa.LP_TAN_FOV], 1e-6)
-        up = 0.5 * (x_l / jnp.maximum(z_l, 1e-6) / tan_fov + 1.0)
-        vp = 0.5 * (y_l / jnp.maximum(z_l, 1e-6) / tan_fov + 1.0)
-        inside = (z_l > 0) & (up >= 0) & (up < 1) & (vp >= 0) & (vp < 1)
-        proj_tex = atlas_lookup(scene.tex_atlas, rect, up, vp)
-        li_proj = li_point * jnp.where(inside[..., None], proj_tex, 0.0)
-        # gonio: equirect angular lookup of the SAME frame
-        theta_g = jnp.arccos(jnp.clip(z_l, -1, 1))
-        phi_g = jnp.arctan2(y_l, x_l)
-        phi_g = jnp.where(phi_g < 0, phi_g + 2 * vm.PI, phi_g)
-        gon_tex = atlas_lookup(
-            scene.tex_atlas, rect, phi_g * vm.INV_2_PI, theta_g * vm.INV_PI
-        )
+        proj_tex, gon_tex = _angular_map_factors(scene, lp, spot_dir, -wi_point)
+        li_proj = li_point * proj_tex
         li_gonio = li_point * gon_tex
     else:
         li_proj = li_point * 0.0
@@ -454,6 +432,40 @@ def compute_light_power(light_type, light_params, has_env_total):
     return np.maximum(power, 1e-9).astype(np.float32)
 
 
+def _angular_map_factors(scene, lp, spot_dir, dl):
+    """Projection / goniometric map factors for direction dl FROM the
+    light (reference projection.rs ProjectionLight::projection,
+    goniometric.rs GonioPhotometricLight::scale).  Returns
+    (proj (N,3) gated to inside the projection window, gonio (N,3)).
+    Shared by sample_li and sample_le so NEE and photon emission see the
+    same angular distribution."""
+    from ..ops.texture import atlas_lookup
+
+    tex_id = jnp.clip(
+        lp[:, sa.LP_TEX].astype(jnp.int32), 0, scene.tex_rect.shape[0] - 1
+    )
+    rect = scene.tex_rect[tex_id]
+    w_l = vm.normalize(spot_dir)
+    s1, s2 = vm.coordinate_system(w_l)
+    x_l = vm.dot(dl, s1)
+    y_l = vm.dot(dl, s2)
+    z_l = vm.dot(dl, w_l)
+    tan_fov = jnp.maximum(lp[:, sa.LP_TAN_FOV], 1e-6)
+    up = 0.5 * (x_l / jnp.maximum(z_l, 1e-6) / tan_fov + 1.0)
+    vp = 0.5 * (y_l / jnp.maximum(z_l, 1e-6) / tan_fov + 1.0)
+    inside = (z_l > 0) & (up >= 0) & (up < 1) & (vp >= 0) & (vp < 1)
+    proj_tex = atlas_lookup(scene.tex_atlas, rect, up, vp)
+    proj = jnp.where(inside[..., None], proj_tex, 0.0)
+    # gonio: equirect angular lookup of the SAME frame
+    theta_g = jnp.arccos(jnp.clip(z_l, -1, 1))
+    phi_g = jnp.arctan2(y_l, x_l)
+    phi_g = jnp.where(phi_g < 0, phi_g + 2 * vm.PI, phi_g)
+    gonio = atlas_lookup(
+        scene.tex_atlas, rect, phi_g * vm.INV_2_PI, theta_g * vm.INV_PI
+    )
+    return proj, gonio
+
+
 class LeSample(NamedTuple):
     """Emitted-ray sample (reference light.rs sample_le :118-156)."""
 
@@ -532,22 +544,60 @@ def sample_le(scene: sa.Scene, light_idx, u_pos, u_dir) -> LeSample:
 
     is_pt = ltype == sa.LIGHT_POINT
     is_spot = ltype == sa.LIGHT_SPOT
+    is_proj = ltype == sa.LIGHT_PROJECTION
+    is_gonio = ltype == sa.LIGHT_GONIO
     is_dist = ltype == sa.LIGHT_DISTANT
     is_area = ltype == sa.LIGHT_AREA
     is_inf = ltype == sa.LIGHT_INFINITE
+
+    # projection: uniform cone over the projection window (reference
+    # projection.rs:408-435 — cosTotalWidth is the normalized screen
+    # corner's z: corner dir (tanFov, tanFov, 1) for the square window)
+    tan_fov = jnp.maximum(lp[:, sa.LP_TAN_FOV], 1e-6)
+    ct_proj = 1.0 / jnp.sqrt(1.0 + 2.0 * tan_fov * tan_fov)
+    d_cone_p = smp.uniform_sample_cone(u_dir, ct_proj)
+    d_proj = (
+        d_cone_p[:, 0:1] * s1 + d_cone_p[:, 1:2] * s2
+        + d_cone_p[:, 2:3] * vm.normalize(spot_dir)
+    )
+    pdf_dir_proj = smp.uniform_cone_pdf(ct_proj)
+    # gonio: uniform sphere direction, map-modulated le
+    # (reference goniometric.rs:290-312)
+    if scene.tex_atlas.shape[0] > 1:
+        proj_f, _ = _angular_map_factors(scene, lp, spot_dir, d_proj)
+        _, gonio_f = _angular_map_factors(scene, lp, spot_dir, d_pt)
+    else:
+        proj_f = jnp.ones_like(intensity)
+        gonio_f = jnp.ones_like(intensity)
 
     o = jnp.where(is_area[:, None], p_area, pos)
     o = jnp.where(is_dist[:, None], o_dist, o)
     d = jnp.where(is_pt[:, None], d_pt, d_pt)
     d = jnp.where(is_spot[:, None], d_spot, d)
+    d = jnp.where(is_proj[:, None], d_proj, d)
     d = jnp.where(is_dist[:, None], -w, d)
     d = jnp.where(is_area[:, None], d_area, d)
     nl = jnp.where(is_area[:, None], n_area, d)
     le = intensity
+    # spot: falloff band modulation (reference spot.rs sample_le:
+    # I * falloff(w); inside the falloff cone it is 1)
+    cos_sp = vm.dot(d_spot, vm.normalize(spot_dir))
+    ct_fall = lp[:, sa.LP_COS_FALLOFF]
+    delta_sp = jnp.clip(
+        (cos_sp - ct_total) / jnp.maximum(ct_fall - ct_total, 1e-7), 0.0, 1.0
+    )
+    fall_sp = jnp.where(
+        cos_sp < ct_total, 0.0,
+        jnp.where(cos_sp > ct_fall, 1.0, (delta_sp * delta_sp) ** 2),
+    )
+    le = jnp.where(is_spot[:, None], intensity * fall_sp[:, None], le)
+    le = jnp.where(is_proj[:, None], intensity * proj_f, le)
+    le = jnp.where(is_gonio[:, None], intensity * gonio_f, le)
     pdf_pos = jnp.where(is_area, pdf_pos_area, one)
     pdf_pos = jnp.where(is_dist, pdf_pos_dist, pdf_pos)
-    pdf_dir = jnp.where(is_pt, smp.UNIFORM_SPHERE_PDF, one)
+    pdf_dir = jnp.where(is_pt | is_gonio, smp.UNIFORM_SPHERE_PDF, one)
     pdf_dir = jnp.where(is_spot, pdf_dir_spot, pdf_dir)
+    pdf_dir = jnp.where(is_proj, pdf_dir_proj, pdf_dir)
     pdf_dir = jnp.where(is_area, pdf_dir_area, pdf_dir)
     pdf_dir = jnp.where(is_dist, one, pdf_dir)
 
