@@ -368,8 +368,11 @@ def render_sppm_sharded(
             camera, p_film, smpl.get_2d(sampler_cfg, ctx, 3),
             smpl.get_1d(sampler_cfg, ctx, 2),
         )
+        # barrier between ray-gen and the camera pass: the XLA:TPU
+        # compiler SIGILLs on the fused program (tools/tpu_sppm_bisect3.py)
+        ro, rd = jax.lax.optimization_barrier((rays.o, rays.d))
         vps_shard, ld_shard = sp._camera_pass(
-            scene, sampler_cfg, ctx, rays.o, rays.d, max_depth, light_dist,
+            scene, sampler_cfg, ctx, ro, rd, max_depth, light_dist,
             accel,
         )
         # sentinel padding lanes hold no visible point, deposit nothing

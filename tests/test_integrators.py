@@ -504,3 +504,49 @@ class TestExoticCropStats:
         assert img[3:9, 3:9].sum() > 0
         assert stats["wall_s"] > 0 and stats["camera_rays"] > 0
         assert stats["resolution"] == (12, 12)
+
+
+class TestSppmOverflowAdapt:
+    """VERDICT r4 weak #4: the bounded bucket scan must not lose energy
+    silently — render_sppm doubles MAX_VPS_PER_CELL when an iteration
+    reports unreachable entries (the reference's linked-list grid is
+    unbounded, sppm.rs:361-448)."""
+
+    @pytest.mark.slow
+    def test_dense_cluster_recovers_energy(self, monkeypatch):
+        import warnings
+
+        from rs_pbrt_tpu.models import cameras as cam2
+        from rs_pbrt_tpu.models.integrators import sppm as sp
+        from rs_pbrt_tpu.scene import presets
+        from rs_pbrt_tpu.utils import transform as tr2
+
+        scene, camera0 = presets.cornell_box(resolution=(16, 16))
+        # zoom the camera onto a tiny wall patch: all visible points
+        # cluster into one-two grid cells, bucket depth ~ 256 per cell
+        camera = cam2.make_perspective(
+            tr2.look_at((278, 273, -500), (278, 273, 559), (0, 1, 0)),
+            fov=2.0, resolution=(16, 16),
+        )
+        scfg = smpl.make_sampler(smpl.RANDOM, 1, camera.resolution)
+        kw = dict(n_iterations=3, max_depth=3)
+
+        def run(start, cap):
+            monkeypatch.setattr(sp, "MAX_VPS_PER_CELL", start)
+            monkeypatch.setattr(sp, "MAX_VPS_CAP", cap)
+            stats = {}
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore")
+                img = np.asarray(sp.render_sppm(
+                    scene, camera, scfg, stats=stats, **kw))
+            return img, stats
+
+        img_fixed, st_fixed = run(4, 4)      # no adaptation possible
+        img_adapt, st_adapt = run(4, 256)    # doubles on overflow
+        img_ref, st_ref = run(256, 256)      # deep scan from the start
+        assert st_fixed["grid_bucket_overflow"] > 0
+        assert st_ref["grid_bucket_overflow"] == 0
+        m_f, m_a, m_r = img_fixed.mean(), img_adapt.mean(), img_ref.mean()
+        # truncation loses energy; adaptation recovers most of it
+        assert m_f < m_r
+        assert abs(m_a - m_r) < abs(m_f - m_r), (m_f, m_a, m_r)
