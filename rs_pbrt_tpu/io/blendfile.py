@@ -212,6 +212,17 @@ class BlendFile:
         t_idx, _ = self.dna.structs[blk[1]]
         return self.dna.types[t_idx]
 
+    def ptr_array(self, old_ptr, count):
+        """Read a pointer array from the DATA block at old_ptr (e.g.
+        Mesh.mat, which is Material** — a block of totcol pointers)."""
+        blk = self.by_ptr.get(old_ptr)
+        if blk is None:
+            return []
+        data = blk[3]
+        fmt = "Q" if self.psize == 8 else "I"
+        n = min(count, len(data) // self.psize)
+        return list(struct.unpack_from(self._e() + f"{n}{fmt}", data, 0))
+
 
 def load_blend(path, builder=None):
     """Extract meshes/camera/lamps/materials into a SceneBuilder.
@@ -225,26 +236,49 @@ def load_blend(path, builder=None):
     cam_info = dict(fov=50.0, clipping_start=0.0, cam_to_world=np.eye(4, dtype=np.float32),
                     resolution=(640, 480))
 
-    # material blocks (MA): base color + the metallic/roughness/specular
-    # DNA fields (Blender 2.8 Material) mapped to renderer materials the
-    # way the reference importer does (parse_blend_file.rs material
-    # mapping: metallic -> metal, strong specular -> plastic, else matte)
-    mats = {}
+    # material blocks (MA) mapped the way the reference importer decides
+    # (parse_blend_file.rs:490-603): emit>0 -> area light; ang (IOR) != 1
+    # -> glass (kt = spec rgb); ray_mirror>0 -> metal if roughness>0 else
+    # mirror (kr = mir rgb * ray_mirror); else matte.  Blender 2.8 files
+    # lack the legacy fields — fall back to metallic/spec heuristics.
+    mats = {}  # old_ptr -> builder material id
+    mat_emit = {}  # old_ptr -> (r,g,b) emitted radiance (area-light meshes)
     for blk in bf.blocks:
         if bf.struct_name(blk) == "Material":
             lay = bf._layout(blk[1])
-            rgb = (bf.f32(blk, "r"), bf.f32(blk, "g"), bf.f32(blk, "b"))
-            metallic = bf.f32(blk, "metallic") if "metallic" in lay else 0.0
-            rough = bf.f32(blk, "roughness") if "roughness" in lay else 0.5
-            specular = bf.f32(blk, "spec") if "spec" in lay else 0.5
-            if metallic > 0.5:
-                mats[blk[4]] = b.add_metal(roughness=max(rough, 1e-3))
-            elif specular > 0.6 and rough < 0.35:
-                mats[blk[4]] = b.add_plastic(
-                    kd=rgb, ks=(specular * 0.5,) * 3, roughness=max(rough, 1e-3)
-                )
+            g = lambda name, dflt=0.0: (bf.f32(blk, name)
+                                        if name in lay else dflt)
+            rgb = (g("r"), g("g"), g("b"))
+            rough = g("roughness", 0.5)
+            emit = g("emit")
+            ang = g("ang", 1.0)
+            ray_mirror = g("ray_mirror")
+            if emit > 0.0:
+                mats[blk[4]] = b.add_matte(kd=(0.0, 0.0, 0.0))
+                mat_emit[blk[4]] = tuple(c * emit for c in rgb)
+            elif "ang" in lay and ang != 1.0:
+                spec = (g("specr"), g("specg"), g("specb"))
+                mats[blk[4]] = b.add_glass(kr=(1, 1, 1), kt=spec, eta=ang)
+            elif ray_mirror > 0.0:
+                if rough > 0.0:
+                    mats[blk[4]] = b.add_metal(roughness=rough)
+                else:
+                    mir = (g("mirr"), g("mirg"), g("mirb"))
+                    mats[blk[4]] = b.add_mirror(
+                        kr=tuple(c * ray_mirror for c in mir)
+                    )
             else:
-                mats[blk[4]] = b.add_matte(kd=rgb)
+                metallic = g("metallic")
+                specular = g("spec", 0.5)
+                if metallic > 0.5:
+                    mats[blk[4]] = b.add_metal(roughness=max(rough, 1e-3))
+                elif specular > 0.6 and rough < 0.35:
+                    mats[blk[4]] = b.add_plastic(
+                        kd=rgb, ks=(specular * 0.5,) * 3,
+                        roughness=max(rough, 1e-3),
+                    )
+                else:
+                    mats[blk[4]] = b.add_matte(kd=rgb)
 
     # image datablocks: base name -> file path (reference
     # parse_blend_file.rs:2525-2560 Image blocks feeding ImageTexture kd)
@@ -278,11 +312,12 @@ def load_blend(path, builder=None):
         mloop_p = bf.ptr(blk, "mloop")
         lay = bf._layout(blk[1])
         mloopuv_p = bf.ptr(blk, "mloopuv") if "mloopuv" in lay else 0
-        # NOTE: real Blender Mesh.mat is Material** (pointer array); the
-        # single-level follow lands on the array block and falls back to the
-        # default material — same simplification as the reference importer's
-        # name-matching assumption (parse_blend_file.rs:1-12)
+        # Mesh.mat is Material** — a DATA block of totcol pointers
+        # (reference parse_blend_file.rs walks Mesh.mat the same way);
+        # per-poly mat_nr indexes into it (multi-material meshes)
         mat_p = bf.ptr(blk, "mat") if "mat" in lay else 0
+        totcol = bf.i16(blk, "totcol") if "totcol" in lay else 0
+        mat_ptrs = bf.ptr_array(mat_p, totcol) if mat_p and totcol else []
         if not (mvert_p and mpoly_p and mloop_p):
             continue
         vb = bf.by_ptr.get(mvert_p)
@@ -290,12 +325,15 @@ def load_blend(path, builder=None):
         lb = bf.by_ptr.get(mloop_p)
         if not (vb and pb and lb):
             continue
+        has_matnr = "mat_nr" in bf._layout(pb[1])
         V = np.stack(
             [bf.f32(vb, "co", i, 3) for i in range(totvert)], 0
         ).astype(np.float32)
         loops = [bf.i32(lb, "v", i) for i in range(lb[2])]
         uvb = bf.by_ptr.get(mloopuv_p) if mloopuv_p else None
         UV = None
+        faces = []
+        face_mat = []  # per-triangle material slot (mat_nr)
         if uvb is not None:
             # per-loop UVs: split vertices per loop like the reference
             # (parse_blend_file.rs:1395-1440 rebuilds vertex arrays so each
@@ -305,22 +343,25 @@ def load_blend(path, builder=None):
             ).astype(np.float32)
             V = V[np.asarray(loops, np.int64)]
             UV = uv_loop
-            faces = []
             for i in range(totpoly):
                 start = bf.i32(pb, "loopstart", i)
                 n = bf.i32(pb, "totloop", i)
+                nr = bf.i16(pb, "mat_nr", i) if has_matnr else 0
                 for t in range(1, n - 1):
                     faces.append((start, start + t, start + t + 1))
+                    face_mat.append(nr)
         else:
-            faces = []
             for i in range(totpoly):
                 start = bf.i32(pb, "loopstart", i)
                 n = bf.i32(pb, "totloop", i)
+                nr = bf.i16(pb, "mat_nr", i) if has_matnr else 0
                 poly = loops[start : start + n]
                 for t in range(1, n - 1):
                     faces.append((poly[0], poly[t], poly[t + 1]))
+                    face_mat.append(nr)
         meshes[blk[4]] = (
-            V, np.asarray(faces, np.int32), mat_p, UV, bf.id_name(blk)
+            V, np.asarray(faces, np.int32),
+            np.asarray(face_mat, np.int32), mat_ptrs, UV, bf.id_name(blk)
         )
 
     # objects place data blocks in the world
@@ -335,10 +376,10 @@ def load_blend(path, builder=None):
         kind = bf.struct_name(target)
         o2w = tr.from_matrix(np.asarray(m, np.float32))
         if data_p in meshes:
-            V, F, mat_p, UV, mesh_name = meshes[data_p]
-            mat_id = mats.get(mat_p, 0)
+            V, F, face_mat, mat_ptrs, UV, mesh_name = meshes[data_p]
             # kd image texture by name match (reference tries a texture
             # named exactly like the mesh, parse_blend_file.rs:583-603)
+            tex_mat = None
             img_path = (images.get(mesh_name[2:])
                         or images.get(bf.id_name(blk)[2:]))
             if img_path is not None and UV is not None:
@@ -356,13 +397,27 @@ def load_blend(path, builder=None):
                         txm.TEX_IMAGEMAP, {txm.TP_GAMMA_SCALE: 1.0},
                         image=np.asarray(tex_img, np.float32),
                     )
-                    mat_id = b.add_matte()
-                    b.set_material_texture(mat_id, 0, tid)
+                    tex_mat = b.add_matte()
+                    b.set_material_texture(tex_mat, 0, tid)
                 except (OSError, ValueError):
                     pass
-            b.add_triangle_mesh(
-                F, V, uvs=UV, material=mat_id, object_to_world=o2w
-            )
+            # one mesh per material slot (multi-material meshes: per-poly
+            # mat_nr selects from Mesh.mat; emissive slots become area
+            # lights, reference parse_blend_file.rs:490-496)
+            slots = sorted(set(face_mat.tolist())) if len(face_mat) else [0]
+            for nr in slots:
+                Fs = F[face_mat == nr] if len(face_mat) else F
+                if len(Fs) == 0:
+                    continue
+                mp = mat_ptrs[nr] if 0 <= nr < len(mat_ptrs) else 0
+                mat_id = tex_mat if tex_mat is not None else mats.get(mp, 0)
+                al = None
+                if mp in mat_emit:
+                    al = dict(L=mat_emit[mp], two_sided=True)
+                b.add_triangle_mesh(
+                    Fs, V, uvs=UV, material=mat_id, object_to_world=o2w,
+                    area_light=al,
+                )
         elif kind == "Camera":
             lens_mm = bf.f32(target, "lens")
             sensor = bf.f32(target, "sensor_x") if "sensor_x" in bf._layout(target[1]) else 32.0
