@@ -385,7 +385,7 @@ def render_sppm_sharded(
             vps_shard,
         )
         ld_inc = jax.lax.all_gather(ld_shard, axes, axis=0, tiled=True)
-        grid = sp._build_grid(vps, state.radius)
+        grid = sp._build_grid(vps, state.radius, shuffle=it_num)
         di = _device_linear_index(mesh)
         phi, mcount = sp._photon_pass(
             scene, vps, grid, state.radius, ph_shard, max_depth, it_num,

@@ -506,14 +506,16 @@ class TestExoticCropStats:
         assert stats["resolution"] == (12, 12)
 
 
-class TestSppmOverflowAdapt:
-    """VERDICT r4 weak #4: the bounded bucket scan must not lose energy
-    silently — render_sppm doubles MAX_VPS_PER_CELL when an iteration
-    reports unreachable entries (the reference's linked-list grid is
-    unbounded, sppm.rs:361-448)."""
+class TestSppmOverflowReservoir:
+    """VERDICT r4 weak #4: buckets deeper than the bounded scan must not
+    lose energy.  The scan is an unbiased reservoir (random in-cell order
+    per iteration + w_scale = D/min(D, max_vps) compensation), so even a
+    very shallow scan conserves energy in expectation — the reference's
+    unbounded linked-list walk (sppm.rs:361-448) is the zero-variance
+    case."""
 
     @pytest.mark.slow
-    def test_dense_cluster_recovers_energy(self, monkeypatch):
+    def test_dense_cluster_conserves_energy(self, monkeypatch):
         import warnings
 
         from rs_pbrt_tpu.models import cameras as cam2
@@ -529,7 +531,7 @@ class TestSppmOverflowAdapt:
             fov=2.0, resolution=(16, 16),
         )
         scfg = smpl.make_sampler(smpl.RANDOM, 1, camera.resolution)
-        kw = dict(n_iterations=3, max_depth=3)
+        kw = dict(n_iterations=4, max_depth=3)
 
         def run(start, cap):
             monkeypatch.setattr(sp, "MAX_VPS_PER_CELL", start)
@@ -541,12 +543,63 @@ class TestSppmOverflowAdapt:
                     scene, camera, scfg, stats=stats, **kw))
             return img, stats
 
-        img_fixed, st_fixed = run(4, 4)      # no adaptation possible
-        img_adapt, st_adapt = run(4, 256)    # doubles on overflow
-        img_ref, st_ref = run(256, 256)      # deep scan from the start
-        assert st_fixed["grid_bucket_overflow"] > 0
+        img_shallow, st_shallow = run(8, 8)   # deep truncation, compensated
+        img_ref, st_ref = run(256, 256)       # full scan (no truncation)
+        assert st_shallow["grid_bucket_overflow"] > 0
         assert st_ref["grid_bucket_overflow"] == 0
-        m_f, m_a, m_r = img_fixed.mean(), img_adapt.mean(), img_ref.mean()
-        # truncation loses energy; adaptation recovers most of it
-        assert m_f < m_r
-        assert abs(m_a - m_r) < abs(m_f - m_r), (m_f, m_a, m_r)
+        m_s, m_r = img_shallow.mean(), img_ref.mean()
+        # unbiased reservoir: shallow scan agrees in expectation; the
+        # residual gap is the nonlinear radius update seen through the
+        # inflated variance, bounded here
+        assert m_r > 0
+        assert abs(m_s - m_r) < 0.35 * m_r, (m_s, m_r)
+
+    @pytest.mark.slow
+    def test_reservoir_phi_is_unbiased(self):
+        """The deposit phi itself (before the nonlinear radius update)
+        must match the full scan in expectation: average the shuffled
+        max_vps=4 deposits over several iterations' shuffles against the
+        untruncated scan."""
+        import jax.numpy as jnp
+
+        from rs_pbrt_tpu.models import cameras as cam2
+        from rs_pbrt_tpu.models.integrators import sppm as sp
+        from rs_pbrt_tpu.scene import presets
+        from rs_pbrt_tpu.utils import transform as tr2
+
+        scene, _ = presets.cornell_box(resolution=(16, 16))
+        camera = cam2.make_perspective(
+            tr2.look_at((278, 273, -500), (278, 273, 559), (0, 1, 0)),
+            fov=2.0, resolution=(16, 16),
+        )
+        scfg = smpl.make_sampler(smpl.RANDOM, 1, camera.resolution)
+        light_dist = sp._light_select_dist(scene)
+        xs, ys = np.meshgrid(np.arange(16, dtype=np.int32),
+                             np.arange(16, dtype=np.int32))
+        pixels = jnp.asarray(np.stack([xs.ravel(), ys.ravel()], -1))
+        ctx = smpl.make_ctx(scfg, pixels, jnp.zeros(256, jnp.uint32))
+        u_film = smpl.get_2d(scfg, ctx, 0)
+        p_film = pixels.astype(jnp.float32) + u_film
+        rays = cam2.generate_rays(
+            camera, p_film, smpl.get_2d(scfg, ctx, 3), smpl.get_1d(scfg, ctx, 2)
+        )
+        vps, _ = sp._camera_pass(scene, scfg, ctx, rays.o, rays.d, 3,
+                                 light_dist, None)
+        radius = jnp.full(256, 40.0, jnp.float32)  # huge: one bucket
+
+        def phi_of(max_vps, shuffle):
+            grid = sp._build_grid(vps, radius, max_vps=max_vps,
+                                  shuffle=shuffle)
+            phi, m = sp._photon_pass(
+                scene, vps, grid, radius, 256, 3, 0, light_dist, None, 0,
+                max_vps=max_vps,
+            )
+            return np.asarray(phi).sum(), float(np.asarray(m).sum())
+
+        p_ref, m_ref = phi_of(256, None)
+        assert m_ref > 0
+        ps, ms = zip(*[phi_of(4, k) for k in range(8)])
+        # m compensation is exact in expectation and low-variance (the
+        # count has no f/beta weighting)
+        assert abs(np.mean(ms) - m_ref) < 0.25 * m_ref, (np.mean(ms), m_ref)
+        assert abs(np.mean(ps) - p_ref) < 0.35 * p_ref, (np.mean(ps), p_ref)
