@@ -548,11 +548,22 @@ def radiance(
                 all_dims, bounce * dims_per_bounce, dims_per_bounce, axis=1
             )
         else:
+            # get_dims returns None for samplers without a batched table
+            # (e.g. random/stratified at dynamic dim0) — fall back to
+            # per-dim dynamic lookups
             dims = smpl.get_dims(sampler_cfg, ctx, dim0, dims_per_bounce)
+        u1 = u2d = None
+        if dims is None:
+            def u1(k):
+                return smpl.get_1d_dyn(sampler_cfg, ctx, dim0 + k)
+
+            def u2d(k):
+                return smpl.get_2d_dyn(sampler_cfg, ctx, dim0 + k)
         return _shade_and_extend(
             scene, cfg, accel, time, dist_at, light_dist, diffs, dims,
             bounce, it,
             (o, d, L, beta, alive, specular_bounce, prev_bsdf_pdf, eta_scale),
+            u1=u1, u2d=u2d,
         )
 
     # derive the initial carry from ray_o so every leaf inherits ray_o's
