@@ -329,6 +329,12 @@ def bench_sppm_hair():
             w, h = camera.resolution
             ex = dict(cfg.extra or {})
             n_it = int(ex.get("n_iterations", 16))
+            # warm-up: 2 iterations compile every sub-jit INCLUDING the
+            # adapted max_vps=64 deposit (the grid-overflow doubling fires
+            # on iteration 0 of this scene) so the timed run is all
+            # execution, no compile
+            cfg2 = cfg._replace(extra={**ex, "n_iterations": 2})
+            timed_render(rdr, scene, camera, cfg2, scfg, fcfg, accel=accel)
             t0 = time.time()
             timed_render(rdr, scene, camera, cfg, scfg, fcfg, accel=accel)
             dt = time.time() - t0
