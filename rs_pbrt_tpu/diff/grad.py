@@ -82,7 +82,10 @@ def render_image(scene, camera, cfg, sampler_cfg, params: Optional[DiffParams] =
     """Differentiable render: image as a function of DiffParams."""
     if params is not None:
         scene = apply_params(scene, params)
-    return rdr.render(scene, camera, cfg, sampler_cfg, accel=accel, max_lanes=max_lanes)
+    # regen=False: the regeneration while_loop is forward-only; AD needs
+    # the fixed-depth fori_loop (reverse-differentiable)
+    return rdr.render(scene, camera, cfg, sampler_cfg, accel=accel,
+                      max_lanes=max_lanes, regen=False)
 
 
 def grad_loss(scene, camera, cfg, sampler_cfg, loss_fn, params: Optional[DiffParams] = None,
@@ -127,7 +130,8 @@ def grad_loss_wrt_camera(scene, camera, cfg, sampler_cfg, loss_fn, accel=None):
     agree away from geometric edges (tests/test_grad.py)."""
 
     def f(cam_p):
-        img = rdr.render(scene, cam_p, cfg, sampler_cfg, accel=accel)
+        img = rdr.render(scene, cam_p, cfg, sampler_cfg, accel=accel,
+                         regen=False)
         return loss_fn(img)
 
     return jax.value_and_grad(f)(camera)
