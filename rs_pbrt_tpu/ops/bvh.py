@@ -30,7 +30,7 @@ STACK_DEPTH = 64  # mirrors the 64-slot traversal stack of reference bvh.rs:420
 # bump whenever builder output or row layouts change: disk caches of built
 # accels (bench.py, tools) key on this so a layout change can never be
 # silently served stale rows (ADVICE r3 #3)
-ACCEL_VERSION = 5
+ACCEL_VERSION = 6
 
 # frontier-sweep window (rows per dynamic_slice chunk); also the stream
 # row-count alignment.  2048 keeps the one-hot gather matmul at

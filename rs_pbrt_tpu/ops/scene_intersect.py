@@ -55,22 +55,23 @@ def _tri_accel_hit(o, d, t_max, tree, p0, p1, p2, any_hit: bool = False):
 
     if isinstance(tree, kdmod.KdTree):
         return kdmod.kdtree_intersect_tris(o, d, t_max, tree, p0, p1, p2, any_hit=any_hit)
+    if getattr(tree, "wide128", None) is not None and _use_pallas():
+        # 12-wide ordered traversal + 2-step unroll: the round-5
+        # END-TO-END winner under path regeneration
+        # (tools/tpu_regen_bench.py statue 256^2@8spp: 510k paths/s vs
+        # 475k for 24-wide+unroll=2 and 359k for the r4 compaction
+        # ladder).  The 24-wide raw-traversal wins (2.04M vs 1.59M
+        # rays/s at 524k lanes) never transferred end-to-end at the lane
+        # widths the renderer actually dispatches — ADVICE r4 medium #1.
+        return bvhmod.bvh12_intersect_tris(
+            o, d, t_max, tree.wide128, tree.wide12_depth, any_hit=any_hit,
+            unroll=2,
+        )
     if getattr(tree, "wide256", None) is not None and _use_pallas():
-        # 24-wide ordered traversal + 2-step unroll — the round-4 A/B
-        # winner (tools/tpu_bvh24_bench.py at 524k lanes: 2.04M rays/s
-        # closest / 2.11M any-hit vs 1.59M for 12-wide base; the gather
-        # unit is ~42GB/s byte-bound, so 1024B rows tie 512B per row but
-        # halve the iteration count, and the unroll halves the
-        # ~0.2-0.7ms/iteration fixed loop glue)
+        # 24-wide fallback (only present when built with wide24=True)
         return bvhmod.bvh24_intersect_tris(
             o, d, t_max, tree.wide256, tree.wide24_depth, any_hit=any_hit,
             unroll=2,
-        )
-    if getattr(tree, "wide128", None) is not None and _use_pallas():
-        # 12-wide ordered traversal: ONE 512B row gather per step (512B
-        # rows gather at the same rate as 256B; see bvh.bvh12_intersect_tris)
-        return bvhmod.bvh12_intersect_tris(
-            o, d, t_max, tree.wide128, tree.wide12_depth, any_hit=any_hit
         )
     if getattr(tree, "wide64", None) is not None and _use_pallas():
         # 4-wide ordered traversal: ONE 256B row gather per step (the
@@ -783,7 +784,7 @@ def _build_lbvh_pref_native(bmin, bmax, tris=None, lean=False):
 
     if bvh_native.native_available():
         lb = bvh_native.build_lbvh_native(
-            bmin, bmax, tris=tris, lean=lean, wide24=tris is not None
+            bmin, bmax, tris=tris, lean=lean,
         )
         return lb
     return bvhmod.build_lbvh(bmin, bmax, tris=tris)

@@ -55,10 +55,35 @@ def main():
         regenmod.REGEN_LANE_WIDTH = w
         timed(f"regen wide24 W={w>>10}k", accel, regen=True)
     regenmod.REGEN_LANE_WIDTH = 1 << 16
-    # C. regen wide12 (force: drop the wide256 table)
-    accel12 = accel._replace(wide256=None, wide256_dflag=None)
+    # C. regen wide12 (force: drop the wide256 table from the tri LBVH)
+    accel12 = accel._replace(
+        tri=accel.tri._replace(wide256=None, wide256_dflag=None)
+    )
     timed("regen wide12 W=64k", accel12, regen=True)
-    timed("ladder wide12", accel12, regen=False)
+
+    # D. traversal knobs under regen: unroll / compact_stages sweeps via a
+    # patched dispatch (scene_intersect hardcodes unroll=2, stages=3)
+    from rs_pbrt_tpu.ops import bvh as bvhmod
+    from rs_pbrt_tpu.ops import scene_intersect as si
+
+    orig24 = bvhmod.bvh24_intersect_tris
+
+    def sweep(unroll, stages):
+        def patched(o, d, t_max, w256, depth, any_hit=False, **kw):
+            return orig24(o, d, t_max, w256, depth, any_hit=any_hit,
+                          unroll=unroll, compact_stages=stages)
+
+        bvhmod.bvh24_intersect_tris = patched
+        try:
+            # bust the jit cache: the patched traversal must re-trace
+            jax.clear_caches()
+            timed(f"regen wide24 unroll={unroll} stages={stages}", accel,
+                  regen=True)
+        finally:
+            bvhmod.bvh24_intersect_tris = orig24
+
+    for u, st in ((2, 2), (3, 3), (4, 3), (2, 4)):
+        sweep(u, st)
     return 0
 
 
