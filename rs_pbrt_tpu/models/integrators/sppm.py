@@ -98,9 +98,6 @@ def _camera_pass(scene, cfg_s, ctx, ray_o, ray_d, max_depth, light_dist, accel):
             ld = ld + jnp.where(alive[..., None], beta * ld_i, 0.0)
 
         # diffuse? store vp and stop; specular? continue
-        non_spec = lambda k: (k != bx.LOBE_NONE) & (k != bx.LOBE_SPEC_REFL) & (
-            k != bx.LOBE_FRESNEL_SPEC
-        )
         is_diffuse = bx.has_nonspecular(b)
         store_now = alive & is_diffuse & ~stored
         vp_p = jnp.where(store_now[..., None], it.p, vp_p)
