@@ -36,10 +36,12 @@ from .path import _light_select_dist, _shading_frame, _shading_frame_du, _to_loc
 from .direct import uniform_sample_one_light
 
 GAMMA = 2.0 / 3.0  # reference sppm.rs radius update
-# bounded bucket-scan depth (the reference's linked-list grid is unbounded,
-# sppm.rs:361-448); render_sppm DOUBLES it adaptively when an iteration
-# reports overflow, up to MAX_VPS_CAP (VERDICT r4 weak #4: dense caustic
-# clusters lost energy silently at a fixed 32)
+# bounded bucket-scan depth.  Deposits are an UNBIASED RESERVOIR over
+# deeper buckets (_build_grid w_scale), so this is a VARIANCE knob, not a
+# correctness cap; render_sppm still doubles it once (to MAX_VPS_CAP) when
+# an iteration reports overflow, trading one recompile for lower variance
+# while keeping the 27*max_vps deposit dispatch far below the ~1-minute
+# worker-kill budget (the 256-deep adapted scan hit it on-chip, round 5)
 MAX_VPS_PER_CELL = 32
 MAX_VPS_CAP = 64
 
