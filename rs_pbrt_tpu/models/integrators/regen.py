@@ -48,8 +48,10 @@ REGEN_LANE_WIDTH = 1 << 16
 
 
 def eligible(scene, cfg: PathCfg, sampler_cfg, ctx, accel, n_paths,
-             time=None, diffs=None, lane_width: int = REGEN_LANE_WIDTH):
+             time=None, diffs=None, lane_width=None):
     """Host-side static check: can radiance_regen serve this call?"""
+    if lane_width is None:
+        lane_width = REGEN_LANE_WIDTH
     dims_per_bounce = DIMS_PER_BOUNCE + (
         SSS_EXTRA_DIMS if scene.has_subsurface else 0
     )
@@ -75,14 +77,16 @@ def radiance_regen(
     accel,
     light_distrib=None,
     time=None,
-    lane_width: int = REGEN_LANE_WIDTH,
+    lane_width=None,
 ):
     """Estimate L for n_paths camera rays with a lane_width regeneration
     loop.  Returns (n_paths, 3) in path order — identical layout (and,
     per path, identical samples/arithmetic) to path.radiance, so the
     caller's film path is unchanged."""
     n_paths = ray_o.shape[0]
-    W = min(lane_width, n_paths)
+    # read the module knob at CALL time (a def-time default would freeze
+    # it and silently ignore A/B sweeps — round-5 lesson)
+    W = min(lane_width or REGEN_LANE_WIDTH, n_paths)
     light_dist = _light_select_dist(scene) if scene.n_lights > 0 else None
     if light_distrib is not None:
         from .. import lightdistrib as ldist
