@@ -64,7 +64,7 @@ def emit(metric, value, unit, vs, **extra):
         pass
 
 
-def run_config_subprocess(name, timeout=1800):
+def run_config_subprocess(name, timeout=4500):
     """Run one bench config in a child process; harvest its JSON rows.
 
     The child prints rows to stdout (one JSON object per line, same emit
@@ -244,7 +244,7 @@ def bench_statue():
     )
     paths2 = res2[0] * res2[1] * spp2
     emit(
-        "camera_paths/s/chip (1.31M-tri statue 256x256 path 8spp, SAH-BVH24)",
+        "camera_paths/s/chip (1.31M-tri statue 256x256 path 8spp, SAH-BVH12+regen)",
         round(paths2 / dt2, 1), "paths/s", round(paths2 / dt2 / BASELINE, 3),
     )
 
@@ -271,7 +271,7 @@ def bench_statue_full():
     dt = time.time() - t0
     paths = res[0] * res[1] * spp
     emit(
-        "camera_paths/s/chip (5.24M-tri statue 1024x1024 path 64spp, SAH-BVH24)",
+        "camera_paths/s/chip (5.24M-tri statue 1024x1024 path 64spp, SAH-BVH12+regen)",
         round(paths / dt, 1), "paths/s", round(paths / dt / BASELINE, 3),
         sah_build_s=round(build_s, 1), full_render_s=round(dt, 1),
     )
