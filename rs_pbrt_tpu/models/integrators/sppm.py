@@ -204,8 +204,24 @@ def _photon_pass(scene, vps: VisiblePoints, grid: Grid, radius, n_photons: int,
                  max_vps: int = MAX_VPS_PER_CELL):
     """Shoot photons; accumulate phi and m per visible point.  idx0:
     photon-index offset for chunked dispatches (the stateless counter RNG
-    makes chunk [idx0, idx0+n) identical to that slice of one big pass)."""
+    makes chunk [idx0, idx0+n) identical to that slice of one big pass).
+
+    TPU-native deposit (round-5 redesign): the reference scatters each
+    photon into its neighbor buckets of visible points through atomics
+    (sppm.rs:600-627).  The first TPU formulation mirrored that scatter
+    and cost 7ms PER SCAN STEP (per-lane gathers + scatter-adds + a full
+    BSDF rebuild each step -> 49s/iteration on the caustic scene,
+    tools/tpu_sppm_profile.py).  Deposits are now GATHERED FROM THE
+    VISIBLE-POINT SIDE: photon transport only COLLECTS hit events
+    (p, wi, beta); events from all depths are pooled, sorted by grid
+    cell into one packed row matrix, and every VP lane scans its 27
+    neighbor event-buckets with ONE wide row gather per step, a
+    prebuilt per-VP BSDF, and lane-local accumulation — no scatters at
+    all.  Bucket truncation at max_vps events is the same unbiased
+    reservoir (shuffled in-cell order + D/min(D, max_vps) compensation,
+    folded into the packed beta)."""
     from ...utils import rng as rngmod
+    from ...ops import gathers as gx
 
     P = vps.p.shape[0]
     idx = jnp.arange(n_photons, dtype=jnp.uint32) + jnp.uint32(idx0)
@@ -224,9 +240,6 @@ def _photon_pass(scene, vps: VisiblePoints, grid: Grid, radius, n_photons: int,
     cos0 = jnp.abs(vm.dot(ls.n_light, ls.d))
     beta = ls.le * (cos0 / (sel_pdf * ls.pdf_pos * ls.pdf_dir))[..., None]
     # delta lights have no cos term at origin
-    la_type = None
-    from ...ops import gathers as gx
-
     ltype = gx.coli(gx.take_rows(scene.light_attr, li_idx), sa.LA_TYPE)
     is_area = ltype == sa.LIGHT_AREA
     beta = jnp.where(is_area[..., None], beta, ls.le / (sel_pdf * ls.pdf_pos * ls.pdf_dir)[..., None])
@@ -234,73 +247,16 @@ def _photon_pass(scene, vps: VisiblePoints, grid: Grid, radius, n_photons: int,
     d = ls.d
     alive = jnp.any(beta > 0.0, axis=-1)
 
-    # accumulators derive a zero from idx (device-VARYING under shard_map:
-    # idx0 comes from axis_index in the sharded photon pass) so the
-    # fori_loop carry has consistent varying-axis types; a plain zeros
-    # carry is unvarying and shard_map's scan rejects the mismatch
-    zf = (idx[0] * 0).astype(jnp.float32)
-    phi = jnp.zeros((P, 3), jnp.float32) + zf
-    # m is FLOAT: reservoir-compensated photon counts (expectation of the
-    # reference's integer counts)
-    m = jnp.zeros(P, jnp.float32) + zf
-
-    E = grid.order.shape[0]
-    res = grid.res
-
+    # ---- transport: collect one event per (photon, depth>0) ----
+    ev_p, ev_wi, ev_beta, ev_ok = [], [], [], []
     for depth in range(max_depth):
         it = si.scene_intersect(scene, o, d, jnp.full(n_photons, vm.INFINITY), accel)
         alive = alive & it.valid
-
         if depth > 0:
-            # deposit into nearby visible points (reference :600-627):
-            # fori over 27 neighbor cells x bounded bucket scan
-            cell3 = ((it.p - grid.grid_min) * grid.inv_cell).astype(jnp.int32)
-            offs = jnp.asarray(
-                [[a, b_, c] for a in (-1, 0, 1) for b_ in (-1, 0, 1) for c in (-1, 0, 1)],
-                jnp.int32,
-            )
-
-            def deposit(step, carry):
-                phi, m = carry
-                ci = step // max_vps
-                k = step % max_vps
-                nb3 = cell3 + offs[ci]
-                okc = jnp.all((nb3 >= 0) & (nb3 < res), axis=-1)
-                nb = (nb3[:, 0] * res + nb3[:, 1]) * res + nb3[:, 2]
-                start = jnp.searchsorted(grid.cell_of_entry, nb)
-                e_raw = start + k
-                e = jnp.clip(e_raw, 0, E - 1)
-                # e_raw < E: without it the clip pins k past the LAST
-                # bucket's end onto entry E-1, which still satisfies the
-                # cell check — every extra k DOUBLE-deposited to the last
-                # bucket's final visible point (long-standing overcount,
-                # found by the round-5 reservoir unbiasedness test)
-                in_bucket = (
-                    (grid.cell_of_entry[e] == nb) & (e_raw < E) & okc & alive
-                )
-                vp_i = grid.order[e]
-                dp = it.p - vps.p[vp_i]
-                r = radius[vp_i]
-                near = in_bucket & (vm.length_squared(dp) <= r * r) & vps.valid[vp_i]
-                from ...ops import gathers as gx
-
-                b_vp = bx.make_bsdf_from_mat(scene, vps.mat[vp_i])
-                ns_vp = vps.ns[vp_i]
-                ss, ts = _shading_frame(ns_vp)
-                wo_l = _to_local(vps.wo[vp_i], ss, ts, ns_vp)
-                wi_l = _to_local(-d, ss, ts, ns_vp)
-                f = bx.bsdf_f(b_vp, wo_l, wi_l, jnp.ones_like(near))
-                # reservoir compensation: the scanned subset estimates the
-                # full bucket (w_scale = D / min(D, max_vps))
-                wsc = grid.w_scale[e]
-                contrib = jnp.where(near[..., None], beta * f * wsc[..., None], 0.0)
-                phi = phi.at[vp_i].add(contrib)
-                m = m.at[vp_i].add(jnp.where(near, wsc, 0.0))
-                return phi, m
-
-            phi, m = jax.lax.fori_loop(0, 27 * max_vps, deposit, (phi, m))
-
-            # continue the photon walk
+            ev_p.append(it.p)
+            ev_wi.append(-d)
+            ev_beta.append(beta)
+            ev_ok.append(alive)
         b_ph = bx.make_bsdf_at(scene, it)
         ss, ts = _shading_frame_du(it.ns, it.dpdu)
         wo_l = _to_local(it.wo, ss, ts, it.ns)
@@ -322,7 +278,99 @@ def _photon_pass(scene, vps: VisiblePoints, grid: Grid, radius, n_photons: int,
         o = jnp.where(alive[..., None], vm.offset_ray_origin(it.p, it.p_error, it.ng, wi_w), o)
         d = jnp.where(alive[..., None], wi_w, d)
 
-    return phi, m
+    if not ev_p:  # max_depth == 1: no deposit depths exist
+        zf = (idx[0] * 0).astype(jnp.float32)
+        return jnp.zeros((P, 3)) + zf, jnp.zeros(P) + zf
+
+    ev_p = jnp.concatenate(ev_p)
+    ev_wi = jnp.concatenate(ev_wi)
+    ev_beta = jnp.concatenate(ev_beta)
+    ev_ok = jnp.concatenate(ev_ok)
+    return _deposit_events(
+        scene, vps, radius, grid, ev_p, ev_wi, ev_beta, ev_ok,
+        max_vps, it_u, jnp.uint32(seed),
+    )
+
+
+def _deposit_events(scene, vps: VisiblePoints, radius, grid, ev_p, ev_wi,
+                    ev_beta, ev_ok, max_ev: int, it_u, seed_u):
+    """Gather-side photon deposit: every VP scans its 27 neighbor cells'
+    event buckets (bounded, reservoir-compensated).  One packed 44B row
+    gather + prebuilt-BSDF eval per scan step; phi/m accumulate in lane
+    registers (no scatter)."""
+    from ...utils import rng as rngmod
+    from ...ops import gathers as gx
+
+    P = vps.p.shape[0]
+    res = grid.res
+    c3 = ((ev_p - grid.grid_min) * grid.inv_cell).astype(jnp.int32)
+    in_grid = ev_ok & jnp.all((c3 >= 0) & (c3 < res), axis=-1)
+    cell = (c3[:, 0] * res + c3[:, 1]) * res + c3[:, 2]
+    cell = jnp.where(in_grid, cell, res * res * res)
+    E = cell.shape[0]
+    # shuffled stable sort by cell: the scanned prefix of each bucket is a
+    # uniform random subset per iteration (reservoir)
+    u = rngmod.uniform_float(
+        jnp.arange(E, dtype=jnp.uint32), it_u, jnp.uint32(0xE5E), seed_u
+    )
+    pre = jnp.argsort(u)
+    order = pre[jnp.argsort(cell[pre], stable=True)]
+    sc = cell[order]
+    start_all = jnp.searchsorted(sc, sc)
+    depth_b = (jnp.searchsorted(sc, sc, side="right") - start_all).astype(jnp.float32)
+    w_scale = depth_b / jnp.minimum(depth_b, float(max_ev))
+    # packed sorted event rows: [p(3), wi(3), beta*w(3), w(1), cell(1)]
+    # (cell ids < RES_CAP^3 = 2^24 are exact in f32)
+    pk = jnp.concatenate(
+        [
+            ev_p[order],
+            ev_wi[order],
+            ev_beta[order] * w_scale[:, None],
+            w_scale[:, None],
+            sc.astype(jnp.float32)[:, None],
+        ],
+        axis=1,
+    )
+
+    # per-VP constants, built ONCE
+    b_vp = bx.make_bsdf_from_mat(scene, vps.mat)
+    ss, ts = _shading_frame(vps.ns)
+    wo_l = _to_local(vps.wo, ss, ts, vps.ns)
+    c3v = jnp.clip(((vps.p - grid.grid_min) * grid.inv_cell).astype(jnp.int32), 0, res - 1)
+    offs = jnp.asarray(
+        [[a, b_, c] for a in (-1, 0, 1) for b_ in (-1, 0, 1) for c in (-1, 0, 1)],
+        jnp.int32,
+    )
+    r2 = radius * radius
+
+    # accumulators derive a zero from the events (device-VARYING under
+    # shard_map: events come from the axis_index'd photon range) so the
+    # fori_loop carry has consistent varying-axis types
+    zf = jnp.sum(ev_p[:1]) * 0.0
+    phi0 = jnp.zeros((P, 3), jnp.float32) + zf
+    m0 = jnp.zeros(P, jnp.float32) + zf
+
+    def step(stepi, carry):
+        phi, m = carry
+        ci = stepi // max_ev
+        k = stepi % max_ev
+        nb3 = c3v + offs[ci]
+        okc = jnp.all((nb3 >= 0) & (nb3 < res), axis=-1) & vps.valid
+        nb = (nb3[:, 0] * res + nb3[:, 1]) * res + nb3[:, 2]
+        start = jnp.searchsorted(sc, nb)
+        e_raw = start + k
+        e = jnp.clip(e_raw, 0, E - 1)
+        row = gx.take_rows(pk, e)  # ONE wide row gather per step
+        in_b = (row[:, 10] == nb.astype(jnp.float32)) & (e_raw < E) & okc
+        ep = row[:, 0:3]
+        near = in_b & (vm.length_squared(ep - vps.p) <= r2)
+        wi_l = _to_local(row[:, 3:6], ss, ts, vps.ns)
+        f = bx.bsdf_f(b_vp, wo_l, wi_l, jnp.ones_like(near))
+        phi = phi + jnp.where(near[:, None], row[:, 6:9] * f, 0.0)
+        m = m + jnp.where(near, row[:, 9], 0.0)
+        return phi, m
+
+    return jax.lax.fori_loop(0, 27 * max_ev, step, (phi0, m0))
 
 
 def _update_state(state: SPPMState, vps: VisiblePoints, ld_inc, phi, mcount):
