@@ -343,6 +343,16 @@ def _deposit_events(scene, vps: VisiblePoints, radius, grid, ev_p, ev_wi,
     )
     r2 = radius * radius
 
+    # hoist the per-neighbor lookups OUT of the scan: searchsorted over
+    # 160k events is ~18 per-lane binary-search gathers and was re-run
+    # for every k (27 x max_ev times); it only depends on the neighbor
+    # cell, so compute all 27 (start, cell, ok) rows once
+    nb3_all = c3v[None, :, :] + offs[:, None, :]  # (27, P, 3)
+    okc_all = jnp.all((nb3_all >= 0) & (nb3_all < res), axis=-1) & vps.valid[None, :]
+    nb_all = (nb3_all[..., 0] * res + nb3_all[..., 1]) * res + nb3_all[..., 2]
+    start_all27 = jnp.searchsorted(sc, nb_all.reshape(-1)).reshape(27, P)
+    nbf_all = nb_all.astype(jnp.float32)
+
     # accumulators derive a zero from the events (device-VARYING under
     # shard_map: events come from the axis_index'd photon range) so the
     # fori_loop carry has consistent varying-axis types
@@ -354,14 +364,13 @@ def _deposit_events(scene, vps: VisiblePoints, radius, grid, ev_p, ev_wi,
         phi, m = carry
         ci = stepi // max_ev
         k = stepi % max_ev
-        nb3 = c3v + offs[ci]
-        okc = jnp.all((nb3 >= 0) & (nb3 < res), axis=-1) & vps.valid
-        nb = (nb3[:, 0] * res + nb3[:, 1]) * res + nb3[:, 2]
-        start = jnp.searchsorted(sc, nb)
+        start = jax.lax.dynamic_index_in_dim(start_all27, ci, keepdims=False)
+        okc = jax.lax.dynamic_index_in_dim(okc_all, ci, keepdims=False)
+        nbf = jax.lax.dynamic_index_in_dim(nbf_all, ci, keepdims=False)
         e_raw = start + k
         e = jnp.clip(e_raw, 0, E - 1)
         row = gx.take_rows(pk, e)  # ONE wide row gather per step
-        in_b = (row[:, 10] == nb.astype(jnp.float32)) & (e_raw < E) & okc
+        in_b = (row[:, 10] == nbf) & (e_raw < E) & okc
         ep = row[:, 0:3]
         near = in_b & (vm.length_squared(ep - vps.p) <= r2)
         wi_l = _to_local(row[:, 3:6], ss, ts, vps.ns)
