@@ -406,6 +406,48 @@ def _update_state(state: SPPMState, vps: VisiblePoints, ld_inc, phi, mcount):
     )
 
 
+@partial(jax.jit, static_argnames=("sampler_cfg", "max_depth"))
+def _cam_pass_j(scene, camera, px, it_num, light_dist, accel, sampler_cfg,
+                max_depth):
+    """Jitted camera pass (module-level so compiles CACHE across
+    render_sppm calls — per-call lambdas recompiled every phase on every
+    render, turning the 16-iteration caustic bench into ~200s of compile
+    per call, round-5 e2e probe)."""
+    from .. import cameras as cam
+
+    n_px = px.shape[0]
+    ctx = smpl.make_ctx(sampler_cfg, px, jnp.full(n_px, it_num, jnp.uint32))
+    u_film = smpl.get_2d(sampler_cfg, ctx, 0)
+    p_film = px.astype(jnp.float32) + u_film
+    rays = cam.generate_rays(
+        camera, p_film, smpl.get_2d(sampler_cfg, ctx, 3),
+        smpl.get_1d(sampler_cfg, ctx, 2),
+    )
+    # optimization_barrier: the XLA:TPU compiler SIGILLs when it optimizes
+    # the sampler/ray-gen preamble TOGETHER with the camera pass
+    # (tools/tpu_sppm_bisect3.py: each half compiles alone, the fusion
+    # crashes; the barrier keeps them separate and compiles clean)
+    ro, rd = jax.lax.optimization_barrier((rays.o, rays.d))
+    return _camera_pass(
+        scene, sampler_cfg, ctx, ro, rd, max_depth, light_dist, accel
+    )
+
+
+_grid_j = jax.jit(_build_grid, static_argnames=("max_vps",))
+
+
+@partial(jax.jit, static_argnames=("n_photons", "max_depth", "max_vps"))
+def _photon_j(scene, vps, grid, radius, it_num, idx0, light_dist, accel,
+              seed, n_photons, max_depth, max_vps):
+    return _photon_pass(
+        scene, vps, grid, radius, n_photons, max_depth, it_num, light_dist,
+        accel, seed, idx0=idx0, max_vps=max_vps,
+    )
+
+
+_update_j = jax.jit(_update_state)
+
+
 def render_sppm(
     scene,
     camera,
@@ -533,45 +575,37 @@ def render_sppm(
         ph_chunk = -(-photons_per_iter // n_ph_chunks)
         photons_per_iter = n_ph_chunks * ph_chunk  # actual count (np_total)
 
-        cam_j = jax.jit(cam_pass)
-        grid_j = jax.jit(
-            lambda vps, radius, it, max_vps: _build_grid(
-                vps, radius, max_vps=max_vps, shuffle=it
-            ),
-            static_argnames=("max_vps",),
-        )
-        phot_j = jax.jit(
-            lambda scene, vps, grid, radius, it_num, idx0, max_vps: _photon_pass(
-                scene, vps, grid, radius, ph_chunk, max_depth, it_num,
-                light_dist, accel, seed, idx0=idx0, max_vps=max_vps,
-            ),
-            static_argnames=("max_vps",),
-        )
-        upd_j = jax.jit(update)
-
         total_overflow = 0
         last_res = 0
         max_vps = MAX_VPS_PER_CELL
         for i in range(n_iterations):
             parts = [
-                cam_j(scene, pixels_pad[k * cam_chunk : (k + 1) * cam_chunk], i)
+                _cam_pass_j(
+                    scene, camera,
+                    pixels_pad[k * cam_chunk : (k + 1) * cam_chunk],
+                    jnp.uint32(i), light_dist, accel,
+                    sampler_cfg=sampler_cfg, max_depth=max_depth,
+                )
                 for k in range(n_cam_chunks)
             ]
             vps = jax.tree.map(
                 lambda *xs: jnp.concatenate(xs)[:P], *[p[0] for p in parts]
             )
             ld_inc = jnp.concatenate([p[1] for p in parts])[:P]
-            grid = grid_j(vps, state.radius, jnp.uint32(i), max_vps=max_vps)
+            grid = _grid_j(vps, state.radius, shuffle=jnp.uint32(i),
+                           max_vps=max_vps)
             phi = jnp.zeros((P, 3), jnp.float32)
             mcount = jnp.zeros(P, jnp.float32)
             for k in range(n_ph_chunks):
-                ph, mc = phot_j(
-                    scene, vps, grid, state.radius, i,
-                    jnp.uint32(k * ph_chunk), max_vps=max_vps,
+                ph, mc = _photon_j(
+                    scene, vps, grid, state.radius, jnp.uint32(i),
+                    jnp.uint32(k * ph_chunk), light_dist, accel,
+                    jnp.uint32(seed), n_photons=ph_chunk,
+                    max_depth=max_depth, max_vps=max_vps,
                 )
                 phi = phi + ph
                 mcount = mcount + mc
-            state = upd_j(state, vps, ld_inc, phi, mcount)
+            state = _update_j(state, vps, ld_inc, phi, mcount)
             total_overflow += int(grid.overflow)
             last_res = int(grid.res)
             max_vps = _adapt_max_vps(max_vps, int(grid.overflow))

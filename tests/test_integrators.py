@@ -603,3 +603,31 @@ class TestSppmOverflowReservoir:
         # count has no f/beta weighting)
         assert abs(np.mean(ms) - m_ref) < 0.25 * m_ref, (np.mean(ms), m_ref)
         assert abs(np.mean(ps) - p_ref) < 0.35 * p_ref, (np.mean(ps), p_ref)
+
+
+class TestSppmChunkedPath:
+    @pytest.mark.slow
+    def test_chunked_matches_fused(self, monkeypatch):
+        """The split-dispatch (TPU) structure must agree with the fused
+        one_iteration program (CPU default) — same phases, same module
+        jits, different dispatch granularity."""
+        from rs_pbrt_tpu.models.integrators import render as rdr2
+        from rs_pbrt_tpu.models.integrators import sppm as sp
+        from rs_pbrt_tpu.ops.scene_intersect import build_accel
+        from rs_pbrt_tpu.scene import bigscene
+
+        # a real BVH scene: chunking requires accel.tri (cornell's 32 tris
+        # fall below the brute-force threshold and would leave the test
+        # vacuously fused)
+        scene, camera = bigscene.statue_scene(resolution=(12, 10),
+                                              subdivisions=4)
+        accel = build_accel(scene)
+        assert accel.tri is not None
+        scfg = smpl.make_sampler(smpl.RANDOM, 1, camera.resolution)
+        kw = dict(n_iterations=2, max_depth=3, accel=accel)
+        img_fused = np.asarray(sp.render_sppm(scene, camera, scfg, **kw))
+        # force the chunked branch (accel present + cap below P = 320)
+        monkeypatch.setattr(rdr2, "ACCEL_LANE_CAP", 64)
+        img_chunk = np.asarray(sp.render_sppm(scene, camera, scfg, **kw))
+        assert np.isfinite(img_chunk).all()
+        np.testing.assert_allclose(img_chunk, img_fused, rtol=1e-4, atol=1e-5)
