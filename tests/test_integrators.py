@@ -399,36 +399,6 @@ class TestBdptGridMedia:
         np.testing.assert_allclose(img_b.mean(), img_v.mean(), rtol=0.15)
 
 
-class TestSPPMChunked:
-    def test_chunked_matches_unchunked(self, monkeypatch):
-        """Accel-scene SPPM chunks camera/photon wavefronts to the lane cap
-        (VERDICT r3 weak #2); the stateless counter RNG makes chunked
-        passes bit-equal slices of the monolithic dispatch."""
-        import rs_pbrt_tpu.models.integrators.render as rdr
-        from rs_pbrt_tpu.models.integrators import sppm as sp
-        from rs_pbrt_tpu.ops import scene_intersect as si2
-        from rs_pbrt_tpu.scene import presets
-
-        scene, camera = presets.cornell_box(resolution=(12, 12))
-        # a fake accel object marks the scene "accelerated" without needing
-        # >4096 triangles; traversal still takes the brute-force path
-        class FakeAccel:
-            tri = object()
-        accel = si2.Accel(None, None)
-        img_ref = np.asarray(
-            sp.render_sppm(scene, camera, smpl.make_sampler(smpl.RANDOM, 1),
-                           n_iterations=2, max_depth=3, accel=accel)
-        )
-        # force chunking: cap of 64 lanes over 144 pixels -> 3 chunks
-        monkeypatch.setattr(rdr, "ACCEL_LANE_CAP", 64)
-        img_chunk = np.asarray(
-            sp.render_sppm(scene, camera, smpl.make_sampler(smpl.RANDOM, 1),
-                           n_iterations=2, max_depth=3,
-                           accel=si2.Accel(FakeAccel.tri, None))
-        )
-        np.testing.assert_allclose(img_chunk, img_ref, rtol=1e-4, atol=1e-5)
-
-
 class TestExoticSmokeConvergence:
     """Default-tier smoke convergence for the exotic integrators (VERDICT
     r3 weak #7): one fast low-res estimator assertion each, so per-commit
