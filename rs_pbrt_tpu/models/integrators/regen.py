@@ -43,8 +43,12 @@ from .path import (
 )
 
 # per-dispatch lane width of the regeneration loop; total paths per
-# dispatch may be much larger (the loop streams them through)
-REGEN_LANE_WIDTH = 1 << 16
+# dispatch may be much larger (the loop streams them through).
+# Round-5 width sweep on the statue (cache-busted, call-time knob):
+# 8k=448k / 16k=549.8k / 32k=527k / 64k=509k / 128k=432k / 256k=325k
+# paths/s — narrower lanes iterate more but each iteration's row gathers
+# and argfree refill are cheaper; 16k is the sweet spot
+REGEN_LANE_WIDTH = 1 << 14
 
 
 def eligible(scene, cfg: PathCfg, sampler_cfg, ctx, accel, n_paths,
