@@ -181,17 +181,22 @@ def radiance_regen(
     o0, d0, t0 = gather_path(pid0)
     zero3 = o0 * 0.0
     zero1 = zero3[..., 0]
+    # varying-derived zeros: under shard_map the carries must inherit the
+    # ray shard's device-varying axes or the while_loop rejects the
+    # carry-type mismatch (same rule as sppm._photon_pass accumulators)
+    zi = (jnp.sum(ray_o[:1, :1]) * 0.0).astype(jnp.int32)
+    zf = jnp.sum(ray_o[:1, :1]) * 0.0
     carry = (
-        jnp.int32(W),
+        jnp.int32(W) + zi,
         o0, d0, zero3, zero3 + 1.0,
         zero1 == 0.0,            # alive
         zero1 == 0.0,            # specular_bounce
         zero1 + 1.0,             # prev_bsdf_pdf
         zero1 + 1.0,             # eta_scale
-        jnp.zeros(W, jnp.int32),  # bounce
-        pid0,
+        jnp.zeros(W, jnp.int32) + zi,  # bounce
+        pid0 + zi,
         t0,
-        jnp.zeros((n_paths, 3), jnp.float32),
+        jnp.zeros((n_paths, 3), jnp.float32) + zf,
     )
     carry = jax.lax.while_loop(cond, body, carry)
     return carry[-1]

@@ -49,8 +49,15 @@ def render_sharded(
     accel=None,
     spp_per_batch: Optional[int] = None,
     crop=None,
+    regen: bool = False,
 ):
     """Data-parallel render over the mesh's 'd' axis.
+
+    regen: enable per-shard wavefront path regeneration for accelerated
+    scenes (models/integrators/regen.py) — each device streams its lane
+    shard through a 16k-lane pool.  Forward rendering only (AD callers
+    like diff/grad.grad_loss keep it False: the regeneration while_loop
+    is not reverse-differentiable).
 
     Lanes (pixel x sample) are sharded evenly; every device accumulates a
     full-resolution partial film over its lanes; films are psum-reduced.
@@ -116,7 +123,8 @@ def render_sharded(
         u_film, u_time, u_lens = smpl.get_camera_dims(sampler_cfg, ctx, pix_shard)
         p_film = pix_shard.astype(jnp.float32) + u_film
         rays = cam.generate_rays(camera, p_film, u_lens, u_time)
-        L = rdr.radiance_fn(cfg.integrator, cfg.max_depth, cfg.rr_threshold, mega=mega)(
+        L = rdr.radiance_fn(cfg.integrator, cfg.max_depth, cfg.rr_threshold,
+                            mega=mega, regen=regen)(
             scene, sampler_cfg, ctx, rays.o, rays.d, accel
         )
         L = L * rays.weight[..., None]

@@ -149,3 +149,32 @@ class TestExoticSharded:
             scene, camera, mesh=pmesh.make_mesh(jax.devices()[:4]), **kw))
         # per-chain fold_in RNG: identical proposals regardless of layout
         assert np.allclose(img2, img4, rtol=1e-4, atol=1e-5)
+
+
+class TestShardedRegen:
+    @pytest.mark.slow
+    def test_sharded_regen_matches_ladder(self):
+        """Per-shard path regeneration is the same estimator: sharded
+        render with regen on == off (accel scene, shard > lane width)."""
+        from rs_pbrt_tpu.models.integrators import regen as regenmod
+        from rs_pbrt_tpu.ops.scene_intersect import build_accel
+        from rs_pbrt_tpu.scene import bigscene
+
+        scene, camera = bigscene.statue_scene(resolution=(24, 16),
+                                              subdivisions=4)
+        accel = build_accel(scene)
+        cfg = rdr.RenderCfg("path", spp=2, max_depth=3, rr_threshold=1.0)
+        scfg = smpl.make_sampler(smpl.SOBOL, 2, camera.resolution)
+        mesh = pmesh.make_mesh(jax.devices()[:2])
+        # shard = 24*16*2/2 = 384 lanes; shrink the pool so regen engages
+        old_w = regenmod.REGEN_LANE_WIDTH
+        regenmod.REGEN_LANE_WIDTH = 128
+        try:
+            img_on = np.asarray(pmesh.render_sharded(
+                scene, camera, cfg, scfg, mesh=mesh, accel=accel, regen=True))
+        finally:
+            regenmod.REGEN_LANE_WIDTH = old_w
+        img_off = np.asarray(pmesh.render_sharded(
+            scene, camera, cfg, scfg, mesh=mesh, accel=accel, regen=False))
+        assert np.isfinite(img_on).all()
+        np.testing.assert_allclose(img_on, img_off, rtol=1e-5, atol=1e-6)
