@@ -469,7 +469,25 @@ def load_blend(path, builder=None):
                     ),
                 )
             else:
-                b.add_point_light(p=tuple(m[:3, 3]), I=tuple(rgb * energy))
+                # LA_LOCAL point lamp.  The reference keys off Lamp.dist
+                # (parse_blend_file.rs:2193-2230): the Blender default
+                # dist==25.0 maps to a point light with I = energy * rgb;
+                # any other dist becomes an emitting SPHERE of radius dist
+                # with emitted radiance rgb * energy / dist (the lamp's
+                # falloff-distance control re-expressed as a soft area
+                # light).
+                dist = bf.f32(target, "dist") if "dist" in lay else 25.0
+                if dist <= 0.0 or abs(dist - 25.0) < 1e-6:
+                    b.add_point_light(p=tuple(m[:3, 3]), I=tuple(rgb * energy))
+                else:
+                    black = b.add_matte(kd=(0.0, 0.0, 0.0))
+                    b.add_sphere(
+                        object_to_world=o2w, radius=float(dist),
+                        material=black,
+                        area_light=dict(
+                            L=tuple(rgb * (energy / dist)), two_sided=False
+                        ),
+                    )
 
     # world background -> constant-color IBL (reference reads World horr/
     # horg/horb into an infinite light)

@@ -24,14 +24,14 @@ def _make_dna():
         "*data", "obmat[4][4]",
         "lens", "sensor_x",
         "type", "r", "g", "b", "energy",
-        "area_size", "area_sizey", "area_shape",
+        "area_size", "area_sizey", "area_shape", "dist",
         "horr", "horg", "horb",
     ]
     types = ["int", "float", "short", "void",
              "Mesh", "MVert", "MPoly", "MLoop", "Object", "Camera", "Lamp",
              "Material", "World"]
     tlens = [4, 4, 2, 0,
-             40, 12, 8, 4, 72, 8, 28, 12, 12]
+             40, 12, 8, 4, 72, 8, 32, 12, 12]
     ni = {n: i for i, n in enumerate(names)}
     ti = {t: i for i, t in enumerate(types)}
     structs = [
@@ -48,7 +48,8 @@ def _make_dna():
                       (ti["float"], ni["energy"]),
                       (ti["float"], ni["area_size"]),
                       (ti["float"], ni["area_sizey"]),
-                      (ti["short"], ni["area_shape"])]),
+                      (ti["short"], ni["area_shape"]),
+                      (ti["float"], ni["dist"])]),
         (ti["Material"], [(ti["float"], ni["r"]), (ti["float"], ni["g"]),
                           (ti["float"], ni["b"])]),
         (ti["World"], [(ti["float"], ni["horr"]), (ti["float"], ni["horg"]),
@@ -79,7 +80,7 @@ def _block(code, sdna_idx, count, old, payload):
     )
 
 
-def _make_blend(tmp_path):
+def _make_blend(tmp_path, dist_lamp=False):
     dna, sidx = _make_dna()
     PV, PP, PL, PM, PME, PMAT = 0x1000, 0x2000, 0x3000, 0x4000, 0x5000, 0x6000
     # unit right triangle + quad -> 2 polys (tri + quad)
@@ -103,7 +104,8 @@ def _make_blend(tmp_path):
     # DNA layouts are packed (real .blend structs carry explicit pad
     # fields); r follows type at offset 2
     lamp = (struct.pack("<h", 0) + struct.pack("<4f", 1.0, 0.8, 0.6, 5.0)
-            + struct.pack("<2f", 0.0, 0.0) + struct.pack("<h", 0))
+            + struct.pack("<2f", 0.0, 0.0) + struct.pack("<h", 0)
+            + struct.pack("<f", 25.0))  # default dist -> point light
     lamp_obj_mat = np.eye(4, dtype=np.float32)
     lamp_obj_mat[3, :3] = (3, 3, 3)
     lamp_obj = struct.pack("<Q", 0x8000) + lamp_obj_mat.tobytes()
@@ -121,11 +123,24 @@ def _make_blend(tmp_path):
     raw += _block(b"OB", sidx["Object"], 1, 0xA200, lamp_obj)
     # area lamp: type 4, 2x1 rect (shape 1) with energy pi*2 -> L = 1
     area = (struct.pack("<h", 4) + struct.pack("<4f", 1.0, 1.0, 1.0, float(np.pi * 2))
-            + struct.pack("<2f", 2.0, 1.0) + struct.pack("<h", 1))
+            + struct.pack("<2f", 2.0, 1.0) + struct.pack("<h", 1)
+            + struct.pack("<f", 25.0))
     raw += _block(b"LA", sidx["Lamp"], 1, 0x8100, area)
     area_obj_mat = np.eye(4, dtype=np.float32)
     area_obj_mat[3, :3] = (0, 0, 5)
     raw += _block(b"OB", sidx["Object"], 1, 0xA300, struct.pack("<Q", 0x8100) + area_obj_mat.tobytes())
+    if dist_lamp:
+        # point lamp with NON-default dist=2.0 -> the reference turns it
+        # into an emitting sphere of radius dist with L = rgb*energy/dist
+        # (parse_blend_file.rs:2193-2230)
+        dl = (struct.pack("<h", 0) + struct.pack("<4f", 1.0, 0.5, 0.25, 4.0)
+              + struct.pack("<2f", 0.0, 0.0) + struct.pack("<h", 0)
+              + struct.pack("<f", 2.0))
+        raw += _block(b"LA", sidx["Lamp"], 1, 0x8200, dl)
+        dl_mat = np.eye(4, dtype=np.float32)
+        dl_mat[3, :3] = (1, 2, 3)
+        raw += _block(b"OB", sidx["Object"], 1, 0xA400,
+                      struct.pack("<Q", 0x8200) + dl_mat.tobytes())
     # world horizon color -> constant IBL
     raw += _block(b"WO", sidx["World"], 1, 0x9000, struct.pack("<3f", 0.05, 0.06, 0.08))
     raw += _block(b"DNA1", 0, 1, 0xD4A, dna)
@@ -171,6 +186,35 @@ class TestBlendReader:
         expect_fov = np.degrees(2 * np.arctan(32.0 / 70.0))
         assert abs(ci["fov"] - expect_fov) < 1e-3
         np.testing.assert_allclose(ci["cam_to_world"][:3, 3], [0, -5, 1])
+
+    def test_dist_lamp_becomes_emitting_sphere(self, tmp_path):
+        # reference parse_blend_file.rs:2193-2230: Lamp.dist != 25 -> an
+        # emitting sphere of radius dist, L = rgb * energy / dist
+        from rs_pbrt_tpu.scene import arrays as sa
+
+        b, _ = load_blend(_make_blend(tmp_path, dist_lamp=True))
+        scene = b.finalize()
+        gk = np.asarray(scene.light_geom_kind)
+        ltypes = np.asarray(scene.light_type)
+        si = np.where((ltypes == sa.LIGHT_AREA) & (gk == sa.ALG_SPHERE))[0]
+        assert len(si) == 1
+        lp = np.asarray(scene.light_params)[int(si[0])]
+        # L = rgb * energy / dist = (1,.5,.25)*4/2 = (2,1,.5)
+        np.testing.assert_allclose(lp[3:6], [2.0, 1.0, 0.5], rtol=1e-5)
+        # the sphere shape itself: radius 2 at the lamp translation
+        # (selected via its light id — padding rows carry sph_light=-1)
+        srow = np.where(np.asarray(scene.sph_light) >= 0)[0]
+        assert len(srow) == 1
+        assert int(np.asarray(scene.sph_kind)[int(srow[0])]) == sa.QK_SPHERE
+        np.testing.assert_allclose(
+            np.asarray(scene.sph_params)[int(srow[0]), 0], 2.0, rtol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(scene.sph_o2w)[int(srow[0])][:3, 3], [1, 2, 3],
+            atol=1e-6,
+        )
+        # the default-dist point lamp still imports as a point light
+        assert (ltypes == sa.LIGHT_POINT).sum() == 1
 
 
 def _make_textured_blend(tmp_path):
