@@ -212,6 +212,25 @@ class BlendFile:
         t_idx, _ = self.dna.structs[blk[1]]
         return self.dna.types[t_idx]
 
+    def sub_field(self, blk, name, sub_name):
+        """(data, offset, type) of a field of an EMBEDDED struct member —
+        e.g. Scene.r.xsch where 'r' is an inline RenderData (the reference
+        walks Scene's 'r' member the same way, parse_blend_file.rs:1913-1950)."""
+        data, off, tname, _, is_ptr = self.field(blk, name)
+        if is_ptr or tname not in self.dna.by_name:
+            raise KeyError(f"{name}.{sub_name}: not an embedded struct")
+        sub_lay = self.dna.layout(self.dna.by_name[tname], self.psize)
+        soff, stname, _, _ = sub_lay[sub_name]
+        return data, off + soff, stname
+
+    def sub_i32(self, blk, name, sub_name):
+        data, off, _ = self.sub_field(blk, name, sub_name)
+        return struct.unpack_from(self._e() + "i", data, off)[0]
+
+    def sub_i16(self, blk, name, sub_name):
+        data, off, _ = self.sub_field(blk, name, sub_name)
+        return struct.unpack_from(self._e() + "h", data, off)[0]
+
     def ptr_array(self, old_ptr, count):
         """Read a pointer array from the DATA block at old_ptr (e.g.
         Mesh.mat, which is Material** — a block of totcol pointers)."""
@@ -235,6 +254,31 @@ def load_blend(path, builder=None):
     b = builder or SceneBuilder()
     cam_info = dict(fov=50.0, clipping_start=0.0, cam_to_world=np.eye(4, dtype=np.float32),
                     resolution=(640, 480))
+
+    # Scene.r (inline RenderData) carries the render resolution: xsch x
+    # ysch scaled by the percentage 'size' (reference
+    # parse_blend_file.rs:1748-1750,1913-1950,3470-3471).  The UNSCALED
+    # xsch/ysch set the film aspect that divides the camera fov below.
+    res_x, res_y = 640, 480
+    for blk in bf.blocks:
+        if bf.struct_name(blk) != "Scene":
+            continue
+        try:
+            xsch = bf.sub_i32(blk, "r", "xsch")
+            ysch = bf.sub_i32(blk, "r", "ysch")
+        except KeyError:
+            break
+        try:
+            pct = bf.sub_i16(blk, "r", "size")
+        except KeyError:
+            pct = 100
+        if xsch > 0 and ysch > 0:
+            res_x, res_y = xsch, ysch
+            pct = pct if 0 < pct <= 100 else 100
+            cam_info["resolution"] = (max(xsch * pct // 100, 1),
+                                      max(ysch * pct // 100, 1))
+        break
+    aspect = res_x / res_y
 
     # material blocks (MA) mapped the way the reference importer decides
     # (parse_blend_file.rs:490-603): emit>0 -> area light; ang (IOR) != 1
@@ -419,9 +463,19 @@ def load_blend(path, builder=None):
                     area_light=al,
                 )
         elif kind == "Camera":
+            lay_c = bf._layout(target[1])
             lens_mm = bf.f32(target, "lens")
-            sensor = bf.f32(target, "sensor_x") if "sensor_x" in bf._layout(target[1]) else 32.0
-            cam_info["fov"] = float(np.degrees(2.0 * np.arctan(sensor / (2.0 * lens_mm))))
+            sensor_x = bf.f32(target, "sensor_x") if "sensor_x" in lay_c else 32.0
+            sensor_y = bf.f32(target, "sensor_y") if "sensor_y" in lay_c else 18.0
+            sensor_fit = bf.i16(target, "sensor_fit") if "sensor_fit" in lay_c else 0
+            # reference parse_blend_file.rs:3437-3456: sensor_fit==2
+            # (VERTICAL) -> fov from sensor_y; otherwise fov from sensor_x
+            # divided by the film aspect (xsch/ysch)
+            if sensor_fit == 2:
+                fov = np.degrees(2.0 * np.arctan(sensor_y / (2.0 * lens_mm)))
+            else:
+                fov = np.degrees(2.0 * np.arctan(sensor_x / (2.0 * lens_mm))) / aspect
+            cam_info["fov"] = float(fov)
             cam_info["cam_to_world"] = np.asarray(m, np.float32)
             # near-clip start (reference parse_blend_file.rs:182 clipsta ->
             # perspective camera clipping_start, camera.rs:102-118)

@@ -26,12 +26,13 @@ def _make_dna():
         "type", "r", "g", "b", "energy",
         "area_size", "area_sizey", "area_shape", "dist",
         "horr", "horg", "horb",
+        "xsch", "ysch", "size",
     ]
     types = ["int", "float", "short", "void",
              "Mesh", "MVert", "MPoly", "MLoop", "Object", "Camera", "Lamp",
-             "Material", "World"]
+             "Material", "World", "RenderData", "Scene"]
     tlens = [4, 4, 2, 0,
-             40, 12, 8, 4, 72, 8, 32, 12, 12]
+             40, 12, 8, 4, 72, 8, 32, 12, 12, 10, 10]
     ni = {n: i for i, n in enumerate(names)}
     ti = {t: i for i, t in enumerate(types)}
     structs = [
@@ -54,6 +55,10 @@ def _make_dna():
                           (ti["float"], ni["b"])]),
         (ti["World"], [(ti["float"], ni["horr"]), (ti["float"], ni["horg"]),
                        (ti["float"], ni["horb"])]),
+        (ti["RenderData"], [(ti["int"], ni["xsch"]), (ti["int"], ni["ysch"]),
+                            (ti["short"], ni["size"])]),
+        # Scene embeds RenderData inline as member 'r' (Blender DNA)
+        (ti["Scene"], [(ti["RenderData"], ni["r"])]),
     ]
     out = b"SDNA" + b"NAME" + struct.pack("<i", len(names))
     out += _pad4(b"".join(n.encode() + b"\0" for n in names))
@@ -80,7 +85,7 @@ def _block(code, sdna_idx, count, old, payload):
     )
 
 
-def _make_blend(tmp_path, dist_lamp=False):
+def _make_blend(tmp_path, dist_lamp=False, scene_block=False):
     dna, sidx = _make_dna()
     PV, PP, PL, PM, PME, PMAT = 0x1000, 0x2000, 0x3000, 0x4000, 0x5000, 0x6000
     # unit right triangle + quad -> 2 polys (tri + quad)
@@ -141,6 +146,10 @@ def _make_blend(tmp_path, dist_lamp=False):
         dl_mat[3, :3] = (1, 2, 3)
         raw += _block(b"OB", sidx["Object"], 1, 0xA400,
                       struct.pack("<Q", 0x8200) + dl_mat.tobytes())
+    if scene_block:
+        # Scene.r (inline RenderData): 800x600 @ 50% -> render 400x300
+        raw += _block(b"SC", sidx["Scene"], 1, 0x9100,
+                      struct.pack("<2ih", 800, 600, 50))
     # world horizon color -> constant IBL
     raw += _block(b"WO", sidx["World"], 1, 0x9000, struct.pack("<3f", 0.05, 0.06, 0.08))
     raw += _block(b"DNA1", 0, 1, 0xD4A, dna)
@@ -182,10 +191,20 @@ class TestBlendReader:
         # area lamp's quad at z=5
         assert abs(float(np.asarray(scene.tri_p0)[:3, 2].mean()) - 2.0) < 1e-5
         assert abs(float(np.asarray(scene.tri_p0)[3:, 2].mean()) - 5.0) < 1e-5
-        # camera fov from lens 35mm / sensor 32mm
-        expect_fov = np.degrees(2 * np.arctan(32.0 / 70.0))
+        # camera fov from lens 35mm / sensor 32mm, divided by the default
+        # 640/480 film aspect (reference parse_blend_file.rs:3437-3456)
+        expect_fov = np.degrees(2 * np.arctan(32.0 / 70.0)) / (640.0 / 480.0)
         assert abs(ci["fov"] - expect_fov) < 1e-3
         np.testing.assert_allclose(ci["cam_to_world"][:3, 3], [0, -5, 1])
+
+    def test_scene_render_resolution(self, tmp_path):
+        # Scene.r xsch/ysch scaled by the percentage 'size'
+        # (parse_blend_file.rs:1913-1950, 3470-3471)
+        _, ci = load_blend(_make_blend(tmp_path, scene_block=True))
+        assert ci["resolution"] == (400, 300)
+        # aspect = 800/600; fov = fov(sensor_x) / aspect
+        expect_fov = np.degrees(2 * np.arctan(32.0 / 70.0)) / (800.0 / 600.0)
+        assert abs(ci["fov"] - expect_fov) < 1e-3
 
     def test_dist_lamp_becomes_emitting_sphere(self, tmp_path):
         # reference parse_blend_file.rs:2193-2230: Lamp.dist != 25 -> an
