@@ -180,6 +180,10 @@ class BlendFile:
         data, off, _, _, _ = self.field(blk, name, index)
         return struct.unpack_from(self._e() + "h", data, off)[0]
 
+    def u8(self, blk, name, index=0):
+        data, off, _, _, _ = self.field(blk, name, index)
+        return data[off]
+
     def ptr(self, blk, name, index=0):
         data, off, _, _, _ = self.field(blk, name, index)
         fmt = "Q" if self.psize == 8 else "I"
@@ -356,6 +360,7 @@ def load_blend(path, builder=None):
         mloop_p = bf.ptr(blk, "mloop")
         lay = bf._layout(blk[1])
         mloopuv_p = bf.ptr(blk, "mloopuv") if "mloopuv" in lay else 0
+        mloopcol_p = bf.ptr(blk, "mloopcol") if "mloopcol" in lay else 0
         # Mesh.mat is Material** — a DATA block of totcol pointers
         # (reference parse_blend_file.rs walks Mesh.mat the same way);
         # per-poly mat_nr indexes into it (multi-material meshes)
@@ -375,9 +380,19 @@ def load_blend(path, builder=None):
         ).astype(np.float32)
         loops = [bf.i32(lb, "v", i) for i in range(lb[2])]
         uvb = bf.by_ptr.get(mloopuv_p) if mloopuv_p else None
+        # MLoopCol vertex paint: the reference keeps the FIRST loop's rgb
+        # per polygon as a flat per-triangle matte color, overriding
+        # textures/materials (parse_blend_file.rs:1332-1357)
+        colb = bf.by_ptr.get(mloopcol_p) if mloopcol_p else None
+        poly_col = (
+            None if colb is None else lambda start: (
+                bf.u8(colb, "r", start), bf.u8(colb, "g", start),
+                bf.u8(colb, "b", start))
+        )
         UV = None
         faces = []
         face_mat = []  # per-triangle material slot (mat_nr)
+        face_col = [] if colb is not None else None  # per-tri rgb u8
         if uvb is not None:
             # per-loop UVs: split vertices per loop like the reference
             # (parse_blend_file.rs:1395-1440 rebuilds vertex arrays so each
@@ -391,21 +406,28 @@ def load_blend(path, builder=None):
                 start = bf.i32(pb, "loopstart", i)
                 n = bf.i32(pb, "totloop", i)
                 nr = bf.i16(pb, "mat_nr", i) if has_matnr else 0
+                col = poly_col(start) if poly_col else None
                 for t in range(1, n - 1):
                     faces.append((start, start + t, start + t + 1))
                     face_mat.append(nr)
+                    if face_col is not None:
+                        face_col.append(col)
         else:
             for i in range(totpoly):
                 start = bf.i32(pb, "loopstart", i)
                 n = bf.i32(pb, "totloop", i)
                 nr = bf.i16(pb, "mat_nr", i) if has_matnr else 0
+                col = poly_col(start) if poly_col else None
                 poly = loops[start : start + n]
                 for t in range(1, n - 1):
                     faces.append((poly[0], poly[t], poly[t + 1]))
                     face_mat.append(nr)
+                    if face_col is not None:
+                        face_col.append(col)
         meshes[blk[4]] = (
             V, np.asarray(faces, np.int32),
-            np.asarray(face_mat, np.int32), mat_ptrs, UV, bf.id_name(blk)
+            np.asarray(face_mat, np.int32), mat_ptrs, UV, bf.id_name(blk),
+            None if face_col is None else np.asarray(face_col, np.uint8),
         )
 
     # objects place data blocks in the world
@@ -420,7 +442,21 @@ def load_blend(path, builder=None):
         kind = bf.struct_name(target)
         o2w = tr.from_matrix(np.asarray(m, np.float32))
         if data_p in meshes:
-            V, F, face_mat, mat_ptrs, UV, mesh_name = meshes[data_p]
+            V, F, face_mat, mat_ptrs, UV, mesh_name, face_col = meshes[data_p]
+            if face_col is not None and len(face_col):
+                # vertex-painted mesh: per-triangle flat matte colors beat
+                # textures and material slots (parse_blend_file.rs:
+                # 1231-1253 "ignore textures, use triangle colors").
+                # Distinct colors dedupe into shared material rows — the
+                # SoA analogue of the reference's per-triangle matte Arc.
+                uniq, inv = np.unique(face_col, axis=0, return_inverse=True)
+                for k in range(len(uniq)):
+                    Fs = F[inv == k]
+                    mat_id = b.add_matte(kd=tuple(uniq[k] / 255.0))
+                    b.add_triangle_mesh(
+                        Fs, V, uvs=UV, material=mat_id, object_to_world=o2w
+                    )
+                continue
             # kd image texture by name match (reference tries a texture
             # named exactly like the mesh, parse_blend_file.rs:583-603)
             tex_mat = None

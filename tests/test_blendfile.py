@@ -20,6 +20,7 @@ def _pad4(b):
 def _make_dna():
     names = [
         "totvert", "totpoly", "*mvert", "*mpoly", "*mloop", "*mat",
+        "*mloopcol", "a",
         "co[3]", "loopstart", "totloop", "v",
         "*data", "obmat[4][4]",
         "lens", "sensor_x",
@@ -28,17 +29,18 @@ def _make_dna():
         "horr", "horg", "horb",
         "xsch", "ysch", "size",
     ]
-    types = ["int", "float", "short", "void",
+    types = ["int", "float", "short", "void", "char",
              "Mesh", "MVert", "MPoly", "MLoop", "Object", "Camera", "Lamp",
-             "Material", "World", "RenderData", "Scene"]
-    tlens = [4, 4, 2, 0,
-             40, 12, 8, 4, 72, 8, 32, 12, 12, 10, 10]
+             "Material", "World", "RenderData", "Scene", "MLoopCol"]
+    tlens = [4, 4, 2, 0, 1,
+             48, 12, 8, 4, 72, 8, 32, 12, 12, 10, 10, 4]
     ni = {n: i for i, n in enumerate(names)}
     ti = {t: i for i, t in enumerate(types)}
     structs = [
         (ti["Mesh"], [(ti["int"], ni["totvert"]), (ti["int"], ni["totpoly"]),
                       (ti["void"], ni["*mvert"]), (ti["void"], ni["*mpoly"]),
-                      (ti["void"], ni["*mloop"]), (ti["void"], ni["*mat"])]),
+                      (ti["void"], ni["*mloop"]), (ti["void"], ni["*mat"]),
+                      (ti["void"], ni["*mloopcol"])]),
         (ti["MVert"], [(ti["float"], ni["co[3]"])]),
         (ti["MPoly"], [(ti["int"], ni["loopstart"]), (ti["int"], ni["totloop"])]),
         (ti["MLoop"], [(ti["int"], ni["v"])]),
@@ -59,6 +61,8 @@ def _make_dna():
                             (ti["short"], ni["size"])]),
         # Scene embeds RenderData inline as member 'r' (Blender DNA)
         (ti["Scene"], [(ti["RenderData"], ni["r"])]),
+        (ti["MLoopCol"], [(ti["char"], ni["r"]), (ti["char"], ni["g"]),
+                          (ti["char"], ni["b"]), (ti["char"], ni["a"])]),
     ]
     out = b"SDNA" + b"NAME" + struct.pack("<i", len(names))
     out += _pad4(b"".join(n.encode() + b"\0" for n in names))
@@ -85,9 +89,11 @@ def _block(code, sdna_idx, count, old, payload):
     )
 
 
-def _make_blend(tmp_path, dist_lamp=False, scene_block=False):
+def _make_blend(tmp_path, dist_lamp=False, scene_block=False,
+                vertex_colors=False):
     dna, sidx = _make_dna()
     PV, PP, PL, PM, PME, PMAT = 0x1000, 0x2000, 0x3000, 0x4000, 0x5000, 0x6000
+    PCOL = 0x6800 if vertex_colors else 0
     # unit right triangle + quad -> 2 polys (tri + quad)
     verts = np.array(
         [[0, 0, 0], [1, 0, 0], [0, 1, 0], [1, 1, 0], [2, 0, 0]], np.float32
@@ -98,7 +104,8 @@ def _make_blend(tmp_path, dist_lamp=False, scene_block=False):
     loops = [0, 1, 2, 1, 4, 3, 2]
     mloop = b"".join(struct.pack("<i", v) for v in loops)
     mat = struct.pack("<3f", 0.9, 0.2, 0.1)
-    mesh = struct.pack("<2i", len(verts), 2) + struct.pack("<4Q", PV, PP, PL, PMAT)
+    mesh = (struct.pack("<2i", len(verts), 2)
+            + struct.pack("<5Q", PV, PP, PL, PMAT, PCOL))
     obmat = np.eye(4, dtype=np.float32)
     obmat[3, :3] = (0.0, 0.0, 2.0)  # blender row-major translation row
     obj = struct.pack("<Q", PME) + obmat.tobytes()
@@ -119,6 +126,11 @@ def _make_blend(tmp_path, dist_lamp=False, scene_block=False):
     raw += _block(b"MV", sidx["MVert"], len(verts), PV, mvert)
     raw += _block(b"MP", sidx["MPoly"], 2, PP, mpoly)
     raw += _block(b"ML", sidx["MLoop"], len(loops), PL, mloop)
+    if vertex_colors:
+        # per-loop rgba: tri loops (0-2) red, quad loops (3-6) green
+        cols = [(255, 0, 0, 255)] * 3 + [(0, 255, 0, 255)] * 4
+        raw += _block(b"MC", sidx["MLoopCol"], len(cols), PCOL,
+                      b"".join(struct.pack("<4B", *c) for c in cols))
     raw += _block(b"MA", sidx["Material"], 1, PMAT, mat)
     raw += _block(b"ME", sidx["Mesh"], 1, PME, mesh)
     raw += _block(b"OB", sidx["Object"], 1, 0xA000, obj)
@@ -196,6 +208,28 @@ class TestBlendReader:
         expect_fov = np.degrees(2 * np.arctan(32.0 / 70.0)) / (640.0 / 480.0)
         assert abs(ci["fov"] - expect_fov) < 1e-3
         np.testing.assert_allclose(ci["cam_to_world"][:3, 3], [0, -5, 1])
+
+    def test_vertex_colors_become_triangle_mattes(self, tmp_path):
+        # reference parse_blend_file.rs:1231-1253,1332-1357: MLoopCol ->
+        # per-triangle flat matte colors (first loop color per polygon)
+        from rs_pbrt_tpu.scene import arrays as sa
+
+        b, _ = load_blend(_make_blend(tmp_path, vertex_colors=True))
+        scene = b.finalize()
+        assert scene.n_tris == 5  # 3 painted mesh tris + 2 area-lamp tris
+        tri_mat = np.asarray(scene.tri_mat)[:3]
+        mat_attr = np.asarray(scene.mat_attr)
+        kinds = mat_attr[tri_mat, sa.MA_TYPE].round().astype(int)
+        assert (kinds == sa.MATTE).all()
+        kd = mat_attr[tri_mat, sa.MA_PARAMS + sa.MP_KD:
+                      sa.MA_PARAMS + sa.MP_KD + 3]
+        # one red tri (the lone triangle poly), two green tris (the quad),
+        # greens sharing one deduped material row
+        reds = np.isclose(kd, [1.0, 0.0, 0.0], atol=1e-6).all(1)
+        greens = np.isclose(kd, [0.0, 1.0, 0.0], atol=1e-6).all(1)
+        assert reds.sum() == 1 and greens.sum() == 2
+        gm = tri_mat[greens]
+        assert gm[0] == gm[1] != tri_mat[reds][0]
 
     def test_scene_render_resolution(self, tmp_path):
         # Scene.r xsch/ysch scaled by the percentage 'size'
