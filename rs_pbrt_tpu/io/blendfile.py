@@ -231,6 +231,10 @@ class BlendFile:
         data, off, _ = self.sub_field(blk, name, sub_name)
         return struct.unpack_from(self._e() + "i", data, off)[0]
 
+    def sub_f32(self, blk, name, sub_name):
+        data, off, _ = self.sub_field(blk, name, sub_name)
+        return struct.unpack_from(self._e() + "f", data, off)[0]
+
     def sub_i16(self, blk, name, sub_name):
         data, off, _ = self.sub_field(blk, name, sub_name)
         return struct.unpack_from(self._e() + "h", data, off)[0]
@@ -264,23 +268,31 @@ def load_blend(path, builder=None):
     # parse_blend_file.rs:1748-1750,1913-1950,3470-3471).  The UNSCALED
     # xsch/ysch set the film aspect that divides the camera fov below.
     res_x, res_y = 640, 480
+    scale_length = 1.0  # Scene.unit.scale_length scales all object
+    # translations and mesh vertices (parse_blend_file.rs:1747,2023,3176)
     for blk in bf.blocks:
         if bf.struct_name(blk) != "Scene":
             continue
         try:
             xsch = bf.sub_i32(blk, "r", "xsch")
             ysch = bf.sub_i32(blk, "r", "ysch")
+            try:
+                pct = bf.sub_i16(blk, "r", "size")
+            except KeyError:
+                pct = 100
+            if xsch > 0 and ysch > 0:
+                res_x, res_y = xsch, ysch
+                pct = pct if 0 < pct <= 100 else 100
+                cam_info["resolution"] = (max(xsch * pct // 100, 1),
+                                          max(ysch * pct // 100, 1))
         except KeyError:
-            break
+            pass
         try:
-            pct = bf.sub_i16(blk, "r", "size")
+            sl = bf.sub_f32(blk, "unit", "scale_length")
+            if sl > 0.0:
+                scale_length = sl
         except KeyError:
-            pct = 100
-        if xsch > 0 and ysch > 0:
-            res_x, res_y = xsch, ysch
-            pct = pct if 0 < pct <= 100 else 100
-            cam_info["resolution"] = (max(xsch * pct // 100, 1),
-                                      max(ysch * pct // 100, 1))
+            pass
         break
     aspect = res_x / res_y
 
@@ -377,7 +389,7 @@ def load_blend(path, builder=None):
         has_matnr = "mat_nr" in bf._layout(pb[1])
         V = np.stack(
             [bf.f32(vb, "co", i, 3) for i in range(totvert)], 0
-        ).astype(np.float32)
+        ).astype(np.float32) * scale_length  # parse_blend_file.rs:3176-3178
         loops = [bf.i32(lb, "v", i) for i in range(lb[2])]
         uvb = bf.by_ptr.get(mloopuv_p) if mloopuv_p else None
         # MLoopCol vertex paint: the reference keeps the FIRST loop's rgb
@@ -436,6 +448,8 @@ def load_blend(path, builder=None):
             continue
         data_p = bf.ptr(blk, "data")
         m = bf.f32(blk, "obmat", 0, 16).reshape(4, 4).T  # blender row-major
+        m = np.array(m, np.float32)
+        m[:3, 3] *= scale_length  # unit system (parse_blend_file.rs:2023-2031)
         target = bf.by_ptr.get(data_p)
         if target is None:
             continue

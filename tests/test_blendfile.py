@@ -28,12 +28,14 @@ def _make_dna():
         "area_size", "area_sizey", "area_shape", "dist",
         "horr", "horg", "horb",
         "xsch", "ysch", "size",
+        "scale_length", "unit",
     ]
     types = ["int", "float", "short", "void", "char",
              "Mesh", "MVert", "MPoly", "MLoop", "Object", "Camera", "Lamp",
-             "Material", "World", "RenderData", "Scene", "MLoopCol"]
+             "Material", "World", "RenderData", "Scene", "MLoopCol",
+             "UnitSettings"]
     tlens = [4, 4, 2, 0, 1,
-             48, 12, 8, 4, 72, 8, 32, 12, 12, 10, 10, 4]
+             48, 12, 8, 4, 72, 8, 32, 12, 12, 10, 14, 4, 4]
     ni = {n: i for i, n in enumerate(names)}
     ti = {t: i for i, t in enumerate(types)}
     structs = [
@@ -59,8 +61,10 @@ def _make_dna():
                        (ti["float"], ni["horb"])]),
         (ti["RenderData"], [(ti["int"], ni["xsch"]), (ti["int"], ni["ysch"]),
                             (ti["short"], ni["size"])]),
-        # Scene embeds RenderData inline as member 'r' (Blender DNA)
-        (ti["Scene"], [(ti["RenderData"], ni["r"])]),
+        (ti["UnitSettings"], [(ti["float"], ni["scale_length"])]),
+        # Scene embeds RenderData + UnitSettings inline (Blender DNA)
+        (ti["Scene"], [(ti["RenderData"], ni["r"]),
+                       (ti["UnitSettings"], ni["unit"])]),
         (ti["MLoopCol"], [(ti["char"], ni["r"]), (ti["char"], ni["g"]),
                           (ti["char"], ni["b"]), (ti["char"], ni["a"])]),
     ]
@@ -90,7 +94,7 @@ def _block(code, sdna_idx, count, old, payload):
 
 
 def _make_blend(tmp_path, dist_lamp=False, scene_block=False,
-                vertex_colors=False):
+                vertex_colors=False, unit_scale=1.0):
     dna, sidx = _make_dna()
     PV, PP, PL, PM, PME, PMAT = 0x1000, 0x2000, 0x3000, 0x4000, 0x5000, 0x6000
     PCOL = 0x6800 if vertex_colors else 0
@@ -159,9 +163,10 @@ def _make_blend(tmp_path, dist_lamp=False, scene_block=False,
         raw += _block(b"OB", sidx["Object"], 1, 0xA400,
                       struct.pack("<Q", 0x8200) + dl_mat.tobytes())
     if scene_block:
-        # Scene.r (inline RenderData): 800x600 @ 50% -> render 400x300
+        # Scene.r (inline RenderData): 800x600 @ 50% -> render 400x300;
+        # Scene.unit (inline UnitSettings): scale_length
         raw += _block(b"SC", sidx["Scene"], 1, 0x9100,
-                      struct.pack("<2ih", 800, 600, 50))
+                      struct.pack("<2ihf", 800, 600, 50, unit_scale))
     # world horizon color -> constant IBL
     raw += _block(b"WO", sidx["World"], 1, 0x9000, struct.pack("<3f", 0.05, 0.06, 0.08))
     raw += _block(b"DNA1", 0, 1, 0xD4A, dna)
@@ -239,6 +244,27 @@ class TestBlendReader:
         # aspect = 800/600; fov = fov(sensor_x) / aspect
         expect_fov = np.degrees(2 * np.arctan(32.0 / 70.0)) / (800.0 / 600.0)
         assert abs(ci["fov"] - expect_fov) < 1e-3
+
+    def test_unit_scale_length(self, tmp_path):
+        # Scene.unit.scale_length scales object translations and mesh
+        # vertices (parse_blend_file.rs:1747, 2023-2031, 3176-3178)
+        from rs_pbrt_tpu.scene import arrays as sa
+
+        b, ci = load_blend(
+            _make_blend(tmp_path, scene_block=True, unit_scale=2.0)
+        )
+        scene = b.finalize()
+        # mesh object translation (0,0,2)*2 and unit verts doubled: the
+        # mesh tris sit at z=4
+        assert abs(float(np.asarray(scene.tri_p0)[:3, 2].mean()) - 4.0) < 1e-5
+        # point lamp at (3,3,3)*2
+        ltypes = np.asarray(scene.light_type)
+        pi_ = int(np.where(ltypes == sa.LIGHT_POINT)[0][0])
+        np.testing.assert_allclose(
+            np.asarray(scene.light_params)[pi_, 0:3], [6, 6, 6], atol=1e-6
+        )
+        # camera translation scaled too
+        np.testing.assert_allclose(ci["cam_to_world"][:3, 3], [0, -10, 2])
 
     def test_dist_lamp_becomes_emitting_sphere(self, tmp_path):
         # reference parse_blend_file.rs:2193-2230: Lamp.dist != 25 -> an
