@@ -327,6 +327,13 @@ def load_blend(path, builder=None):
                     mats[blk[4]] = b.add_mirror(
                         kr=tuple(c * ray_mirror for c in mir)
                     )
+            elif g("translucency") > 0.0:
+                # reference parse_blend_file.rs:1132-1152: translucency t
+                # -> TranslucentMaterial(kd=rgb, reflect=1-t, transmit=t)
+                t = g("translucency")
+                mats[blk[4]] = b.add_translucent(
+                    kd=rgb, reflect=(1.0 - t,) * 3, transmit=(t,) * 3
+                )
             else:
                 metallic = g("metallic")
                 specular = g("spec", 0.5)

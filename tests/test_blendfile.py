@@ -407,11 +407,12 @@ def _make_multimat_dna():
         "*data", "obmat[4][4]",
         "r", "g", "b", "specr", "specg", "specb",
         "mirr", "mirg", "mirb", "emit", "ang", "ray_mirror", "roughness",
+        "translucency",
     ]
     types = ["int", "float", "short", "void",
              "Mesh", "MVert", "MPoly", "MLoop", "Object", "Material", "Link"]
     tlens = [4, 4, 2, 0,
-             42, 12, 10, 4, 72, 52, 8]
+             42, 12, 10, 4, 72, 56, 8]
     ni = {n: i for i, n in enumerate(names)}
     ti = {t: i for i, t in enumerate(types)}
     structs = [
@@ -426,7 +427,8 @@ def _make_multimat_dna():
         (ti["Object"], [(ti["void"], ni["*data"]), (ti["float"], ni["obmat[4][4]"])]),
         (ti["Material"], [(ti["float"], ni[k]) for k in (
             "r", "g", "b", "specr", "specg", "specb",
-            "mirr", "mirg", "mirb", "emit", "ang", "ray_mirror", "roughness")]),
+            "mirr", "mirg", "mirb", "emit", "ang", "ray_mirror", "roughness",
+            "translucency")]),
         (ti["Link"], [(ti["void"], ni["*data"])]),
     ]
     out = b"SDNA" + b"NAME" + struct.pack("<i", len(names))
@@ -444,9 +446,9 @@ def _make_multimat_dna():
 
 
 def _mat_payload(r, g, b, spec=(0, 0, 0), mir=(0, 0, 0), emit=0.0, ang=1.0,
-                 ray_mirror=0.0, roughness=0.0):
-    return struct.pack("<13f", r, g, b, *spec, *mir, emit, ang, ray_mirror,
-                       roughness)
+                 ray_mirror=0.0, roughness=0.0, translucency=0.0):
+    return struct.pack("<14f", r, g, b, *spec, *mir, emit, ang, ray_mirror,
+                       roughness, translucency)
 
 
 def _make_multimat_blend(tmp_path):
@@ -550,3 +552,42 @@ class TestBlendMultiMaterial:
             np.asarray(scene.mat_attr)[np.asarray(scene.tri_mat)[0], sa.MA_TYPE]
         )))
         assert kind == sa.METAL
+
+    def test_translucency_maps_to_translucent(self, tmp_path):
+        # reference parse_blend_file.rs:1132-1152: translucency t > 0 ->
+        # TranslucentMaterial with reflect=1-t, transmit=t
+        from rs_pbrt_tpu.scene import arrays as sa
+
+        dna, sidx = _make_multimat_dna()
+        PV, PP, PL, PME, PMATARR, PM0 = (
+            0x1000, 0x2000, 0x3000, 0x5000, 0x4000, 0x6000
+        )
+        verts = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+        raw = b"BLENDER-v300"
+        raw += _block(b"MV", sidx["MVert"], 3, PV,
+                      b"".join(struct.pack("<3f", *v) for v in verts))
+        raw += _block(b"MP", sidx["MPoly"], 1, PP, struct.pack("<2ih", 0, 3, 0))
+        raw += _block(b"ML", sidx["MLoop"], 3, PL,
+                      b"".join(struct.pack("<i", v) for v in (0, 1, 2)))
+        raw += _block(b"DATA", sidx["Link"], 1, PMATARR, struct.pack("<Q", PM0))
+        raw += _block(b"MA", sidx["Material"], 1, PM0,
+                      _mat_payload(0.8, 0.6, 0.4, translucency=0.3))
+        raw += _block(b"ME", sidx["Mesh"], 1, PME,
+                      struct.pack("<2i", 3, 1)
+                      + struct.pack("<4Q", PV, PP, PL, PMATARR)
+                      + struct.pack("<h", 1))
+        raw += _block(b"OB", sidx["Object"], 1, 0xA000,
+                      struct.pack("<Q", PME)
+                      + np.eye(4, dtype=np.float32).tobytes())
+        raw += _block(b"DNA1", 0, 1, 0xD4A, dna)
+        raw += _block(b"ENDB", 0, 0, 0, b"")
+        p = tmp_path / "translucent.blend"
+        p.write_bytes(raw)
+        b, _ = load_blend(p)
+        scene = b.finalize()
+        mrow = np.asarray(scene.mat_attr)[np.asarray(scene.tri_mat)[0]]
+        assert int(round(float(mrow[sa.MA_TYPE]))) == sa.TRANSLUCENT
+        np.testing.assert_allclose(
+            mrow[sa.MA_PARAMS + sa.MP_KD: sa.MA_PARAMS + sa.MP_KD + 3],
+            [0.8, 0.6, 0.4], atol=1e-6,
+        )
