@@ -389,23 +389,31 @@ def main():
             continue
         if name in SUBPROCESS_CONFIGS:
             run_config_subprocess(name)
-            continue
-        try:
-            fn()
-        except Exception as e:  # noqa: BLE001
-            print(f"{name} bench failed: {type(e).__name__}: {e}", file=sys.stderr)
-            if name == "cornell":
-                rc = 1
-    # final act: re-print every row so the LAST stdout lines of the run are
-    # the complete artifact, whatever any config spewed before this point.
-    # The driver parses the LAST JSON line (BENCH_r03 proved it) — order the
-    # Cornell flagship row last so `parsed` is the headline number.
+        else:
+            try:
+                fn()
+            except Exception as e:  # noqa: BLE001
+                print(f"{name} bench failed: {type(e).__name__}: {e}",
+                      file=sys.stderr)
+                if name == "cornell":
+                    rc = 1
+        # re-print the accumulated rows after EVERY config, flagship last:
+        # the driver parses the LAST JSON line, and an external timeout can
+        # kill this process between configs (a slow later config must not
+        # leave a non-flagship row as the stdout tail).
+        _reemit_rows()
+    # final act: the complete artifact as the last stdout lines, whatever
+    # any config spewed before this point (BENCH_r04 post-mortem).
+    _reemit_rows()
+    return rc
+
+
+def _reemit_rows():
     print("=== BENCH ROWS ===", flush=True)
     is_flagship = lambda r: r["metric"].startswith("camera_paths/s/chip (Cornell")
     for row in [r for r in ROWS if not is_flagship(r)] + \
                [r for r in ROWS if is_flagship(r)]:
         print(json.dumps(row), flush=True)
-    return rc
 
 
 if __name__ == "__main__":
