@@ -251,9 +251,12 @@ class BlendFile:
         return list(struct.unpack_from(self._e() + f"{n}{fmt}", data, 0))
 
 
-def load_blend(path, builder=None):
+def load_blend(path, builder=None, light_scale=1.0, camera_name=None):
     """Extract meshes/camera/lamps/materials into a SceneBuilder.
 
+    light_scale multiplies every lamp emission (reference CLI -l,
+    parse_blend_file.rs:82-83,376-426); camera_name selects which camera
+    Object supplies the view when a file has several (reference CLI -c).
     Returns (builder, cam_info) like io/assfile.load_ass."""
     from ..scene.builder import SceneBuilder
     from ..utils import transform as tr
@@ -520,6 +523,8 @@ def load_blend(path, builder=None):
                     area_light=al,
                 )
         elif kind == "Camera":
+            if camera_name and bf.id_name(blk)[2:] != camera_name:
+                continue  # reference -c camera_name object filter
             lay_c = bf._layout(target[1])
             lens_mm = bf.f32(target, "lens")
             sensor_x = bf.f32(target, "sensor_x") if "sensor_x" in lay_c else 32.0
@@ -545,6 +550,7 @@ def load_blend(path, builder=None):
                 [bf.f32(target, "r"), bf.f32(target, "g"), bf.f32(target, "b")]
             )
             energy = bf.f32(target, "energy") if "energy" in lay else 1.0
+            energy *= float(light_scale)
             if la_type == 1:  # LA_SUN
                 d = -m[:3, 2]  # lamp -z axis
                 b.add_distant_light(from_p=(0, 0, 0), to=tuple(d), L=tuple(rgb * energy))

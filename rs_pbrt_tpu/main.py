@@ -30,6 +30,11 @@ def main(argv=None):
     p.add_argument("--cropy1", type=float, default=1.0)
     p.add_argument("-o", "--out", default=None, help="override output filename")
     p.add_argument("--ndevices", type=int, default=0, help="0 = all devices")
+    # .blend-only knobs (reference parse_blend_file.rs CLI -l / -c)
+    p.add_argument("-l", "--light-scale", type=float, default=1.0,
+                   help=".blend: scale all lamp emission")
+    p.add_argument("-c", "--camera-name", default=None,
+                   help=".blend: camera Object name to render from")
     args = p.parse_args(argv)
 
     import jax
@@ -64,10 +69,14 @@ def main(argv=None):
         if str(args.path).endswith(".ass"):
             from rs_pbrt_tpu.io.assfile import load_ass as _load
 
+            load_kw = {}
         else:
             from rs_pbrt_tpu.io.blendfile import load_blend as _load
 
-        builder, ci = _load(args.path)
+            load_kw = dict(light_scale=args.light_scale,
+                           camera_name=args.camera_name)
+
+        builder, ci = _load(args.path, **load_kw)
         scene = builder.finalize()
         camera = cammod.make_perspective(
             trmod.from_matrix(np.asarray(ci["cam_to_world"], np.float32)),

@@ -214,6 +214,20 @@ class TestBlendReader:
         assert abs(ci["fov"] - expect_fov) < 1e-3
         np.testing.assert_allclose(ci["cam_to_world"][:3, 3], [0, -5, 1])
 
+    def test_light_scale(self, tmp_path):
+        # reference CLI -l light_scale multiplies lamp emission
+        # (parse_blend_file.rs:82-83, 376-426)
+        from rs_pbrt_tpu.scene import arrays as sa
+
+        b, _ = load_blend(_make_blend(tmp_path), light_scale=2.0)
+        scene = b.finalize()
+        ltypes = np.asarray(scene.light_type)
+        pi_ = int(np.where(ltypes == sa.LIGHT_POINT)[0][0])
+        np.testing.assert_allclose(
+            np.asarray(scene.light_params)[pi_, 3:6], [10.0, 8.0, 6.0],
+            rtol=1e-5,
+        )
+
     def test_vertex_colors_become_triangle_mattes(self, tmp_path):
         # reference parse_blend_file.rs:1231-1253,1332-1357: MLoopCol ->
         # per-triangle flat matte colors (first loop color per polygon)
