@@ -306,6 +306,10 @@ def load_blend(path, builder=None, light_scale=1.0, camera_name=None):
     # lack the legacy fields — fall back to metallic/spec heuristics.
     mats = {}  # old_ptr -> builder material id
     mat_emit = {}  # old_ptr -> (r,g,b) emitted radiance (area-light meshes)
+    mat_nonmatte = set()  # ptrs whose branch is NOT plain matte: vertex
+    # paint only overrides the matte branch (parse_blend_file.rs:1231-1253
+    # sits inside the MatteMaterial else; mirror/glass/translucent keep
+    # their materials)
     for blk in bf.blocks:
         if bf.struct_name(blk) == "Material":
             lay = bf._layout(blk[1])
@@ -319,9 +323,11 @@ def load_blend(path, builder=None, light_scale=1.0, camera_name=None):
             if emit > 0.0:
                 mats[blk[4]] = b.add_matte(kd=(0.0, 0.0, 0.0))
                 mat_emit[blk[4]] = tuple(c * emit for c in rgb)
+                mat_nonmatte.add(blk[4])
             elif "ang" in lay and ang != 1.0:
                 spec = (g("specr"), g("specg"), g("specb"))
                 mats[blk[4]] = b.add_glass(kr=(1, 1, 1), kt=spec, eta=ang)
+                mat_nonmatte.add(blk[4])
             elif ray_mirror > 0.0:
                 if rough > 0.0:
                     mats[blk[4]] = b.add_metal(roughness=rough)
@@ -330,6 +336,7 @@ def load_blend(path, builder=None, light_scale=1.0, camera_name=None):
                     mats[blk[4]] = b.add_mirror(
                         kr=tuple(c * ray_mirror for c in mir)
                     )
+                mat_nonmatte.add(blk[4])
             elif g("translucency") > 0.0:
                 # reference parse_blend_file.rs:1132-1152: translucency t
                 # -> TranslucentMaterial(kd=rgb, reflect=1-t, transmit=t)
@@ -337,16 +344,19 @@ def load_blend(path, builder=None, light_scale=1.0, camera_name=None):
                 mats[blk[4]] = b.add_translucent(
                     kd=rgb, reflect=(1.0 - t,) * 3, transmit=(t,) * 3
                 )
+                mat_nonmatte.add(blk[4])
             else:
                 metallic = g("metallic")
                 specular = g("spec", 0.5)
                 if metallic > 0.5:
                     mats[blk[4]] = b.add_metal(roughness=max(rough, 1e-3))
+                    mat_nonmatte.add(blk[4])
                 elif specular > 0.6 and rough < 0.35:
                     mats[blk[4]] = b.add_plastic(
                         kd=rgb, ks=(specular * 0.5,) * 3,
                         roughness=max(rough, 1e-3),
                     )
+                    mat_nonmatte.add(blk[4])
                 else:
                     mats[blk[4]] = b.add_matte(kd=rgb)
 
@@ -467,20 +477,34 @@ def load_blend(path, builder=None, light_scale=1.0, camera_name=None):
         o2w = tr.from_matrix(np.asarray(m, np.float32))
         if data_p in meshes:
             V, F, face_mat, mat_ptrs, UV, mesh_name, face_col = meshes[data_p]
+            painted = None  # per-tri mask of faces consumed by vertex paint
             if face_col is not None and len(face_col):
-                # vertex-painted mesh: per-triangle flat matte colors beat
-                # textures and material slots (parse_blend_file.rs:
-                # 1231-1253 "ignore textures, use triangle colors").
-                # Distinct colors dedupe into shared material rows — the
-                # SoA analogue of the reference's per-triangle matte Arc.
-                uniq, inv = np.unique(face_col, axis=0, return_inverse=True)
+                # vertex-painted faces: per-triangle flat matte colors beat
+                # textures on MATTE slots only (parse_blend_file.rs:
+                # 1231-1253 "ignore textures, use triangle colors" lives in
+                # the MatteMaterial branch; mirror/glass/translucent/
+                # emissive slots keep their materials).  Distinct colors
+                # dedupe into shared material rows — the SoA analogue of
+                # the reference's per-triangle matte Arc.
+                def _paintable(nr):
+                    mp = mat_ptrs[nr] if 0 <= nr < len(mat_ptrs) else 0
+                    return mp not in mat_nonmatte
+                painted = (np.array([_paintable(nr) for nr in face_mat.tolist()],
+                                    bool) if len(face_mat)
+                           else np.ones(len(F), bool))
+                uniq, inv = np.unique(face_col[painted], axis=0,
+                                      return_inverse=True)
+                Fp = F[painted]
                 for k in range(len(uniq)):
-                    Fs = F[inv == k]
+                    Fs = Fp[inv == k]
                     mat_id = b.add_matte(kd=tuple(uniq[k] / 255.0))
                     b.add_triangle_mesh(
                         Fs, V, uvs=UV, material=mat_id, object_to_world=o2w
                     )
-                continue
+                if bool(painted.all()):
+                    continue
+                F = F[~painted]
+                face_mat = face_mat[~painted] if len(face_mat) else face_mat
             # kd image texture by name match (reference tries a texture
             # named exactly like the mesh, parse_blend_file.rs:583-603)
             tex_mat = None

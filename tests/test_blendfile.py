@@ -422,18 +422,21 @@ def _make_multimat_dna():
         "r", "g", "b", "specr", "specg", "specb",
         "mirr", "mirg", "mirb", "emit", "ang", "ray_mirror", "roughness",
         "translucency",
+        "*mloopcol", "a",
     ]
-    types = ["int", "float", "short", "void",
-             "Mesh", "MVert", "MPoly", "MLoop", "Object", "Material", "Link"]
-    tlens = [4, 4, 2, 0,
-             42, 12, 10, 4, 72, 56, 8]
+    types = ["int", "float", "short", "void", "char",
+             "Mesh", "MVert", "MPoly", "MLoop", "Object", "Material", "Link",
+             "MLoopCol"]
+    tlens = [4, 4, 2, 0, 1,
+             50, 12, 10, 4, 72, 56, 8, 4]
     ni = {n: i for i, n in enumerate(names)}
     ti = {t: i for i, t in enumerate(types)}
     structs = [
         (ti["Mesh"], [(ti["int"], ni["totvert"]), (ti["int"], ni["totpoly"]),
                       (ti["void"], ni["*mvert"]), (ti["void"], ni["*mpoly"]),
                       (ti["void"], ni["*mloop"]), (ti["void"], ni["*mat"]),
-                      (ti["short"], ni["totcol"])]),
+                      (ti["short"], ni["totcol"]),
+                      (ti["void"], ni["*mloopcol"])]),
         (ti["MVert"], [(ti["float"], ni["co[3]"])]),
         (ti["MPoly"], [(ti["int"], ni["loopstart"]), (ti["int"], ni["totloop"]),
                        (ti["short"], ni["mat_nr"])]),
@@ -444,6 +447,8 @@ def _make_multimat_dna():
             "mirr", "mirg", "mirb", "emit", "ang", "ray_mirror", "roughness",
             "translucency")]),
         (ti["Link"], [(ti["void"], ni["*data"])]),
+        (ti["MLoopCol"], [(ti["char"], ni["r"]), (ti["char"], ni["g"]),
+                          (ti["char"], ni["b"]), (ti["char"], ni["a"])]),
     ]
     out = b"SDNA" + b"NAME" + struct.pack("<i", len(names))
     out += _pad4(b"".join(n.encode() + b"\0" for n in names))
@@ -479,7 +484,7 @@ def _make_multimat_blend(tmp_path):
     matarr = struct.pack("<3Q", PM0, PM1, PM2)  # Material** block
     mesh = (struct.pack("<2i", len(verts), 3)
             + struct.pack("<4Q", PV, PP, PL, PMATARR)
-            + struct.pack("<h", 3))
+            + struct.pack("<h", 3) + struct.pack("<Q", 0))
     obj = struct.pack("<Q", PME) + np.eye(4, dtype=np.float32).tobytes()
 
     raw = b"BLENDER-v300"
@@ -552,7 +557,7 @@ class TestBlendMultiMaterial:
         raw += _block(b"ME", sidx["Mesh"], 1, PME,
                       struct.pack("<2i", 3, 1)
                       + struct.pack("<4Q", PV, PP, PL, PMATARR)
-                      + struct.pack("<h", 1))
+                      + struct.pack("<h", 1) + struct.pack("<Q", 0))
         raw += _block(b"OB", sidx["Object"], 1, 0xA000,
                       struct.pack("<Q", PME)
                       + np.eye(4, dtype=np.float32).tobytes())
@@ -566,6 +571,60 @@ class TestBlendMultiMaterial:
             np.asarray(scene.mat_attr)[np.asarray(scene.tri_mat)[0], sa.MA_TYPE]
         )))
         assert kind == sa.METAL
+
+    def test_vertex_paint_spares_non_matte_slots(self, tmp_path):
+        # the reference's triangle-colors override lives inside the
+        # MatteMaterial branch only (parse_blend_file.rs:1231-1253): a
+        # painted mesh with a mirror slot keeps the mirror on those faces
+        from rs_pbrt_tpu.scene import arrays as sa
+
+        dna, sidx = _make_multimat_dna()
+        PV, PP, PL, PME, PMATARR, PM0, PM1, PCOL = (
+            0x1000, 0x2000, 0x3000, 0x5000, 0x4000, 0x6000, 0x6100, 0x6800
+        )
+        verts = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [1, 1, 0]],
+                         np.float32)
+        raw = b"BLENDER-v300"
+        raw += _block(b"MV", sidx["MVert"], 4, PV,
+                      b"".join(struct.pack("<3f", *v) for v in verts))
+        # tri0 slot 0 (matte -> painted), tri1 slot 1 (mirror -> kept)
+        raw += _block(b"MP", sidx["MPoly"], 2, PP,
+                      struct.pack("<2ih", 0, 3, 0) + struct.pack("<2ih", 3, 3, 1))
+        raw += _block(b"ML", sidx["MLoop"], 6, PL,
+                      b"".join(struct.pack("<i", v) for v in (0, 1, 2, 1, 3, 2)))
+        raw += _block(b"MC", sidx["MLoopCol"], 6, PCOL,
+                      b"".join(struct.pack("<4B", 0, 0, 255, 255)
+                               for _ in range(6)))
+        raw += _block(b"DATA", sidx["Link"], 1, PMATARR,
+                      struct.pack("<2Q", PM0, PM1))
+        raw += _block(b"MA", sidx["Material"], 1, PM0,
+                      _mat_payload(0.7, 0.7, 0.7))
+        raw += _block(b"MA", sidx["Material"], 1, PM1,
+                      _mat_payload(1, 1, 1, mir=(0.9, 0.9, 0.9), ray_mirror=1.0))
+        raw += _block(b"ME", sidx["Mesh"], 1, PME,
+                      struct.pack("<2i", 4, 2)
+                      + struct.pack("<4Q", PV, PP, PL, PMATARR)
+                      + struct.pack("<h", 2) + struct.pack("<Q", PCOL))
+        raw += _block(b"OB", sidx["Object"], 1, 0xA000,
+                      struct.pack("<Q", PME)
+                      + np.eye(4, dtype=np.float32).tobytes())
+        raw += _block(b"DNA1", 0, 1, 0xD4A, dna)
+        raw += _block(b"ENDB", 0, 0, 0, b"")
+        p = tmp_path / "paint_mirror.blend"
+        p.write_bytes(raw)
+        b, _ = load_blend(p)
+        scene = b.finalize()
+        assert scene.n_tris == 2
+        mat_attr = np.asarray(scene.mat_attr)
+        tri_mat = np.asarray(scene.tri_mat)
+        kinds = mat_attr[tri_mat, sa.MA_TYPE].round().astype(int)
+        assert sorted(kinds.tolist()) == sorted([sa.MATTE, sa.MIRROR])
+        painted = int(np.where(kinds == sa.MATTE)[0][0])
+        np.testing.assert_allclose(
+            mat_attr[tri_mat[painted],
+                     sa.MA_PARAMS + sa.MP_KD: sa.MA_PARAMS + sa.MP_KD + 3],
+            [0.0, 0.0, 1.0], atol=1e-6,
+        )
 
     def test_translucency_maps_to_translucent(self, tmp_path):
         # reference parse_blend_file.rs:1132-1152: translucency t > 0 ->
@@ -589,7 +648,7 @@ class TestBlendMultiMaterial:
         raw += _block(b"ME", sidx["Mesh"], 1, PME,
                       struct.pack("<2i", 3, 1)
                       + struct.pack("<4Q", PV, PP, PL, PMATARR)
-                      + struct.pack("<h", 1))
+                      + struct.pack("<h", 1) + struct.pack("<Q", 0))
         raw += _block(b"OB", sidx["Object"], 1, 0xA000,
                       struct.pack("<Q", PME)
                       + np.eye(4, dtype=np.float32).tobytes())
