@@ -538,7 +538,11 @@ def load_blend(path, builder=None, light_scale=1.0, camera_name=None):
                 if len(Fs) == 0:
                     continue
                 mp = mat_ptrs[nr] if 0 <= nr < len(mat_ptrs) else 0
-                mat_id = tex_mat if tex_mat is not None else mats.get(mp, 0)
+                # the name-matched kd texture also lives in the reference's
+                # matte branch (parse_blend_file.rs:1156-1190): mirror/
+                # glass/translucent/emissive slots keep their materials
+                use_tex = tex_mat is not None and mp not in mat_nonmatte
+                mat_id = tex_mat if use_tex else mats.get(mp, 0)
                 al = None
                 if mp in mat_emit:
                     al = dict(L=mat_emit[mp], two_sided=True)
