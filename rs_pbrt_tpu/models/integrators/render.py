@@ -427,7 +427,10 @@ def render(
         img.block_until_ready()
         prof.__exit__(None, None, None)
     if stats is not None:
-        img.block_until_ready()
+        # forced host readback: block_until_ready does not reliably wait
+        # through the axon tunnel (CLAUDE.md; measured impossible
+        # 852 TFLOP/s) — scalar sum avoids the jittery full-image transfer
+        float(jnp.sum(img))
         dt = max(_time.time() - t0, 1e-9)
         stats.update(
             camera_rays=n_pix * cfg.spp,
